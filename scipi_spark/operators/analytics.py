@@ -1,0 +1,215 @@
+"""The six SciPi continuous aggregations as batch DataFrame twins (P7-P12),
+topics thresholding (T1-T3), and the viz-layer relational post-processing
+(V1-V5). Reference: ``ScipiStream.java:146-207,759-962``,
+``ScipiBatchTopics.java:62-100``, ``visualisations.py:67-416``.
+
+All of these are single-shuffle hash aggregations: Catalyst plans a partial
+(map-side) aggregate before the exchange, so at 100 TB each pipeline moves
+only ``|distinct keys|`` rows per partition across the network, not the raw
+data. Derived columns (percentages, averages) are computed after the
+aggregate and never shuffle again.
+
+Each function takes a Publication-shaped DataFrame (``schemas.PUBLICATION_SCHEMA``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# P7/P8 — keyword & field-of-study occurrence counts
+# (flatMap→keyBy→sum in the reference, ScipiStream.java:759-802)
+# ---------------------------------------------------------------------------
+
+def keyword_count(pubs: DataFrame) -> DataFrame:
+    """P7: one count per keyword occurrence across publications."""
+    return (
+        pubs.select(F.explode("keywords").alias("keyword_name"))
+        .groupBy("keyword_name")
+        .agg(F.count(F.lit(1)).alias("keyword_count"))
+    )
+
+
+def fos_count(pubs: DataFrame) -> DataFrame:
+    """P8: identical shape over fields-of-study."""
+    return (
+        pubs.select(F.explode("fos").alias("field_study_name"))
+        .groupBy("field_study_name")
+        .agg(F.count(F.lit(1)).alias("field_study_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — year-wise single- vs joint-authorship distribution
+# (ScipiStream.java:805-859; percentages derived post-reduce)
+# ---------------------------------------------------------------------------
+
+def yrwise_dist(pubs: DataFrame) -> DataFrame:
+    n_auth = F.size("authors")
+    agg = pubs.groupBy("year").agg(
+        F.count(F.when(n_auth == 1, 1)).alias("single"),
+        F.count(F.when(n_auth > 1, 1)).alias("joint"),
+    )
+    total = F.col("single") + F.col("joint")
+    return agg.select(
+        "year",
+        "single",
+        "joint",
+        total.alias("total"),
+        (F.col("single") / total).cast("double").alias("single_perc"),
+        (F.col("joint") / total).cast("double").alias("joint_perc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — authorship pattern by team size
+# (ScipiStream.java:862-892; no_authors = unit * no_articles by construction)
+# ---------------------------------------------------------------------------
+
+def authorship_pattern(pubs: DataFrame) -> DataFrame:
+    return (
+        pubs.groupBy(F.size("authors").cast("long").alias("author_unit"))
+        .agg(F.count(F.lit(1)).alias("no_articles"))
+        .select(
+            "author_unit",
+            "no_articles",
+            (F.col("author_unit") * F.col("no_articles")).alias("no_authors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11 — average authors per paper per year (ScipiStream.java:895-942)
+# ---------------------------------------------------------------------------
+
+def avg_authors_per_paper(pubs: DataFrame) -> DataFrame:
+    return (
+        pubs.groupBy("year")
+        .agg(
+            F.count(F.lit(1)).alias("no_articles"),
+            F.sum(F.size("authors")).alias("no_authors"),
+        )
+        .select(
+            "year",
+            "no_articles",
+            "no_authors",
+            (F.col("no_authors") / F.col("no_articles"))
+            .cast("double")
+            .alias("avg_author_paper"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — hyper-authorship count (ScipiStream.java:944-962; threshold 100)
+# ---------------------------------------------------------------------------
+
+def hyper_authorship(pubs: DataFrame, threshold: int = 100) -> DataFrame:
+    return (
+        pubs.filter(F.size("authors") >= threshold)
+        .groupBy(F.col("year").alias("hyper_authorship_year"))
+        .agg(F.count(F.lit(1)).alias("hyper_authorship_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1-T3 — topics thresholding (ScipiBatchTopics.java:62-100) + top-N display
+# ---------------------------------------------------------------------------
+
+def topics_filter(counts: DataFrame, count_col: str, n_occurrences: int) -> DataFrame:
+    """T1/T2: keep rows with count >= n_occurrences. The predicate lands on
+    the scan (pushdown) when counts is a stored table."""
+    return counts.filter(F.col(count_col) >= n_occurrences)
+
+
+def top_n(counts: DataFrame, count_col: str, n: int = 100) -> DataFrame:
+    """T3/V5: top-N by count — Spark plans TakeOrderedAndProject (no global
+    sort materialization)."""
+    return counts.orderBy(F.desc(count_col), *[
+        c for c in counts.columns if c != count_col
+    ]).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# V1 — authorship-pattern display table with >cutoff bucket and cumulative %
+# (visualisations.py:67-138 — the one window function in the reference)
+# ---------------------------------------------------------------------------
+
+def authorship_pattern_table(authorptrn: DataFrame, cutoff: int = 20) -> DataFrame:
+    bucketed = (
+        authorptrn.withColumn(
+            "unit_bucket",
+            F.when(F.col("author_unit") > cutoff, F.lit(cutoff + 1)).otherwise(
+                F.col("author_unit")
+            ),
+        )
+        .groupBy("unit_bucket")
+        .agg(
+            F.sum("no_articles").alias("no_articles"),
+            F.sum("no_authors").alias("no_authors"),
+        )
+    )
+    total = Window.partitionBy()
+    cum = (
+        Window.partitionBy()
+        .orderBy("unit_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.select(
+        F.when(F.col("unit_bucket") > cutoff, F.lit(f">{cutoff}"))
+        .otherwise(F.col("unit_bucket").cast("string"))
+        .alias("author_unit"),
+        "no_articles",
+        "no_authors",
+        F.round(
+            F.col("no_articles") * 100.0 / F.sum("no_articles").over(total), 2
+        ).alias("perc_articles"),
+        F.round(
+            F.sum("no_articles").over(cum) * 100.0 / F.sum("no_articles").over(total),
+            2,
+        ).alias("cum_perc_articles"),
+        F.col("unit_bucket").alias("_order"),
+    ).orderBy("_order").drop("_order")
+
+
+# ---------------------------------------------------------------------------
+# V2/V3/V4 — year-wise display tables (filter/sort/limit/round)
+# ---------------------------------------------------------------------------
+
+def yrwise_table(yrdist: DataFrame, max_year: int = 2019, n_years: int = 20) -> DataFrame:
+    """V2: numeric-year filter, sort desc, head(n), percentages scaled+rounded
+    (visualisations.py:140-216)."""
+    return (
+        yrdist.withColumn("year_num", F.col("year").cast("int"))
+        .filter(F.col("year_num") <= max_year)
+        .orderBy(F.desc("year_num"))
+        .limit(n_years)
+        .select(
+            "year",
+            "single",
+            "joint",
+            "total",
+            F.round(F.col("single_perc") * 100, 2).alias("single_perc"),
+            F.round(F.col("joint_perc") * 100, 2).alias("joint_perc"),
+        )
+    )
+
+
+def aap_table(aap: DataFrame, max_year: int = 2019, n_years: int = 20) -> DataFrame:
+    """V3 (visualisations.py:218-275)."""
+    return (
+        aap.withColumn("year_num", F.col("year").cast("int"))
+        .filter(F.col("year_num") <= max_year)
+        .orderBy(F.desc("year_num"))
+        .limit(n_years)
+        .select("year", "no_articles", "no_authors", F.round("avg_author_paper", 2).alias("avg_author_paper"))
+    )
+
+
+def hyper_table(hyper: DataFrame, min_year: int = 1990) -> DataFrame:
+    """V4 (visualisations.py:277-327)."""
+    return hyper.filter(
+        F.col("hyper_authorship_year").cast("int") >= min_year
+    ).orderBy("hyper_authorship_year")
