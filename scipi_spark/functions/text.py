@@ -1,0 +1,76 @@
+"""Scalar string-validation functions (P3/P4).
+
+Reference semantics (``ScipiStream.java:218-257``):
+
+- ``validateStr``: null→null; strip every char outside ``[a-zA-Z0-9\\s]``;
+  trim; empty→null; lowercase.
+- ``validateTopics``: per-element validateStr; drop null/empty or >30-char
+  results; dedup.
+
+Implemented as pure Column expressions — they stay inside whole-stage
+codegen (no Python round-trip), so the 100 TB ingest path is JVM-only.
+``*_py`` twins are the executable spec used by property tests; both sides
+pin ``\\s`` to the Java-regex ASCII class ``[ \\t\\n\\x0b\\f\\r]`` so the
+JVM and Python agree on unicode inputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = " \t\n\x0b\f\r"  # Java regex \s (ASCII-only)
+_STRIP_RE = r"[^a-zA-Z0-9\s]"
+_TRIM_RE = r"^\s+|\s+$"
+MAX_TOPIC_LEN = 30
+
+
+def validate_str(col: Column | str) -> Column:
+    """P3: clean a scalar string; returns NULL for null/empty-after-clean."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.lower(F.regexp_replace(F.regexp_replace(c, _STRIP_RE, ""), _TRIM_RE, ""))
+    return F.nullif(cleaned, F.lit(""))
+
+
+def validate_topics(col: Column | str, max_len: int = MAX_TOPIC_LEN) -> Column:
+    """P4: clean every element, drop null/empty/too-long, dedup.
+
+    NULL input stays NULL (reference treats a missing set as missing, not
+    empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.transform(c, lambda x: validate_str(x))
+    kept = F.filter(cleaned, lambda x: x.isNotNull() & (F.length(x) <= max_len))
+    return F.array_distinct(kept)
+
+
+def clean_authors(col: Column | str) -> Column:
+    """Author-set cleaning (``ScipiStream.java:573-597``): per-element
+    validateStr, drop nulls, dedup — unlike topics there is NO length cap."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.transform(c, lambda x: validate_str(x))
+    return F.array_distinct(F.filter(cleaned, lambda x: x.isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python executable spec (property-test oracle)
+# ---------------------------------------------------------------------------
+
+def validate_str_py(s: str | None) -> str | None:
+    if s is None:
+        return None
+    cleaned = re.sub(rf"[^a-zA-Z0-9{_WS}]", "", s)
+    cleaned = cleaned.strip(_WS).lower()
+    return cleaned or None
+
+
+def validate_topics_py(items: list[str] | None, max_len: int = MAX_TOPIC_LEN):
+    if items is None:
+        return None
+    out: list[str] = []
+    for s in items:
+        c = validate_str_py(s)
+        if c is not None and len(c) <= max_len and c not in out:
+            out.append(c)
+    return out

@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each):
+
+- **exact**: one hash aggregation on the fingerprint — map-side partial
+  aggregation means the shuffle carries one row per distinct document.
+- **ngram_jaccard_pairs**: the exact similarity join, O(candidate pairs);
+  the shingle-inverted-index self-join bounds work to pairs that share at
+  least one shingle (never the full cross product). Hot shingles are
+  dropped by a document-frequency cap — the classic posting-list
+  truncation — so a shingle shared by half the corpus can't quadratically
+  blow up the join; AQE skew-join splits whatever remains.
+- **minhash_lsh_pairs**: the 100 TB path — fixed-width signatures
+  (num_perm ints per doc) replace shingle sets; banding turns similarity
+  search into an equi-join on (band_idx, band_hash), which Catalyst
+  shuffles on a uniform key. Candidates are then verified with exact
+  Jaccard, so precision is exact and only recall is probabilistic.
+- **simhash64**: one 64-bit signature per doc; near-dup = small Hamming
+  distance, blocked on 16-bit chunks (pigeonhole: distance<=3 pairs must
+  collide on >=1 of 4 chunks).
+
+Everything is built-in Column expressions (murmur3 ``F.hash`` with per-
+permutation seeds); no Python UDFs anywhere on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scipi_spark.operators.textops import fingerprint, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (by normalized-text fingerprint):
+    fingerprint, group size, canonical (min) id. Only groups with >1 member."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (exact)
+# ---------------------------------------------------------------------------
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_doc_freq: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(doc shingle-set sizes, exploded shingle postings) — postings
+    optionally truncated at a document-frequency cap."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
+    )
+    sizes = sh.select("doc", F.size("shingles").cast("long").alias("n_sh"))
+    postings = sh.select("doc", F.explode("shingles").alias("sh"))
+    if max_doc_freq is not None:
+        df_counts = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        postings = postings.join(
+            df_counts.filter(F.col("df") <= max_doc_freq).select("sh"), "sh"
+        )
+    return sizes, postings
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a<b) with word-k-shingle Jaccard >= threshold.
+
+    inter(a,b) via the shingle self-join; |A|,|B| joined back in;
+    jaccard = inter / (|A|+|B|-inter).
+
+    ``max_doc_freq`` (None = exact) drops shingles occurring in more than
+    that many documents before pairing — at corpus scale the exact variant
+    is reserved for candidate verification, not all-pairs discovery.
+    """
+    sizes, postings = _shingle_index(df, id_col, text_col, k, max_doc_freq)
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(doc, sig: array<int>) — per-permutation minimum of seeded murmur3
+    over the doc's word-k-shingles. One explode + one groupBy with num_perm
+    min() aggregates: a single shuffle of (doc, shingle) pairs."""
+    postings = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
+    )
+    mins = postings.groupBy("doc").agg(
+        *[
+            F.min(F.hash(F.concat(F.lit(f"mh{j}:"), F.col("sh")))).alias(f"h{j}")
+            for j in range(num_perm)
+        ]
+    )
+    return mins.select(
+        "doc", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact
+    Jaccard (precision exact, recall ~ 1-(1-s^r)^b).
+
+    Pipeline: signatures → band hashes → equi-join on (band, hash) →
+    distinct candidate pairs → exact-Jaccard verification restricted to
+    candidates.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    band_rows = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+
+    # verify candidates with exact jaccard over shingle sets
+    sizes, postings = _shingle_index(df, id_col, text_col, k, None)
+    pa = postings.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    pb = postings.select(F.col("doc").alias("pb_doc"), F.col("sh").alias("sh_b"))
+    inter = (
+        candidates.join(pa, "doc_a")
+        .join(
+            pb,
+            (F.col("doc_b") == F.col("pb_doc")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac.cast("double"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1
+) -> DataFrame:
+    """(doc, simhash: long) — 64-bit SimHash over word k-shingles using
+    xxhash64 features: bit_i = sign(sum over features of ±1 at bit i).
+
+    Computed without UDFs: explode features, expand 64 per-bit sums in one
+    aggregation (the same single-shuffle shape as minhash signatures)."""
+    feats = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, k)).alias("feat"),
+    ).select("doc", F.xxhash64("feat").alias("h"))
+    bit_sums = feats.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return bit_sums.select("doc", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs (a<b) with Hamming(simhash_a, simhash_b) <= max_hamming,
+    blocked on 4x16-bit chunks (pigeonhole guarantees recall for
+    max_hamming <= 3)."""
+    sh = simhash64(df, id_col, text_col, k)
+    chunks = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright(F.col("simhash"), ci * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for ci in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(north-star surface beyond the reference; the reference's in-family
+precedent is the P3/P4 string cleaning and A1 shingle-cosine).
+
+All pure Column expressions — tokenization, language-ID, quality scoring,
+token counting, and fingerprinting run JVM-side inside whole-stage codegen;
+at 100 TB these are narrow maps fused into the parquet scan with full
+column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English function-word list for the n-gram/stopword language heuristic.
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens dropped (leading/trailing
+    whitespace safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-ish proxy count: word-pieces = maximal runs of letters, runs
+    of digits, or runs of other non-space symbols — an upper-bound estimate
+    of subword token counts without a tokenizer library. (Pure alternation,
+    no lookarounds, so the same pattern runs on Java regex and RE2.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"), 0)
+    return F.size(pieces).cast("long")
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (n_sw / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
+    """Heuristic language-ID: English iff the stopword ratio clears the
+    threshold. (A full n-gram model would broadcast per-language trigram
+    tables; the plumbing is identical.)"""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    stopword ratio, alphabetic ratio, and a composite score in [0,1]."""
+    toks = tokens(text_col)
+    n_chars = F.length(text_col).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")).cast(
+        "long"
+    )
+    mean_tok = (n_chars / F.greatest(n_tokens, F.lit(1))).cast("double")
+    sw_ratio = stopword_ratio(text_col)
+    alpha_ratio = (alpha_chars / F.greatest(n_chars, F.lit(1))).cast("double")
+    # monotone, bounded score: rewards stopword presence and alpha text,
+    # penalizes degenerate token lengths
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * alpha_ratio)
+            + (F.lit(0.3) * F.least(sw_ratio * 4, F.lit(1.0)))
+            + F.when((mean_tok >= 3) & (mean_tok <= 10), 0.2).otherwise(0.0),
+        ),
+        6,
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_tok, 6).alias("q_mean_token_len"),
+        F.round(sw_ratio, 6).alias("q_stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("q_alpha_ratio"),
+        score.alias("q_score"),
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint (md5 of the normalized text) —
+    the exact-dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles (space-joined k-grams of the whitespace
+    tokens); the unit set for Jaccard/MinHash dedup."""
+    toks = tokens(col)
+    # transform over 1-based start indices; sequence() must be guarded:
+    # sequence(1, 0) would generate a DESCENDING range, not an empty one
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
