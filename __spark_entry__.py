@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scipi_spark import ingest
-from scipi_spark.operators import analytics, dedup, textops
+from scipi_spark.operators import analytics, association, community, dedup, textops
 from scipi_spark.sources.tables import load_table, publications_analog
 
 # Analog-scale parameters: the reference thresholds (hyper>=100 authors)
@@ -167,6 +167,68 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, k=1, max_hamming=3)
 
 
+# Association/community analog parameters
+ASSOC_KEYWORDS = ["Brand#12", "Brand#23", "Brand#34", "Brand#45"]
+COSINE_KEYWORDS = ["spark query engine", "window table scan", "fast value"]
+COSINE_THRESHOLD = 0.25
+
+
+def _graph_pubs(spark, sf_dir):
+    """Publications analog with unique paper names (title = 'order'+key) so
+    the heterogeneous graph doesn't collapse onto 5 priority strings."""
+    return publications_analog(spark, sf_dir).withColumn(
+        "title", F.concat(F.lit("order"), F.col("doi"))
+    )
+
+
+def _q_assoc_cosine(spark, sf_dir):
+    """A1+A2 over documents: text as title, source as the author."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("text").alias("title"), F.array("source").alias("authors")
+    )
+    out = association.author_keyword_association(
+        docs, COSINE_KEYWORDS, k=3, threshold=COSINE_THRESHOLD
+    )
+    return out.select("keyword", "author", F.round("sim_sum", 6).alias("sim_sum"))
+
+
+def _q_assoc_usage_edges(spark, sf_dir):
+    pubs = publications_analog(spark, sf_dir)
+    return association.usage_edges(pubs, ASSOC_KEYWORDS, usage_threshold=1)
+
+
+def _q_assoc_projection(spark, sf_dir):
+    pubs = publications_analog(spark, sf_dir)
+    edges = association.usage_edges(pubs, ASSOC_KEYWORDS, usage_threshold=1)
+    return association.project_top(edges)
+
+
+def _q_assoc_collab_table(spark, sf_dir):
+    pubs = publications_analog(spark, sf_dir)
+    edges = association.usage_edges(pubs, ASSOC_KEYWORDS, usage_threshold=1)
+    return association.collaborator_table(association.project_top(edges))
+
+
+def _q_community_vertices(spark, sf_dir):
+    return community.extract_vertices(_graph_pubs(spark, sf_dir))
+
+
+def _q_community_edges(spark, sf_dir):
+    edges = community.extract_edges(_graph_pubs(spark, sf_dir))
+    return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _q_community_lpa(spark, sf_dir):
+    """C6-C10: LPA over the co-authorship projection of the analog graph
+    (iterative — no SQL oracle; checked rows-only by the driver and
+    exactly vs a pure-Python replication in tests/test_community.py)."""
+    pubs = _graph_pubs(spark, sf_dir)
+    vertices = community.extract_vertices(pubs)
+    edges = community.extract_edges(pubs)
+    labels = community.community_detection(vertices, edges, iterations=5, delta=0.5)
+    return community.community_sizes(labels, min_size=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p7_keyword_count": _q_p7,
@@ -186,6 +248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "a1_assoc_cosine": _q_assoc_cosine,
+        "a4_assoc_usage_edges": _q_assoc_usage_edges,
+        "a8_assoc_projection": _q_assoc_projection,
+        "a11_assoc_collab_table": _q_assoc_collab_table,
+        "c2_community_vertices": _q_community_vertices,
+        "c4_community_edges": _q_community_edges,
+        "c8_community_lpa": _q_community_lpa,
     }
 
 
@@ -253,6 +322,77 @@ FROM inter
 JOIN sizes sa ON inter.doc_a = sa.doc_id
 JOIN sizes sb ON inter.doc_b = sb.doc_id
 WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
+"""
+
+
+# Author<->keyword usage edges over the analog corpus (A4-A6): count of
+# distinct orders where supplier (author) and in-list brand (keyword) co-occur.
+_KW_IN = ", ".join(f"'{k}'" for k in ASSOC_KEYWORDS)
+_USAGE_EDGES_CTE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE p.p_brand IN ({_KW_IN})
+), oa AS (
+  SELECT DISTINCT l.l_orderkey, CAST(l.l_suppkey AS VARCHAR) AS author
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT oa.author, ob.p_brand AS keyword, CAST(count(*) AS BIGINT) AS cnt
+  FROM oa JOIN ob ON oa.l_orderkey = ob.l_orderkey
+  GROUP BY 1, 2
+  HAVING count(*) > 1
+)
+"""
+
+# Heterogeneous-graph analog pieces (C2/C4): paper = 'order'||okey,
+# publisher = orderstatus, venue = orderpriority, authors = sorted suppliers.
+_GRAPH_CTE = """
+WITH oa AS (
+  SELECT DISTINCT l.l_orderkey, CAST(l.l_suppkey AS VARCHAR) AS a
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), pubv AS (
+  SELECT o.o_orderkey,
+         'order' || CAST(o.o_orderkey AS VARCHAR) AS paper,
+         o.o_orderstatus AS publisher,
+         o.o_orderpriority AS venue
+  FROM orders o JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+    ON o.o_orderkey = l.l_orderkey
+), ranked AS (
+  SELECT l_orderkey, a,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY a) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM oa
+)
+"""
+
+# Char-3-gram cosine (java-string-similarity semantics) in pure SQL via
+# list comprehensions; used by the a1 oracle.
+_KW_VALUES = ", ".join(f"('{k}')" for k in COSINE_KEYWORDS)
+_COSINE_SQL = rf"""
+WITH kws(keyword) AS (VALUES {_KW_VALUES}),
+kn AS (SELECT keyword, regexp_replace(keyword, '\s+', ' ', 'g') AS s FROM kws),
+kg AS (SELECT keyword, g, CAST(count(*) AS DOUBLE) AS c
+       FROM (SELECT keyword, unnest([s[i:i+2] for i in range(1, length(s)-1)]) AS g
+             FROM kn)
+       GROUP BY 1, 2),
+knorm AS (SELECT keyword, sqrt(sum(c*c)) AS nk FROM kg GROUP BY 1),
+dn AS (SELECT doc_id, source, regexp_replace(text, '\s+', ' ', 'g') AS s
+       FROM documents),
+dg AS (SELECT doc_id, g, CAST(count(*) AS DOUBLE) AS c
+       FROM (SELECT doc_id, unnest([s[i:i+2] for i in range(1, length(s)-1)]) AS g
+             FROM dn)
+       GROUP BY 1, 2),
+dnorm AS (SELECT doc_id, sqrt(sum(c*c)) AS nd FROM dg GROUP BY 1),
+dots AS (SELECT kg.keyword, dg.doc_id, sum(kg.c * dg.c) AS dot
+         FROM kg JOIN dg ON kg.g = dg.g GROUP BY 1, 2),
+sims AS (SELECT keyword, doc_id, dot / (nk * nd) AS sim
+         FROM dots JOIN knorm USING (keyword) JOIN dnorm USING (doc_id))
+SELECT s.keyword, d.source AS author, round(sum(s.sim), 6) AS sim_sum
+FROM sims s JOIN dn d USING (doc_id)
+WHERE s.sim > {COSINE_THRESHOLD}
+GROUP BY 1, 2
 """
 
 
@@ -429,4 +569,54 @@ def oracle_sql() -> dict[str, str]:
         # corpus's similarity profile (planted near-dups >> threshold,
         # recall measured 1.0 at sf0.01) the output equals the exact pairs.
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        "a1_assoc_cosine": _COSINE_SQL,
+        "a4_assoc_usage_edges": _USAGE_EDGES_CTE
+        + "SELECT author, keyword, cnt FROM e",
+        "a8_assoc_projection": _USAGE_EDGES_CTE
+        + """
+            SELECT a.author AS author_a, b.author AS author_b
+            FROM e a JOIN e b
+              ON a.keyword = b.keyword AND a.author <> b.author
+        """,
+        "a11_assoc_collab_table": _USAGE_EDGES_CTE
+        + """
+            , proj AS (
+              SELECT a.author AS author_a, b.author AS author_b
+              FROM e a JOIN e b
+                ON a.keyword = b.keyword AND a.author <> b.author
+            )
+            SELECT author_a AS author,
+                   array_to_string(list_sort(list_distinct(list(author_b))),
+                                   ' | ') AS collaborators,
+                   CAST(count(DISTINCT author_b) AS BIGINT) AS n_collaborators
+            FROM proj
+            GROUP BY 1
+        """,
+        "c2_community_vertices": _GRAPH_CTE
+        + """
+            , v AS (
+              SELECT paper AS id, 'PAPER' AS vtype FROM pubv
+              UNION ALL SELECT publisher, 'PUBLISHER' FROM pubv
+              UNION ALL SELECT venue, 'VENUE' FROM pubv
+              UNION ALL SELECT a, 'AUTHOR' FROM oa
+            )
+            SELECT id, min(vtype) AS vtype FROM v GROUP BY id
+        """,
+        "c4_community_edges": _GRAPH_CTE
+        + """
+            , alledges AS (
+              SELECT paper AS src, publisher AS dst FROM pubv
+              UNION ALL SELECT paper, venue FROM pubv
+              UNION ALL
+                SELECT r.a, p.paper
+                FROM ranked r JOIN pubv p ON r.l_orderkey = p.o_orderkey
+                WHERE r.rn <= greatest(r.n - 1, 1)
+              UNION ALL
+                SELECT r1.a, r2.a
+                FROM ranked r1 JOIN ranked r2
+                  ON r1.l_orderkey = r2.l_orderkey AND r1.a < r2.a
+            )
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+            FROM alledges GROUP BY 1, 2
+        """,
     }

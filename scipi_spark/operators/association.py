@@ -1,0 +1,167 @@
+"""Association analysis / collaborator recommendation (A1-A11).
+
+Reference: ``ScipiBatchAssociation.java`` — cosine-similarity author↔keyword
+association (char-k-shingle cosine between each defined keyword and every
+publication title, java-string-similarity ``Cosine``, lines 108-155), the
+author↔keyword usage-edge bipartite graph (lines 192-244), and collaborator
+recommendation via the bipartite **top projection** (lines 277-282 — the
+report credits this projection with a ~20min → <1min speedup over naive
+group-reduce pairing; in Spark it is a keyword self-join that Catalyst
+plans as a broadcast/shuffled hash join, with AQE handling hot-keyword
+skew).
+
+Scale notes:
+- cosine scoring runs on DISTINCT titles × keywords (keyword list is tiny
+  and broadcast; distinct titles << rows at corpus scale), via an
+  Arrow-batched pandas UDF, then joins back — the UDF never sees the full
+  fact table.
+- the projection's output is bounded by sum over keywords of deg² — the
+  usage-threshold filter (A6) is what keeps degrees small; hot keywords
+  beyond that are AQE skew-join territory.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# A1 — char-k-shingle cosine similarity (java-string-similarity semantics)
+# ---------------------------------------------------------------------------
+
+def shingle_profile(s: str, k: int = 3) -> Counter:
+    """Char k-gram count profile after collapsing whitespace runs to a
+    single space (the reference library's SPACE_REG normalization)."""
+    s = re.sub(r"\s+", " ", s)
+    return Counter(s[i : i + k] for i in range(len(s) - k + 1))
+
+
+def cosine_py(a: str, b: str, k: int = 3) -> float:
+    """Pure-Python spec: cosine over char-k-gram count vectors; 0.0 when
+    either string is shorter than k."""
+    if a is None or b is None:
+        return 0.0
+    pa, pb = shingle_profile(a, k), shingle_profile(b, k)
+    if not pa or not pb:
+        return 0.0
+    dot = sum(c * pb[g] for g, c in pa.items() if g in pb)
+    na = math.sqrt(sum(c * c for c in pa.values()))
+    nb = math.sqrt(sum(c * c for c in pb.values()))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def make_cosine_udf(k: int = 3):
+    """Vectorized (Arrow-batched) pandas UDF computing char-k-shingle
+    cosine between two string columns."""
+
+    @pandas_udf("double")
+    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [cosine_py(x, y, k) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    return cosine_udf
+
+
+def author_keyword_association(
+    pubs: DataFrame,
+    keywords: list[str],
+    k: int = 3,
+    threshold: float = 0.3,
+    title_col: str = "title",
+    authors_col: str = "authors",
+) -> DataFrame:
+    """A1+A2: per (keyword, author), sum of cosine(keyword, title) over all
+    publications whose title scores > threshold against that keyword.
+
+    The UDF scores DISTINCT titles only; scores join back to the fact
+    table on title (broadcast — the scored side is |distinct titles over
+    threshold| × |keywords|, tiny after filtering)."""
+    kw_df = pubs.sparkSession.createDataFrame(
+        [(kw.lower(),) for kw in keywords], "keyword string"
+    )
+    titles = pubs.select(F.col(title_col).alias("title")).distinct()
+    cosine = make_cosine_udf(k)
+    scored = (
+        titles.crossJoin(F.broadcast(kw_df))
+        .withColumn("sim", cosine(F.col("keyword"), F.col("title")))
+        .filter(F.col("sim") > threshold)
+    )
+    return (
+        pubs.select(F.col(title_col).alias("title"), F.col(authors_col).alias("authors"))
+        .join(F.broadcast(scored), "title")
+        .select("keyword", F.explode("authors").alias("author"), "sim")
+        .groupBy("keyword", "author")
+        .agg(F.sum("sim").alias("sim_sum"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4-A6 — author↔keyword usage edges
+# ---------------------------------------------------------------------------
+
+def usage_edges(
+    pubs: DataFrame,
+    keywords: list[str],
+    usage_threshold: int = 1,
+    keywords_col: str = "keywords",
+    authors_col: str = "authors",
+) -> DataFrame:
+    """(author, keyword, cnt) where cnt = #publications in which the author
+    used the keyword; strong-edge filter keeps cnt > usage_threshold
+    (strict >, per reference line 240-244)."""
+    kw_lit = F.array(*[F.lit(kw) for kw in keywords])
+    return (
+        pubs.select(
+            F.explode(F.array_intersect(F.col(keywords_col), kw_lit)).alias("keyword"),
+            F.col(authors_col).alias("authors"),
+        )
+        .select("keyword", F.explode("authors").alias("author"))
+        .groupBy("author", "keyword")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > usage_threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A8/A9 — bipartite top projection (collaborator recommendation)
+# ---------------------------------------------------------------------------
+
+def author_vertices(edges: DataFrame) -> DataFrame:
+    """A7: distinct top (author) vertex set of the bipartite graph."""
+    return edges.select("author").distinct()
+
+
+def project_top(edges: DataFrame) -> DataFrame:
+    """A8/A9: Gelly ``projectionTopSimple`` semantics — one (author_a,
+    author_b) edge per ordered pair per SHARED keyword (both directions,
+    multiplicity = #shared keywords). This self-join on the bottom id IS
+    the hash join of the system."""
+    a = edges.select(F.col("keyword"), F.col("author").alias("author_a"))
+    b = edges.select(F.col("keyword"), F.col("author").alias("author_b"))
+    return (
+        a.join(b, "keyword")
+        .filter(F.col("author_a") != F.col("author_b"))
+        .select("author_a", "author_b")
+    )
+
+
+def collaborator_table(projected: DataFrame) -> DataFrame:
+    """A11: per author, the ' | '-joined sorted distinct collaborator list
+    and its size (visualisations.py:813-820)."""
+    return (
+        projected.groupBy(F.col("author_a").alias("author"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("author_b")), " | "
+            ).alias("collaborators"),
+            F.size(F.collect_set("author_b")).cast("long").alias("n_collaborators"),
+        )
+    )

@@ -1,0 +1,297 @@
+"""Heterogeneous publication network + community detection (C1-C16).
+
+Reference: ``ScipiBatchCommunity.java`` — relevance filter (137-164), vertex/
+edge extraction (355-462), Gelly ``CommunityDetection`` label propagation
+(Leung et al., line 210), dense-community selection (217-250), subgraph +
+decoration joins (256-337).
+
+The LPA loop replicates Flink's ``org.apache.flink.graph.library
+.CommunityDetection`` semantics exactly (scatter-gather on the undirected
+multigraph):
+
+- init: label = unique id per vertex, score = 1.0
+- each superstep t (1-based): every vertex sends (label, score*weight)
+  along every incident edge; a receiving vertex sums scores per label,
+  adopts the label with the max sum (ties -> smallest label), and sets
+  score = (max SINGLE received score for that label) - delta / t
+- vertices receiving no messages keep their state.
+
+Scale design: one iteration = one shuffle (messages groupBy dst) + one
+broadcast-free join back; lineage is cut every iteration with
+``localCheckpoint`` so 10+ iterations don't stack plans. Vertex ids stay
+strings (names) with 64-bit hash labels — no driver-side dictionaries.
+The mid-plan ``collect()`` of top-community labels mirrors the reference's
+two-phase execution (``ScipiBatchCommunity.java:241-250``) and broadcasts
+a 3-element set, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# C1 — relevance filter
+# ---------------------------------------------------------------------------
+
+def relevance_filter(
+    pubs: DataFrame,
+    keywords: list[str] | None = None,
+    domains: list[str] | None = None,
+) -> DataFrame:
+    """Keep publications whose keywords overlap the defined keyword set OR
+    fos overlap the defined domain set (``ScipiBatchCommunity.java:137-164``)."""
+    conds = []
+    if keywords:
+        conds.append(
+            F.arrays_overlap("keywords", F.array(*[F.lit(k) for k in keywords]))
+        )
+    if domains:
+        conds.append(F.arrays_overlap("fos", F.array(*[F.lit(d) for d in domains])))
+    if not conds:
+        return pubs
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return pubs.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# C2/C3 — vertex extraction
+# ---------------------------------------------------------------------------
+
+def extract_vertices(pubs: DataFrame) -> DataFrame:
+    """(id, vtype) union of PAPER/PUBLISHER/VENUE/AUTHOR vertices
+    (``ScipiBatchCommunity.java:371-407``), deduped on id.
+
+    The reference's ``distinct(0)`` keeps an arbitrary type on name
+    collision; here the MIN type wins — deterministic, and identical
+    whenever names don't collide across types."""
+    papers = pubs.select(F.col("title").alias("id"), F.lit("PAPER").alias("vtype"))
+    publishers = pubs.filter(
+        F.col("publisher").isNotNull() & (F.col("publisher") != "")
+    ).select(F.col("publisher").alias("id"), F.lit("PUBLISHER").alias("vtype"))
+    venues = pubs.filter(F.col("venue").isNotNull() & (F.col("venue") != "")).select(
+        F.col("venue").alias("id"), F.lit("VENUE").alias("vtype")
+    )
+    authors = pubs.select(F.explode("authors").alias("id")).select(
+        "id", F.lit("AUTHOR").alias("vtype")
+    )
+    return (
+        papers.unionByName(publishers)
+        .unionByName(venues)
+        .unionByName(authors)
+        .groupBy("id")
+        .agg(F.min("vtype").alias("vtype"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — edge extraction (with the reference's last-author quirk)
+# ---------------------------------------------------------------------------
+
+def extract_edges(pubs: DataFrame) -> DataFrame:
+    """(src, dst, weight=1.0) multiset (``ScipiBatchCommunity.java:411-462``):
+
+    - PAPER -> PUBLISHER and PAPER -> VENUE when nonempty
+    - authors[0] -> PAPER always; authors[i] -> PAPER for 0 < i < n-1
+      (the LAST author never gets an author->paper edge when n > 1 —
+      replicated from the reference's loop bound ``i < totalAuthors-1``)
+    - all co-author pairs (i, j), i < j
+
+    Pure per-row array expressions — a narrow map, no shuffle, no UDFs."""
+    pub_edges = pubs.filter(
+        F.col("publisher").isNotNull() & (F.col("publisher") != "")
+    ).select(F.col("title").alias("src"), F.col("publisher").alias("dst"))
+    ven_edges = pubs.filter(F.col("venue").isNotNull() & (F.col("venue") != "")).select(
+        F.col("title").alias("src"), F.col("venue").alias("dst")
+    )
+
+    n = F.size("authors")
+    # author->paper for indices 0 .. n-2 (index 0 when n == 1)
+    ap_authors = F.when(n == 1, F.col("authors")).otherwise(
+        F.slice("authors", 1, F.greatest(n - 1, F.lit(1)))
+    )
+    ap_edges = pubs.select(
+        F.explode(ap_authors).alias("src"), F.col("title").alias("dst")
+    )
+
+    # co-author pairs (i < j) as a nested array comprehension (no join)
+    pairs = F.flatten(
+        F.transform(
+            "authors",
+            lambda a, i: F.filter(
+                F.transform(
+                    "authors",
+                    lambda b, j: F.when(i < j, F.struct(a.alias("s"), b.alias("d"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    co_edges = pubs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.s").alias("src"), F.col("p.d").alias("dst")
+    )
+
+    return (
+        pub_edges.unionByName(ven_edges)
+        .unionByName(ap_edges)
+        .unionByName(co_edges)
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6/C8 — label-propagation community detection (Leung / Flink semantics)
+# ---------------------------------------------------------------------------
+
+def initial_labels(vertices: DataFrame) -> DataFrame:
+    """C6/C7: unique initial labels — 64-bit hash of the vertex name
+    (deterministic and distributed, unlike zipWithUniqueId; collisions at
+    ~4B vertices are the classic birthday bound and merge two labels
+    harmlessly for community purposes)."""
+    return vertices.select(
+        "id", F.xxhash64("id").alias("label"), F.lit(1.0).alias("score")
+    )
+
+
+def community_detection(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    delta: float = 0.5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """C8: Flink-CommunityDetection-equivalent LPA; returns (id, label).
+
+    Each superstep is one hash aggregation (messages by dst,label) + one
+    window argmax + one join — shuffles on vertex id throughout, so the
+    same partitioning is reused stage to stage."""
+    state = initial_labels(vertices)
+    # undirected multigraph: both directions of every edge occurrence
+    bidir = edges.select("src", "dst", "weight").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+    for step in range(1, iterations + 1):
+        msgs = bidir.join(
+            state.select(
+                F.col("id").alias("src"), F.col("label"), F.col("score")
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("id"),
+            "label",
+            (F.col("score") * F.col("weight")).alias("mscore"),
+        )
+        per_label = msgs.groupBy("id", "label").agg(
+            F.sum("mscore").alias("sum_score"),
+            F.max("mscore").alias("max_single"),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("sum_score"), F.asc("label")
+        )
+        winners = (
+            per_label.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "id",
+                F.col("label").alias("new_label"),
+                (F.col("max_single") - F.lit(delta) / step).alias("new_score"),
+            )
+        )
+        state = (
+            state.join(winners, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.coalesce("new_score", "score").alias("score"),
+            )
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+
+    return state.select("id", "label")
+
+
+# ---------------------------------------------------------------------------
+# C9-C14 — dense communities, subgraph, decoration
+# ---------------------------------------------------------------------------
+
+def community_sizes(labels: DataFrame, min_size: int = 1) -> DataFrame:
+    """C9: (label, count) for communities with count >= min_size."""
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_size)
+    )
+
+
+def top_communities(sizes: DataFrame, n: int = 3) -> list[int]:
+    """C10: labels of the n largest communities (ties -> smallest label),
+    collected to the driver — a bounded n-row collect, mirroring the
+    reference's mid-plan materialization."""
+    rows = sizes.orderBy(F.desc("count"), F.asc("label")).limit(n).collect()
+    return [r["label"] for r in rows]
+
+
+def subgraph_by_labels(
+    vertices_typed: DataFrame, edges: DataFrame, labels: DataFrame, keep: list[int]
+) -> tuple[DataFrame, DataFrame]:
+    """C11/C12/C13: induced subgraph on vertices in the kept communities,
+    with entity types restored; edges deduped for output."""
+    kept_v = (
+        labels.filter(F.col("label").isin([int(k) for k in keep]))
+        .join(vertices_typed, "id")
+        .select("id", "vtype", "label")
+    )
+    ids = kept_v.select("id")
+    kept_e = (
+        edges.select("src", "dst")
+        .join(ids.withColumnRenamed("id", "src"), "src")
+        .join(ids.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+        .distinct()
+    )
+    return kept_v, kept_e
+
+
+def decorate_edges(kept_v: DataFrame, kept_e: DataFrame) -> DataFrame:
+    """C14: two-step decoration join -> (name_a, type_a, label_a, name_b,
+    type_b, label_b)."""
+    va = kept_v.select(
+        F.col("id").alias("src"),
+        F.col("vtype").alias("type_a"),
+        F.col("label").alias("label_a"),
+    )
+    vb = kept_v.select(
+        F.col("id").alias("dst"),
+        F.col("vtype").alias("type_b"),
+        F.col("label").alias("label_b"),
+    )
+    return (
+        kept_e.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            F.col("src").alias("name_a"),
+            "type_a",
+            "label_a",
+            F.col("dst").alias("name_b"),
+            "type_b",
+            "label_b",
+        )
+    )
+
+
+def community_strength(sizes: DataFrame) -> DataFrame:
+    """C16: weighted community-strength metric
+    (``visualisations.py:658-666``): sum(count * count/total) / 100."""
+    total = sizes.agg(F.sum("count").alias("t")).select("t")
+    return sizes.crossJoin(total).agg(
+        F.round(
+            (F.sum(F.col("count") * (F.col("count") / F.col("t"))) / 100.0), 6
+        ).alias("strength")
+    )

@@ -1,0 +1,164 @@
+"""Community module tests (C1-C16): extraction semantics (incl. the
+last-author quirk), and the LPA loop vs a pure-Python replication of
+Flink's CommunityDetection on a planted-partition co-authorship graph."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from scipi_spark.operators import community as comm
+
+PUB_SCHEMA = (
+    "title string, publisher string, venue string, authors array<string>, "
+    "keywords array<string>, fos array<string>"
+)
+
+
+def _pubs(spark):
+    rows = [
+        ("p1", "acm", "kdd", ["a1", "a2", "a3"], ["graph"], ["cs"]),
+        ("p2", None, "kdd", ["a2"], ["ml"], ["cs"]),
+        ("p3", "acm", None, ["a4", "a5"], ["db"], ["bio"]),
+    ]
+    return spark.createDataFrame(rows, PUB_SCHEMA)
+
+
+def test_relevance_filter(spark):
+    pubs = _pubs(spark)
+    assert comm.relevance_filter(pubs, keywords=["graph"]).count() == 1
+    assert comm.relevance_filter(pubs, domains=["cs"]).count() == 2
+    assert comm.relevance_filter(pubs, keywords=["db"], domains=["cs"]).count() == 3
+    assert comm.relevance_filter(pubs).count() == 3
+
+
+def test_extract_vertices(spark):
+    got = {
+        (r["id"], r["vtype"]) for r in comm.extract_vertices(_pubs(spark)).collect()
+    }
+    assert ("p1", "PAPER") in got
+    assert ("acm", "PUBLISHER") in got
+    assert ("kdd", "VENUE") in got
+    assert ("a1", "AUTHOR") in got
+    assert len(got) == 3 + 1 + 1 + 5  # papers + acm + kdd + authors
+
+
+def test_extract_edges_last_author_quirk(spark):
+    edges = [
+        (r["src"], r["dst"]) for r in comm.extract_edges(_pubs(spark)).collect()
+    ]
+    # paper->publisher/venue
+    assert ("p1", "acm") in edges and ("p1", "kdd") in edges
+    assert ("p2", "kdd") in edges
+    # author->paper: a1,a2 yes; a3 (last of 3) NO
+    assert ("a1", "p1") in edges and ("a2", "p1") in edges
+    assert ("a3", "p1") not in edges
+    # single author gets the edge
+    assert ("a2", "p2") in edges
+    # two authors: first yes, last no
+    assert ("a4", "p3") in edges and ("a5", "p3") not in edges
+    # all co-author pairs i<j
+    assert ("a1", "a2") in edges and ("a1", "a3") in edges and ("a2", "a3") in edges
+    assert ("a4", "a5") in edges
+
+
+# ---------------------------------------------------------------------------
+# pure-Python replication of Flink CommunityDetection (scatter-gather)
+# ---------------------------------------------------------------------------
+
+def _lpa_py(init_labels, edges, iterations, delta):
+    """init_labels: {id: int}; edges: multiset of (src, dst, weight)."""
+    out_neighbors = defaultdict(list)
+    for s, d, w in edges:
+        out_neighbors[s].append((d, w))
+        out_neighbors[d].append((s, w))
+    label = dict(init_labels)
+    score = {v: 1.0 for v in init_labels}
+    for step in range(1, iterations + 1):
+        sums = defaultdict(float)
+        maxs = {}
+        for v in init_labels:
+            for (nbr, w) in out_neighbors[v]:
+                m = score[v] * w
+                sums[(nbr, label[v])] += m
+                key = (nbr, label[v])
+                if key not in maxs or m > maxs[key]:
+                    maxs[key] = m
+        new_label, new_score = {}, {}
+        by_vertex = defaultdict(list)
+        for (v, lbl), s in sums.items():
+            by_vertex[v].append((lbl, s))
+        for v, lblscores in by_vertex.items():
+            # max sum, ties -> smallest label
+            best = sorted(lblscores, key=lambda t: (-t[1], t[0]))[0][0]
+            new_label[v] = best
+            new_score[v] = maxs[(v, best)] - delta / step
+        for v in init_labels:
+            if v in new_label:
+                label[v], score[v] = new_label[v], new_score[v]
+    return label
+
+
+def test_lpa_matches_python_reference(spark):
+    rng = random.Random(7)
+    # planted partition: 3 communities of 12, dense intra, sparse inter
+    communities = [[f"c{c}v{i}" for i in range(12)] for c in range(3)]
+    edges = []
+    for c in communities:
+        for a, b in itertools.combinations(c, 2):
+            if rng.random() < 0.6:
+                edges.append((a, b, 1.0))
+    allv = [v for c in communities for v in c]
+    for _ in range(5):
+        a, b = rng.sample(allv, 2)
+        edges.append((a, b, 1.0))
+
+    vdf = spark.createDataFrame([(v,) for v in allv], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {
+        r["id"]: r["label"]
+        for r in comm.community_detection(vdf, edf, iterations=10, delta=0.5).collect()
+    }
+
+    init = {
+        r["id"]: r["label"]
+        for r in vdf.select("id", F.xxhash64("id").alias("label")).collect()
+    }
+    want = _lpa_py(init, edges, iterations=10, delta=0.5)
+    assert got == want
+    # sanity: intra-community agreement dominates
+    for c in communities:
+        labels = [got[v] for v in c]
+        majority = max(set(labels), key=labels.count)
+        assert labels.count(majority) >= len(c) // 2
+
+
+def test_dense_communities_and_decoration(spark):
+    pubs = _pubs(spark)
+    vertices = comm.extract_vertices(pubs)
+    edges = comm.extract_edges(pubs)
+    labels = comm.community_detection(vertices, edges, iterations=5, delta=0.5)
+    sizes = comm.community_sizes(labels, min_size=2)
+    top = comm.top_communities(sizes, n=2)
+    assert len(top) <= 2
+    kept_v, kept_e = comm.subgraph_by_labels(vertices, edges, labels, top)
+    dec = comm.decorate_edges(kept_v, kept_e)
+    assert set(dec.columns) == {
+        "name_a", "type_a", "label_a", "name_b", "type_b", "label_b"
+    }
+    # every decorated edge endpoint is in a kept community
+    kept_ids = {r["id"] for r in kept_v.collect()}
+    for r in dec.collect():
+        assert r["name_a"] in kept_ids and r["name_b"] in kept_ids
+
+
+def test_community_strength(spark):
+    sizes = spark.createDataFrame(
+        [(1, 10), (2, 30)], "label long, count long"
+    )
+    got = comm.community_strength(sizes).collect()[0]["strength"]
+    # total=40; sum(10*10/40 + 30*30/40)/100 = (2.5+22.5)/100 = 0.25
+    assert got == 0.25
