@@ -21,7 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scipi_spark import ingest
-from scipi_spark.operators import analytics, association, community, dedup, textops
+from scipi_spark.operators import (
+    analytics,
+    association,
+    community,
+    dedup,
+    similarity,
+    textops,
+)
+from scipi_spark.plans import relational
 from scipi_spark.sources.tables import load_table, publications_analog
 
 # Analog-scale parameters: the reference thresholds (hyper>=100 authors)
@@ -229,6 +237,28 @@ def _q_community_lpa(spark, sf_dir):
     return community.community_sizes(labels, min_size=30)
 
 
+KNN_QUERY_IDS = [0, 1, 2]
+KNN_K = 10
+# max pairwise cosine in the test embeddings is ~0.51 (no planted dups);
+# 0.4 keeps the entry non-trivial while the operator itself defaults higher
+NEARDUP_COS_THRESHOLD = 0.4
+
+
+def _q_knn_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_brute(emb, KNN_QUERY_IDS, k=KNN_K)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(emb, KNN_QUERY_IDS, k=KNN_K, bits=6, tables=8)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=NEARDUP_COS_THRESHOLD)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p7_keyword_count": _q_p7,
@@ -255,6 +285,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_community_vertices": _q_community_vertices,
         "c4_community_edges": _q_community_edges,
         "c8_community_lpa": _q_community_lpa,
+        "knn_cosine_brute": _q_knn_brute,
+        "knn_cosine_lsh": _q_knn_lsh,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "tpch_q1": relational.q1_pricing_summary,
+        "tpch_q3": relational.q3_shipping_priority,
+        "tpch_q5": relational.q5_local_supplier_volume,
+        "window_top_orders": relational.window_top_orders_per_customer,
+        "rollup_order_volume": relational.rollup_order_volume,
+        "distinct_agg_supplier": relational.distinct_agg_supplier_reach,
+        "semi_anti_customers": relational.semi_anti_customers,
+        "setops_nations": relational.setops_nations,
+        "events_json_hourly": relational.events_json_hourly,
     }
 
 
@@ -618,5 +660,131 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
             FROM alledges GROUP BY 1, 2
+        """,
+        "knn_cosine_brute": f"""
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM base
+                  WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+            scored AS (
+              SELECT q.query_id, b.vec_id,
+                     round(list_inner_product(q.qe, b.e)
+                           / (sqrt(list_inner_product(q.qe, q.qe))
+                              * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+              FROM q, base b WHERE b.vec_id <> q.query_id
+            ), r AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored)
+            SELECT query_id, vec_id, cosine FROM r WHERE rn <= {KNN_K}
+        """,
+        "emb_neardup_pairs": f"""
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_inner_product(a.e, b.e)
+                           / (sqrt(list_inner_product(a.e, a.e))
+                              * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+              FROM base a, base b WHERE a.vec_id < b.vec_id)
+            WHERE cosine >= {NEARDUP_COS_THRESHOLD}
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                     AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rk AS INTEGER) AS rk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+        "rollup_order_volume": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS volume
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "distinct_agg_supplier": """
+            SELECT l_suppkey,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "semi_anti_customers": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   'with_orders' AS kind
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY 1
+            UNION ALL
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   'without_orders' AS kind
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY 1
+        """,
+        "setops_nations": """
+            SELECT nationkey, 'both' AS kind FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT DISTINCT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT nationkey, 'customers_only' AS kind FROM (
+              SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT DISTINCT s_nationkey FROM supplier)
+        """,
+        "events_json_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+                     AS avg_k
+            FROM events GROUP BY 1, 2
         """,
     }

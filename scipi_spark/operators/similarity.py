@@ -1,0 +1,219 @@
+"""Embedding similarity search: brute-force cosine top-k (exactness
+baseline) and LSH-bucketed ANN (the scale path).
+
+Scale design:
+
+- **brute force** is O(|queries| x |corpus|): correct tool when the query
+  set is small (broadcast) — the corpus side streams through one narrow
+  stage, no shuffle of the corpus at all; per-partition top-k is folded
+  before the final k-row-per-query merge (TakeOrdered-style).
+- **LSH (random hyperplanes)**: each vector gets a b-bit signature; only
+  same-bucket pairs are scored. The bucket join is an equi-join on the
+  signature — shuffles |corpus| rows once, never the cross product.
+  Multi-probe (flipping one bit) trades compute for recall without
+  re-shuffling the corpus.
+
+The dot product stays in JVM expressions (``aggregate(zip_with(...))``
+over double-cast arrays) — no Python on the hot path; arithmetic is
+bit-identical to the DuckDB oracle's ``list_inner_product`` on DOUBLE[].
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential (index-order) double dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot/(||a||*||b||) — the norm factors are sqrt(dot(x,x)), matching
+    the oracle's formula grouping exactly."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def knn_brute(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors (self excluded) for each query id.
+
+    The query side is filtered then broadcast; ties on rounded cosine break
+    by ascending neighbor id for determinism."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian random hyperplanes (driver-side literals —
+    bits x dim doubles, broadcast as part of the plan)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Packed sign-bit signature of the vector against each hyperplane."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    bits: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH: L independent
+    tables of b bits each; a corpus vector is a candidate if it collides
+    with the query in ANY table (plus 1-bit-flip probes when
+    ``multiprobe``). Recall ~= 1-(1-q)^L with q = p^b (+ b*p^(b-1)*(1-p)
+    for multiprobe), p = 1 - angle/pi.
+
+    The candidate join is an equi-join on (table, signature): the corpus
+    shuffles once regardless of L — L only widens the signature column."""
+    all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    ).select(
+        "vec_id",
+        "e",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_signature(F.col("e"), all_planes[t]).alias("sig"),
+                )
+                for t in range(tables)
+            ]
+        ).alias("sigs"),
+    )
+    corpus = base.select(
+        "vec_id", "e", F.explode("sigs").alias("ts")
+    ).select("vec_id", "e", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode("sigs").alias("ts"),
+    ).select(
+        "query_id", "qe", F.col("ts.t").alias("t"), F.col("ts.sig").alias("qsig")
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qsig"),
+            *[
+                F.col("qsig").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits)
+            ],
+        )
+        queries = queries.select(
+            "query_id", "qe", "t", F.explode(probes).alias("qsig")
+        )
+    cand = (
+        queries.join(
+            corpus,
+            (queries.t == corpus.t)
+            & (F.col("qsig") == F.col("sig"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs (a<b) with cosine >= threshold.
+
+    ``bits=None`` is the exact O(n²) variant (verification / small-n);
+    with ``bits`` set, candidates are restricted to same-LSH-bucket pairs
+    — the embedding twin of MinHash banding."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    if bits is not None:
+        planes = hyperplanes(dim, bits, seed)
+        base = base.withColumn("sig", lsh_signature(F.col("e"), planes))
+        a = base.select(
+            F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("sig")
+        )
+        b = base.select(
+            F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("sig")
+        )
+        pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+        b = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,214 @@
+"""General relational query surface over the TPC-H-ish test tables.
+
+The reference's own relational footprint is narrow (equi-joins, groupBy,
+filter/sort/limit — SURVEY §2.7); this module widens the engine to the
+standard analytics surface (multi-join aggregations, window functions,
+rollup, distinct aggregates, semi/anti joins, set operations, JSON
+extraction) — all declarative Catalyst plans, used both as correctness
+entries and as the bench headliners.
+
+Plan hygiene per query (verified via .explain):
+- filters land on the parquet scan (PushedFilters), scans read only the
+  projected columns (ReadSchema)
+- dimension joins (region/nation/supplier/part) broadcast; only fact-fact
+  joins shuffle
+- aggregations are partial (map-side) before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scipi_spark.sources.tables import load_events, load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy aggregation; the whole query is one partial+
+    final hash aggregate over a pruned 7-column scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING") -> DataFrame:
+    """TPC-H Q3-style: customer (broadcast) ⋈ orders ⋈ lineitem, top-10
+    unshipped orders by revenue."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == segment
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: five-table join where every dimension broadcasts;
+    the only shuffle is lineitem⋈orders and the final 5-row aggregate."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+def window_top_orders_per_customer(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Ranking window: top-n orders by totalprice per customer, with the
+    customer's running order count — rank + cumulative window in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w_rank).alias("rk"),
+        )
+        .filter(F.col("rk") <= n)
+    )
+
+
+def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: order counts and volume by
+    (status, priority) with rollup subtotals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+    )
+
+
+def distinct_agg_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: per supplier, #distinct parts and #distinct
+    orders served plus total quantity (two distincts + one plain agg in a
+    single pass — Catalyst expands distincts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: per market segment, customers WITH orders
+    (left_semi) and customers WITHOUT orders (left_anti)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("without_orders"))
+    )
+    return with_orders.unionByName(without)
+
+
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: nations that have customers vs nations
+    that have suppliers."""
+    cust_nations = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp_nations = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn(
+        "kind", F.lit("both")
+    )
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn(
+        "kind", F.lit("customers_only")
+    )
+    return both.unionByName(cust_only)
+
+
+def events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream batch twin: JSON extraction from props + per-hour,
+    per-type aggregation (the batch-mode golden answer for the streaming
+    tumbling-window query)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )

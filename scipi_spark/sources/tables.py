@@ -30,6 +30,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper timestamp. The parquet stores
+    TIMESTAMP(NANOS); with ``spark.sql.legacy.parquet.nanosAsLong`` the
+    column arrives as nanos-since-epoch, converted here via exact integer
+    division (micros floor — matching DuckDB's ns->us truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
 def publications_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the TPC-H-ish tables onto the Publication schema (SURVEY §1.1).
 

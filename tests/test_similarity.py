@@ -1,0 +1,52 @@
+"""Similarity-search tests: brute-force correctness properties and
+LSH recall vs the exact top-k."""
+
+from __future__ import annotations
+
+from scipi_spark.operators import similarity as sim
+from tests.conftest import SF_SMOKE
+
+
+def test_knn_brute_shape_and_selfexclusion(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = sim.knn_brute(emb, [0, 5], k=7).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 5}
+    for q, rows in by_q.items():
+        assert len(rows) == 7
+        assert all(r["vec_id"] != q for r in rows)
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.000001 <= c <= 1.000001 for c in cosines)
+
+
+def test_knn_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.knn_brute(emb, qids, k=10).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.knn_lsh(emb, qids, k=10, bits=8).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_neardup_lsh_blocking_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_neardup_pairs(emb, threshold=0.98).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_neardup_pairs(emb, threshold=0.98, bits=4).collect()
+    }
+    assert blocked <= exact
+    if exact:
+        assert len(blocked) / len(exact) >= 0.5
