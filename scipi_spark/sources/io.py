@@ -1,0 +1,113 @@
+"""File sources and sinks (SURVEY §2.1 S7-S11).
+
+- CSV result sinks with overwrite (S7/S8 — the reference's
+  ``writeAsCsv(OVERWRITE)``; S3 is the same call with an s3a:// path).
+- JSONL read/write for publication corpora.
+- DBLP XML ingest (S9/S10): the reference SAX-parses dblp.xml in a
+  single producer JVM and emits JSON to Kafka. Here the same role is an
+  iterparse generator -> DataFrame (driver-side, mirroring the
+  single-node producer), plus ``to_kafka_json`` shaping rows into
+  Kafka-ready (key, value-JSON) — actually writing needs the Kafka
+  connector package at runtime.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scipi_spark.schemas import DBLP_RAW_SCHEMA
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S7: overwrite CSV sink (arrays joined with '|' since CSV is flat)."""
+    flat = df
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "array":
+            flat = flat.withColumn(field.name, F.array_join(field.name, "|"))
+    flat.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Raw JSON-lines as a one-column text DF (the ingest parsers take it
+    from here — malformed lines drop in validation, not at read)."""
+    return spark.read.text(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+#: DBLP publication element tags (DblpParser.java:62-160)
+_DBLP_PUB_TAGS = {
+    "article",
+    "inproceedings",
+    "proceedings",
+    "book",
+    "incollection",
+    "phdthesis",
+    "mastersthesis",
+    "www",
+}
+
+
+def iter_dblp_records(xml_path: str) -> Iterator[dict]:
+    """S9: streaming SAX-style parse of dblp-shaped XML. Yields raw dicts
+    in the producer's JSON shape; records missing title/conference/year
+    are dropped exactly like ``DblpParser.java:142-146``."""
+    for _, elem in ET.iterparse(xml_path, events=("end",)):
+        if elem.tag not in _DBLP_PUB_TAGS:
+            continue
+        rec = {
+            "key": elem.get("key"),
+            "title": None,
+            "year": None,
+            "conference": None,
+            "publisher": None,
+            "authors": [],
+            "citations": [],
+        }
+        for child in elem:
+            if child.tag == "title":
+                rec["title"] = child.text
+            elif child.tag == "year":
+                rec["year"] = child.text
+            elif child.tag in ("booktitle", "journal"):
+                rec["conference"] = child.text
+            elif child.tag == "publisher":
+                rec["publisher"] = child.text
+            elif child.tag == "author":
+                if child.text:
+                    rec["authors"].append(child.text)
+            elif child.tag == "cite":
+                if child.text and child.text != "...":
+                    rec["citations"].append(child.text)
+        elem.clear()
+        # producer-side validation (DblpParser.java:142-146)
+        if rec["title"] and rec["year"] and rec["conference"]:
+            yield rec
+
+
+def read_dblp_xml(spark: SparkSession, xml_path: str, batch_size: int = 10_000) -> DataFrame:
+    """DBLP XML -> raw DataFrame in the DBLP JSON shape (feed to
+    ``ingest.parse_dblp``/``validate_publications`` via a value column, or
+    use directly). Mirrors the reference's single-JVM producer role; for
+    distributed XML at scale, pre-split the archive into per-record files
+    or use a spark-xml package."""
+    rows = list(iter_dblp_records(xml_path))
+    return spark.createDataFrame(rows, DBLP_RAW_SCHEMA)
+
+
+def to_kafka_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """S10: shape rows into Kafka producer records — (key, value) with the
+    row serialized as one JSON document, ready for
+    ``.write.format("kafka")`` where the connector is available."""
+    value = F.to_json(F.struct(*df.columns)).alias("value")
+    if key_col is None:
+        return df.select(value)
+    return df.select(F.col(key_col).cast("string").alias("key"), value)

@@ -1,0 +1,216 @@
+"""Structured Streaming twins of the six continuous aggregations (P7-P12)
+plus windowed/watermarked extensions beyond the reference surface.
+
+Reference semantics (``ScipiStream.java:127-207``, SURVEY §1.4): unwindowed
+per-key running aggregates whose every update upserts into a keyed store —
+last-write-wins convergent totals, no watermarks, no event time. The Spark
+mapping is ``groupBy(...).agg(...)`` in **update** output mode with a
+``foreachBatch`` keyed upsert; the batch twins in
+``operators.analytics`` are the golden answers the stream must converge to
+(equivalence-tested in tests/test_streaming.py).
+
+Kafka note: the source here is a file/JSONL stream (the test harness has no
+brokers); swapping ``readStream.text`` for
+``readStream.format("kafka").option("subscribe", topic)`` + the same
+``value``-column parse is the only change needed in production — parsing,
+validation, aggregation, and sinks are source-agnostic (S1/S2 in SURVEY
+§2.1).
+
+Scale: streaming state lives in the executor StateStore partitioned by the
+group key — the same hash partitioning as the batch aggregation; update
+mode emits only changed keys per micro-batch, so sink traffic is bounded
+by key churn, not stream volume.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scipi_spark import ingest
+from scipi_spark.operators import analytics
+
+#: name -> batch-twin aggregation applicable to a streaming Publication DF.
+#: (yrwise/aap derived columns are computed post-aggregate and work
+#: identically in update mode.)
+STREAMING_AGGREGATIONS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "keyword_count": analytics.keyword_count,
+    "fos_count": analytics.fos_count,
+    "yrwise_dist": analytics.yrwise_dist,
+    "authorship_pattern": analytics.authorship_pattern,
+    "avg_authors_per_paper": analytics.avg_authors_per_paper,
+    "hyper_authorship": analytics.hyper_authorship,
+}
+
+#: primary key of each result table (SURVEY §1.2, Cassandra DDL)
+AGGREGATION_KEYS: dict[str, list[str]] = {
+    "keyword_count": ["keyword_name"],
+    "fos_count": ["field_study_name"],
+    "yrwise_dist": ["year"],
+    "authorship_pattern": ["author_unit"],
+    "avg_authors_per_paper": ["year"],
+    "hyper_authorship": ["hyper_authorship_year"],
+}
+
+
+def read_publications_stream(
+    spark: SparkSession,
+    path: str,
+    source: str = "oag",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """JSONL file stream -> validated Publication stream (P1/P2 + P5).
+
+    ``max_files_per_trigger=1`` replays one file per micro-batch, so a
+    directory of chunked fixtures simulates arrival order."""
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    if source == "oag":
+        return ingest.ingest_oag(raw)
+    if source == "dblp":
+        return ingest.ingest_dblp(raw)
+    raise ValueError(f"unknown source {source!r}")
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+def parquet_upsert(
+    spark: SparkSession, batch_df: DataFrame, keys: list[str], path: str
+) -> None:
+    """Keyed last-write-wins upsert into a parquet table (the Cassandra-
+    upsert stand-in, S5/S6): existing rows whose key appears in the batch
+    are replaced; everything else is kept. Atomic via write-to-temp + swap.
+
+    On Delta/Iceberg this is a single MERGE; the parquet fallback rewrites
+    the table, which is fine for the bounded result tables it serves
+    (distinct keywords/years/team sizes — not fact data)."""
+    batch_df = batch_df.dropDuplicates(keys)
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = current.join(
+            batch_df.select(*keys), keys, "left_anti"
+        ).unionByName(batch_df)
+    else:
+        merged = batch_df
+    tmp = path.rstrip("/") + "._tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+
+
+def run_aggregation_upsert(
+    spark: SparkSession,
+    pubs_stream: DataFrame,
+    which: str,
+    out_path: str,
+    checkpoint_path: str,
+    **agg_kwargs,
+):
+    """P7-P12 streaming pipeline in update mode with the keyed upsert sink.
+    Returns the StreamingQuery (caller awaits/stops)."""
+    agg = STREAMING_AGGREGATIONS[which](pubs_stream, **agg_kwargs)
+    keys = AGGREGATION_KEYS[which]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        parquet_upsert(spark, batch_df, keys, out_path)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def run_aggregation_to_memory(
+    spark: SparkSession, pubs_stream: DataFrame, which: str, name: str, **agg_kwargs
+):
+    """Complete-mode memory sink — the test/inspection path."""
+    agg = STREAMING_AGGREGATIONS[which](pubs_stream, **agg_kwargs)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed/watermarked extensions (north-star; reference has none)
+# ---------------------------------------------------------------------------
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (tumbling window, event_type): count + sum(value), tolerating
+    late data up to the watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window variant (each event lands in window/slide buckets)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (dynamic-length windows — state merges as events arrive)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,126 @@
+"""IO (CSV/JSONL/XML/Kafka-shape) and multimodal-plumbing tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from scipi_spark import ingest
+from scipi_spark.operators import multimodal as mm
+from scipi_spark.sources import io
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", ["x", "y"], 1), ("b", ["z"], 2)],
+        "name string, tags array<string>, n long",
+    )
+    path = str(tmp_path / "out")
+    io.write_csv(df, path)
+    back = spark.read.option("header", "true").csv(path)
+    got = {(r["name"], r["tags"], int(r["n"])) for r in back.collect()}
+    assert got == {("a", "x|y", 1), ("b", "z", 2)}
+
+
+def test_jsonl_roundtrip_through_ingest(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("10.1", "A Title", "acm", "en", "2001", ["kw"], ["Alice"], ["cs"])],
+        "doi string, title string, publisher string, lang string, year string,"
+        " keywords array<string>, authors array<string>, fos array<string>",
+    )
+    path = str(tmp_path / "pubs")
+    io.write_jsonl(df, path)
+    raw = io.read_jsonl(spark, path)
+    # DBLP-shaped authors are plain strings; reuse OAG path with struct mapping
+    parsed = raw.select(F.from_json("value", "doi string, title string").alias("j"))
+    assert parsed.select("j.doi").collect()[0][0] == "10.1"
+
+
+DBLP_XML = """<?xml version="1.0"?>
+<dblp>
+  <article key="journals/x/1">
+    <author>Jane Roe</author><author>John Doe</author>
+    <title>Learning Things</title>
+    <journal>JMLR</journal>
+    <year>2012</year>
+    <cite>journals/y/2</cite><cite>...</cite>
+  </article>
+  <inproceedings key="conf/z/3">
+    <author>Solo Author</author>
+    <title>Conf Paper</title>
+    <booktitle>KDD</booktitle>
+    <year>2015</year>
+    <publisher>ACM</publisher>
+  </inproceedings>
+  <article key="journals/x/4">
+    <title>No Year So Dropped</title>
+    <journal>JMLR</journal>
+  </article>
+</dblp>
+"""
+
+
+def test_dblp_xml_ingest_end_to_end(spark, tmp_path):
+    xml_file = tmp_path / "dblp.xml"
+    xml_file.write_text(DBLP_XML)
+    raw = io.read_dblp_xml(spark, str(xml_file))
+    assert raw.count() == 2  # record without year/conference dropped
+
+    # producer shape -> kafka json -> consumer parse+validate (full S9->P2->P5)
+    kafka_shaped = io.to_kafka_json(raw, key_col="key")
+    assert set(kafka_shaped.columns) == {"key", "value"}
+    pubs = ingest.ingest_dblp(kafka_shaped)
+    got = {r["doi"]: r for r in pubs.collect()}
+    assert set(got) == {"journalsx1", "confz3"}
+    assert got["journalsx1"]["venue"] == "jmlr"
+    assert got["journalsx1"]["authors"] == ["jane roe", "john doe"]
+    assert got["confz3"]["publisher"] == "acm"
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", "png", b"\x89PNGfake1", (64, 48, 3, None, None)),
+        (2, "image", "png", b"\x89PNGfake2", (32, 32, 1, None, None)),
+        (3, "video", "mp4", b"\x00mp4fake", (640, 480, 3, None, 3500)),
+        (4, "audio", "wav", None, (None, None, 1, 16000, 2000)),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(Exception) as ei:
+        mm.extract_features(_media_df(spark)).collect()
+    assert "NotImplementedError" in str(ei.value) or "imaging library" in str(ei.value)
+
+
+def test_extract_features_fake_decoder(spark):
+    out = mm.extract_features(_media_df(spark), decoder=mm.fake_decode).collect()
+    assert len(out) == 4
+    by_id = {r["asset_id"]: r["feature"] for r in out}
+    assert all(len(v) == mm.FEATURE_DIM for v in by_id.values())
+    # deterministic: same payload -> same features across runs
+    again = {
+        r["asset_id"]: r["feature"]
+        for r in mm.extract_features(_media_df(spark), decoder=mm.fake_decode).collect()
+    }
+    assert by_id == again
+    assert by_id[1] != by_id[2]
+
+
+def test_resize_stub_shapes(spark):
+    out = mm.resize_images(_media_df(spark).filter("media_type = 'image'"), 8, 8).collect()
+    assert {(r["width"], r["height"]) for r in out} == {(8, 8)}
+    assert len(out) == 2
+
+
+def test_sample_frames(spark):
+    out = mm.sample_frames(_media_df(spark), every_ms=1000).collect()
+    # only the video (3500ms) yields frames: 0,1000,2000,3000
+    assert [(r["asset_id"], r["frame_idx"], r["frame_ms"]) for r in out] == [
+        (3, 0, 0),
+        (3, 1, 1000),
+        (3, 2, 2000),
+        (3, 3, 3000),
+    ]

@@ -1,0 +1,142 @@
+"""Streaming equivalence tests (SURVEY §5d): P7-P12 run as Structured
+Streaming over a replayed chunked fixture must converge to the batch
+groupBy answers; windowed extensions match their batch twins."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from scipi_spark import ingest
+from scipi_spark.operators import analytics
+from scipi_spark.streaming import (
+    STREAMING_AGGREGATIONS,
+    parquet_upsert,
+    read_publications_stream,
+    run_aggregation_to_memory,
+    run_aggregation_upsert,
+    tumbling_window_counts,
+)
+
+
+def _fixture_records(n=60, seed=11):
+    rng = random.Random(seed)
+    kws = ["graph", "mining", "spark", "streams", "db"]
+    recs = []
+    for i in range(n):
+        n_auth = rng.choice([1, 1, 2, 3, 4])
+        recs.append(
+            {
+                "doi": f"10.{i}",
+                "title": f"paper {i}",
+                "publisher": "acm" if rng.random() < 0.7 else None,
+                "venue": "kdd",
+                "lang": "en",
+                "year": str(rng.choice([2001, 2002, 2003])),
+                "keywords": rng.sample(kws, rng.randint(1, 3)),
+                "authors": [{"name": f"author {j}"} for j in range(n_auth)],
+                "fos": ["cs"],
+            }
+        )
+    return recs
+
+
+@pytest.fixture()
+def fixture_dir(tmp_path):
+    recs = _fixture_records()
+    # 4 chunk files -> 4 micro-batches
+    for c in range(4):
+        chunk = recs[c * 15 : (c + 1) * 15]
+        (tmp_path / f"chunk{c}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in chunk) + "\n"
+        )
+    return str(tmp_path)
+
+
+def _batch_pubs(spark, fixture_dir):
+    raw = spark.read.text(fixture_dir)
+    return ingest.ingest_oag(raw)
+
+
+@pytest.mark.parametrize("which", ["keyword_count", "yrwise_dist", "authorship_pattern"])
+def test_stream_converges_to_batch(spark, fixture_dir, which, tmp_path):
+    stream = read_publications_stream(spark, fixture_dir, max_files_per_trigger=1)
+    q = run_aggregation_to_memory(spark, stream, which, f"mem_{which}")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table(f"mem_{which}").collect()))
+    want = sorted(
+        map(
+            tuple,
+            STREAMING_AGGREGATIONS[which](_batch_pubs(spark, fixture_dir)).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stream_upsert_sink_converges(spark, fixture_dir, tmp_path):
+    out = str(tmp_path / "kw_table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_publications_stream(spark, fixture_dir, max_files_per_trigger=1)
+    q = run_aggregation_upsert(spark, stream, "keyword_count", out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, analytics.keyword_count(_batch_pubs(spark, fixture_dir)).collect())
+    )
+    assert got == want
+
+
+def test_parquet_upsert_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    parquet_upsert(spark, df1, ["k"], path)
+    df2 = spark.createDataFrame([("b", 9), ("c", 3)], "k string, v long")
+    parquet_upsert(spark, df2, ["k"], path)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 9, "c": 3}
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:05:00", "click", 1.0),
+        (2, "2024-01-01 00:55:00", "click", 2.0),
+        (3, "2024-01-01 01:05:00", "view", 3.0),
+        (4, "2024-01-01 01:45:00", "click", 4.0),
+        (5, "2024-01-01 02:01:00", "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    batch = sorted(map(tuple, tumbling_window_counts(df).collect()))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        tumbling_window_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mem_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("mem_tumbling").collect()))
+    assert got == batch
+    # sanity: hour buckets
+    assert {t[2:] for t in got} == {("click", 2, 3.0), ("view", 1, 3.0),
+                                    ("click", 1, 4.0), ("view", 1, 5.0)}
