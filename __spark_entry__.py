@@ -244,6 +244,39 @@ KNN_K = 10
 NEARDUP_COS_THRESHOLD = 0.4
 
 
+V2_MAX_YEAR = 1997
+V2_N_YEARS = 5
+V4_MIN_YEAR = 1996
+T3_TOP_N = 10
+
+
+def _q_t3_top_topics(spark, sf_dir):
+    counts = analytics.keyword_count(publications_analog(spark, sf_dir))
+    return analytics.top_n(counts, "keyword_count", T3_TOP_N)
+
+
+def _q_v2_yrwise_table(spark, sf_dir):
+    yr = analytics.yrwise_dist(publications_analog(spark, sf_dir))
+    return analytics.yrwise_table(yr, max_year=V2_MAX_YEAR, n_years=V2_N_YEARS)
+
+
+def _q_v3_aap_table(spark, sf_dir):
+    aap = analytics.avg_authors_per_paper(publications_analog(spark, sf_dir))
+    return analytics.aap_table(aap, max_year=V2_MAX_YEAR, n_years=V2_N_YEARS)
+
+
+def _q_v4_hyper_table(spark, sf_dir):
+    hyper = analytics.hyper_authorship(
+        publications_analog(spark, sf_dir), threshold=HYPER_THRESHOLD
+    )
+    return analytics.hyper_table(hyper, min_year=V4_MIN_YEAR)
+
+
+def _q_c16_strength(spark, sf_dir):
+    sizes = _q_community_lpa(spark, sf_dir)
+    return community.community_strength(sizes)
+
+
 def _q_knn_brute(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_brute(emb, KNN_QUERY_IDS, k=KNN_K)
@@ -285,6 +318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_community_vertices": _q_community_vertices,
         "c4_community_edges": _q_community_edges,
         "c8_community_lpa": _q_community_lpa,
+        "c16_community_strength": _q_c16_strength,
+        "t3_top_topics": _q_t3_top_topics,
+        "v2_yrwise_table": _q_v2_yrwise_table,
+        "v3_aap_table": _q_v3_aap_table,
+        "v4_hyper_table": _q_v4_hyper_table,
         "knn_cosine_brute": _q_knn_brute,
         "knn_cosine_lsh": _q_knn_lsh,
         "emb_neardup_pairs": _q_emb_neardup,
@@ -660,6 +698,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
             FROM alledges GROUP BY 1, 2
+        """,
+        "t3_top_topics": f"""
+            SELECT p.p_brand AS keyword_name,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS keyword_count
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+            ORDER BY keyword_count DESC, keyword_name LIMIT {T3_TOP_N}
+        """,
+        "v2_yrwise_table": _PUBS_CTE
+        + f"""
+            , yr AS (
+              SELECT year,
+                     count(*) FILTER (WHERE n_authors = 1) AS single,
+                     count(*) FILTER (WHERE n_authors > 1) AS joint,
+                     count(*) FILTER (WHERE n_authors = 1)
+                       + count(*) FILTER (WHERE n_authors > 1) AS total
+              FROM pubs GROUP BY year
+            )
+            SELECT year, single, joint, total,
+                   round(CAST(single AS DOUBLE) / total * 100, 2) AS single_perc,
+                   round(CAST(joint AS DOUBLE) / total * 100, 2) AS joint_perc
+            FROM (SELECT * FROM yr
+                  WHERE CAST(year AS INTEGER) <= {V2_MAX_YEAR}
+                  ORDER BY CAST(year AS INTEGER) DESC LIMIT {V2_N_YEARS})
+        """,
+        "v3_aap_table": _PUBS_CTE
+        + f"""
+            , aap AS (
+              SELECT year,
+                     count(*) AS no_articles,
+                     CAST(sum(n_authors) AS BIGINT) AS no_authors,
+                     CAST(sum(n_authors) AS DOUBLE) / count(*) AS avg_author_paper
+              FROM pubs GROUP BY year
+            )
+            SELECT year, no_articles, no_authors,
+                   round(avg_author_paper, 2) AS avg_author_paper
+            FROM (SELECT * FROM aap
+                  WHERE CAST(year AS INTEGER) <= {V2_MAX_YEAR}
+                  ORDER BY CAST(year AS INTEGER) DESC LIMIT {V2_N_YEARS})
+        """,
+        "v4_hyper_table": _PUBS_CTE
+        + f"""
+            SELECT year AS hyper_authorship_year,
+                   count(*) AS hyper_authorship_count
+            FROM pubs
+            WHERE n_authors >= {HYPER_THRESHOLD}
+              AND CAST(year AS INTEGER) >= {V4_MIN_YEAR}
+            GROUP BY year
         """,
         "knn_cosine_brute": f"""
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
