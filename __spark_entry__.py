@@ -237,6 +237,76 @@ def _q_community_lpa(spark, sf_dir):
     return community.community_sizes(labels, min_size=30)
 
 
+def _q_s5_latest_publications(spark, sf_dir):
+    """S5: upsert-by-(doi,title) store semantics — the analog corpus plus
+    a 'second write' for every 10th publication; the last-write-wins view
+    must surface the updated rows."""
+    from scipi_spark.sources.store import latest_publications
+
+    pubs = publications_analog(spark, sf_dir)
+    okey = F.col("doi").cast("long")
+    updates = (
+        pubs.filter(okey % 10 == 0)
+        .withColumn("id", F.concat(F.col("doi"), F.lit("-v2")))
+        .withColumn("publisher", F.lit("updated"))
+    )
+    return latest_publications(pubs.unionByName(updates)).select(
+        "doi", "id", "publisher"
+    )
+
+
+def _q_stream_keyword_count(spark, sf_dir):
+    """P7 in true Structured Streaming: the analog corpus replayed as a
+    chunked JSONL stream (2 micro-batches) through parse+validate into an
+    update-mode aggregation with the keyed parquet upsert sink; returns
+    the converged table. Oracle = the batch P7 answer on cleaned keywords."""
+    import tempfile
+
+    from scipi_spark.streaming import (
+        read_publications_stream,
+        run_aggregation_upsert,
+    )
+
+    pubs = publications_analog(spark, sf_dir)
+    raw = pubs.select(
+        F.to_json(
+            F.struct(
+                "doi",
+                "title",
+                "publisher",
+                "venue",
+                "lang",
+                "year",
+                "keywords",
+                F.transform("authors", lambda a: F.struct(a.alias("name"))).alias(
+                    "authors"
+                ),
+                "fos",
+            )
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="scipi_stream_entry_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    raw.coalesce(2).write.mode("overwrite").text(src)
+    stream = read_publications_stream(spark, src, max_files_per_trigger=1)
+    q = run_aggregation_upsert(spark, stream, "keyword_count", out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the MinHash-LSH pair
+    graph; oracle = recursive-CTE transitive closure over the exact pairs."""
+    from scipi_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.3)
+    return dedup_clusters(pairs)
+
+
 KNN_QUERY_IDS = [0, 1, 2]
 KNN_K = 10
 # max pairwise cosine in the test embeddings is ~0.51 (no planted dups);
@@ -335,6 +405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_customers": relational.semi_anti_customers,
         "setops_nations": relational.setops_nations,
         "events_json_hourly": relational.events_json_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "events_percentiles": relational.events_percentiles,
+        "events_approx_distinct": relational.events_approx_distinct,
+        "s5_latest_publications": _q_s5_latest_publications,
+        "stream_keyword_count": _q_stream_keyword_count,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -874,5 +950,83 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
                      AS avg_k
             FROM events GROUP BY 1, 2
+        """,
+        # gaps-and-islands rewrite of session windows: a new session starts
+        # when the gap to the previous event is >= 30 min (Spark's session
+        # window is half-open, end = last event + gap)
+        "events_sessionize": """
+            WITH m AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL '30 minutes',
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   user_id,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
+        """,
+        "s5_latest_publications": r"""
+            SELECT CAST(o.o_orderkey AS VARCHAR) AS doi,
+                   CASE WHEN o.o_orderkey % 10 = 0
+                        THEN CAST(o.o_orderkey AS VARCHAR) || '-v2'
+                        ELSE CAST(o.o_orderkey AS VARCHAR) END AS id,
+                   CASE WHEN o.o_orderkey % 10 = 0
+                        THEN 'updated' ELSE o.o_orderstatus END AS publisher
+            FROM orders o
+            JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+              ON o.o_orderkey = l.l_orderkey
+        """,
+        # batch P7 over the VALIDATED (cleaned) keyword names — what the
+        # streaming pipeline must converge to
+        "stream_keyword_count": r"""
+            SELECT lower(regexp_replace(p.p_brand, '[^a-zA-Z0-9\s]', '', 'g'))
+                     AS keyword_name,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS keyword_count
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        # transitive closure over the exact near-dup pairs: cluster = min
+        # reachable doc id (WITH RECURSIVE for the closure member)
+        "dedup_clusters": _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+            , inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON inter.doc_a = sa.doc_id
+              JOIN sizes sb ON inter.doc_b = sb.doc_id
+              WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
+            ), e2 AS (
+              SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p
+            ), cc AS (
+              SELECT a AS id, a AS comp FROM e2
+              UNION
+              SELECT e2.a, cc.comp FROM e2 JOIN cc ON e2.b = cc.id
+            )
+            SELECT id AS doc, min(comp) AS cluster FROM cc GROUP BY id
         """,
     }

@@ -191,6 +191,49 @@ def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(cust_only)
 
 
+def events_sessionize(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Batch sessionization: per-user sessions closed after ``gap`` of
+    inactivity (the batch twin of streaming.session_window_stats; the
+    DuckDB oracle is the classic gaps-and-islands rewrite)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of value per event type (the exact
+    twin of the approx-sketch path)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user sketch per event type — approximate by design
+    (no cross-engine oracle; tests bound the error vs the exact count)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
 def events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream batch twin: JSON extraction from props + per-hour,
     per-type aggregation (the batch-mode golden answer for the streaming

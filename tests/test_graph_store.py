@@ -1,0 +1,100 @@
+"""Connected components vs union-find, S5 store semantics, sketch bounds."""
+
+from __future__ import annotations
+
+import random
+
+from scipi_spark.operators.graph import connected_components, dedup_clusters
+from scipi_spark.plans import relational
+from scipi_spark.sources.store import latest_publications
+from tests.conftest import SF_SMOKE
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    comp = {}
+    for v in list(parent):
+        comp[v] = find(v)
+    # normalize: component label = min member
+    groups = {}
+    for v, c in comp.items():
+        groups.setdefault(c, []).append(v)
+    out = {}
+    for members in groups.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def test_connected_components_random_graph(spark):
+    rng = random.Random(5)
+    edges = [(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["comp"] for r in connected_components(edf).collect()}
+    want = _uf_components(edges)
+    assert got == want
+
+
+def test_dedup_clusters_chain(spark):
+    # chain 1-2-3 plus isolated pair 7-9: transitive closure matters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {r["doc"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_latest_publications_lww(spark):
+    rows = [
+        ("d1", "t1", "a", "acm"),
+        ("d1", "t1", "b", "ieee"),  # later write wins (max id)
+        ("d2", "t2", "a", "acm"),
+        ("d1", "t9", "a", "acm"),  # different title -> separate key
+    ]
+    df = spark.createDataFrame(rows, "doi string, title string, id string, publisher string")
+    got = {
+        (r["doi"], r["title"]): (r["id"], r["publisher"])
+        for r in latest_publications(df).collect()
+    }
+    assert got == {
+        ("d1", "t1"): ("b", "ieee"),
+        ("d2", "t2"): ("a", "acm"),
+        ("d1", "t9"): ("a", "acm"),
+    }
+
+
+def test_approx_distinct_within_bounds(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in relational.events_approx_distinct(spark, SF_SMOKE).collect()
+    }
+    from scipi_spark.sources.tables import load_events
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_events(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.1
