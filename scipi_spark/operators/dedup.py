@@ -67,12 +67,22 @@ def dedup_exact(
 # n-gram Jaccard similarity join (exact)
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow source across the cluster before per-row explosion:
+    a small corpus file arrives as 1-2 scan partitions, which would run
+    the entire shingle/signature chain single-threaded."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int, max_doc_freq: int | None
 ) -> tuple[DataFrame, DataFrame]:
     """(doc shingle-set sizes, exploded shingle postings) — postings
     optionally truncated at a document-frequency cap."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
     )
     sizes = sh.select("doc", F.size("shingles").cast("long").alias("n_sh"))
@@ -139,7 +149,7 @@ def minhash_signatures(
     """(doc, sig: array<int>) — per-permutation minimum of seeded murmur3
     over the doc's word-k-shingles. One explode + one groupBy with num_perm
     min() aggregates: a single shuffle of (doc, shingle) pairs."""
-    postings = df.select(
+    postings = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
     )
     mins = postings.groupBy("doc").agg(
@@ -241,7 +251,7 @@ def simhash64(
 
     Computed without UDFs: explode features, expand 64 per-bit sums in one
     aggregation (the same single-shuffle shape as minhash signatures)."""
-    feats = df.select(
+    feats = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, k)).alias("feat"),
     ).select("doc", F.xxhash64("feat").alias("h"))

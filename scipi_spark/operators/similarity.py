@@ -31,6 +31,15 @@ def _as_double(col) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """A small corpus parquet arrives as 1 scan partition; spread it so
+    signature computation and scoring use every core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential (index-order) double dot product of two array columns."""
     return F.aggregate(
@@ -55,7 +64,7 @@ def knn_brute(
 
     The query side is filtered then broadcast; ties on rounded cosine break
     by ascending neighbor id for determinism."""
-    base = embeddings.select(
+    base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
@@ -118,7 +127,7 @@ def knn_lsh(
     The candidate join is an equi-join on (table, signature): the corpus
     shuffles once regardless of L — L only widens the signature column."""
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
-    base = embeddings.select(
+    base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     ).select(
         "vec_id",
@@ -191,7 +200,7 @@ def cosine_neardup_pairs(
     ``bits=None`` is the exact O(n²) variant (verification / small-n);
     with ``bits`` set, candidates are restricted to same-LSH-bucket pairs
     — the embedding twin of MinHash banding."""
-    base = embeddings.select(
+    base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
     if bits is not None:
