@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,7 +96,12 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Packed sign-bit signature of the vector against each hyperplane."""
+    """Packed sign-bit signature of the vector against each hyperplane.
+
+    Column-expression form — used for single-table blocking; for many
+    tables prefer :func:`make_signatures_udf` (one Arrow-batched matmul
+    instead of tables*bits*dim py4j-built literals, which costs seconds
+    of driver-side plan construction)."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(v) for v in p])
@@ -104,6 +110,32 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
         )
         sig = sig.bitwiseOR(F.shiftleft(bit, i))
     return sig
+
+
+def make_signatures_udf(all_planes: list[list[list[float]]]):
+    """Vectorized multi-table signature kernel: one (n, dim) x (dim, L*b)
+    matmul per Arrow batch, packed into one long per table. Sign bits at
+    dot ~ 0 may differ from sequential summation in the last ulp — fine
+    for bucketing (the op is approximate; scoring stays exact)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    tables = len(all_planes)
+    bits = len(all_planes[0])
+    M = np.array(
+        [p for planes in all_planes for p in planes], dtype="float64"
+    )  # (tables*bits, dim)
+    powers = (1 << np.arange(bits, dtype="int64"))
+
+    @pandas_udf("array<long>")
+    def sigs(e: pd.Series) -> pd.Series:
+        X = np.stack(e.to_numpy())  # (n, dim)
+        B = (X @ M.T) >= 0  # (n, tables*bits)
+        B = B.reshape(len(X), tables, bits).astype("int64")
+        packed = (B * powers).sum(axis=2)  # (n, tables)
+        return pd.Series(list(packed))
+
+    return sigs
 
 
 def knn_lsh(
@@ -127,31 +159,18 @@ def knn_lsh(
     The candidate join is an equi-join on (table, signature): the corpus
     shuffles once regardless of L — L only widens the signature column."""
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    sigs_udf = make_signatures_udf(all_planes)
     base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
-    ).select(
-        "vec_id",
-        "e",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_signature(F.col("e"), all_planes[t]).alias("sig"),
-                )
-                for t in range(tables)
-            ]
-        ).alias("sigs"),
-    )
+    ).withColumn("sigs", sigs_udf(F.col("e")))
     corpus = base.select(
-        "vec_id", "e", F.explode("sigs").alias("ts")
-    ).select("vec_id", "e", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+        "vec_id", "e", F.posexplode("sigs").alias("t", "sig")
+    )
 
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
-        F.explode("sigs").alias("ts"),
-    ).select(
-        "query_id", "qe", F.col("ts.t").alias("t"), F.col("ts.sig").alias("qsig")
+        F.posexplode("sigs").alias("t", "qsig"),
     )
     if multiprobe:
         probes = F.array(
