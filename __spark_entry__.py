@@ -307,6 +307,42 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_asof_join_events(spark, sf_dir):
+    """As-of join: for each click, the user's most recent prior view value."""
+    from scipi_spark.operators.temporal import asof_join
+    from scipi_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, on="ts", by=["user_id"])
+    return out.select("event_id", F.round("value_r", 6).alias("value_r"))
+
+
+def _q_range_join_events(spark, sf_dir):
+    """Range join: (purchase, error) pairs where the error happened in the
+    10 minutes before the same user's purchase."""
+    from scipi_spark.operators.temporal import range_join
+    from scipi_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        purchases, errors, on="ts", by=["user_id"],
+        lower_seconds=0, upper_seconds=600,
+    )
+    return out.select("event_id", F.col("event_id_r"))
+
+
 KNN_QUERY_IDS = [0, 1, 2]
 KNN_K = 10
 # max pairwise cosine in the test embeddings is ~0.51 (no planted dups);
@@ -411,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_latest_publications": _q_s5_latest_publications,
         "stream_keyword_count": _q_stream_keyword_count,
         "dedup_clusters": _q_dedup_clusters,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_events": _q_range_join_events,
     }
 
 
@@ -1004,6 +1042,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "asof_join_events": """
+            SELECT t.event_id, round(q.value, 6) AS value_r
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') t
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'view') q
+              ON t.user_id = q.user_id AND t.ts >= q.ts
+        """,
+        "range_join_events": """
+            SELECT t.event_id, q.event_id AS event_id_r
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') t
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') q
+              ON t.user_id = q.user_id
+             AND q.ts <= t.ts
+             AND q.ts >= t.ts - INTERVAL '10 minutes'
         """,
         # transitive closure over the exact near-dup pairs: cluster = min
         # reachable doc id (WITH RECURSIVE for the closure member)
