@@ -25,6 +25,8 @@ permutation seeds); no Python UDFs anywhere on the hot path.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,13 +151,20 @@ def minhash_signatures(
     """(doc, sig: array<int>) — per-permutation minimum of seeded murmur3
     over the doc's word-k-shingles. One explode + one groupBy with num_perm
     min() aggregates: a single shuffle of (doc, shingle) pairs."""
+    # One base hash per shingle, then num_perm 2-universal permutations
+    # h_j = (a_j*h0 + b_j) mod p over the Mersenne prime p = 2^31-1 —
+    # ~64x fewer string hashes than hashing a seeded concat per
+    # permutation, and products stay under 2^62 (no ANSI overflow).
+    p = 2_147_483_647
+    rng = random.Random(1_000_003)
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)]
     postings = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
-    )
+    ).select("doc", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h0"))
     mins = postings.groupBy("doc").agg(
         *[
-            F.min(F.hash(F.concat(F.lit(f"mh{j}:"), F.col("sh")))).alias(f"h{j}")
-            for j in range(num_perm)
+            F.min(F.pmod(F.col("h0") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{j}")
+            for j, (a, b) in enumerate(coeffs)
         ]
     )
     return mins.select(
