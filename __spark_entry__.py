@@ -316,6 +316,24 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_p7_salted(spark, sf_dir):
+    return analytics.keyword_count_salted(publications_analog(spark, sf_dir))
+
+
+def _q_c14_decorated_subgraph(spark, sf_dir):
+    """C11-C14 with deterministic pseudo-community labels (length(id)%3)
+    so the subgraph induction + two-step decoration joins are oracle-
+    checkable independently of the iterative LPA."""
+    pubs = _graph_pubs(spark, sf_dir)
+    vertices = community.extract_vertices(pubs)
+    edges = community.extract_edges(pubs)
+    labels = vertices.select(
+        "id", (F.length("id") % 3).cast("long").alias("label")
+    )
+    kept_v, kept_e = community.subgraph_by_labels(vertices, edges, labels, [0])
+    return community.decorate_edges(kept_v, kept_e)
+
+
 def _q_asof_join_events(spark, sf_dir):
     """As-of join: for each click, the user's most recent prior view value."""
     from scipi_spark.operators.temporal import asof_join
@@ -458,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
+        "p7_keyword_count_salted": _q_p7_salted,
+        "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
 
 
@@ -1051,6 +1071,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        # salting is exact for associative aggregates -> same oracle as p7
+        "p7_keyword_count_salted": """
+            SELECT p.p_brand AS keyword_name,
+                   CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS keyword_count
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "c14_decorated_subgraph": _GRAPH_CTE
+        + """
+            , alledges AS (
+              SELECT paper AS src, publisher AS dst FROM pubv
+              UNION ALL SELECT paper, venue FROM pubv
+              UNION ALL
+                SELECT r.a, p.paper
+                FROM ranked r JOIN pubv p ON r.l_orderkey = p.o_orderkey
+                WHERE r.rn <= greatest(r.n - 1, 1)
+              UNION ALL
+                SELECT r1.a, r2.a
+                FROM ranked r1 JOIN ranked r2
+                  ON r1.l_orderkey = r2.l_orderkey AND r1.a < r2.a
+            ), v AS (
+              SELECT id, min(vtype) AS vtype FROM (
+                SELECT paper AS id, 'PAPER' AS vtype FROM pubv
+                UNION ALL SELECT publisher, 'PUBLISHER' FROM pubv
+                UNION ALL SELECT venue, 'VENUE' FROM pubv
+                UNION ALL SELECT a, 'AUTHOR' FROM oa
+              ) GROUP BY id
+            ), lv AS (
+              SELECT id, vtype, CAST(length(id) % 3 AS BIGINT) AS label
+              FROM v WHERE length(id) % 3 = 0
+            ), de AS (
+              SELECT DISTINCT e.src, e.dst
+              FROM alledges e
+              JOIN lv a ON e.src = a.id
+              JOIN lv b ON e.dst = b.id
+            )
+            SELECT de.src AS name_a, va.vtype AS type_a, va.label AS label_a,
+                   de.dst AS name_b, vb.vtype AS type_b, vb.label AS label_b
+            FROM de
+            JOIN lv va ON de.src = va.id
+            JOIN lv vb ON de.dst = vb.id
         """,
         "asof_join_events": """
             SELECT t.event_id, round(q.value, 6) AS value_r

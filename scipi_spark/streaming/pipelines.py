@@ -56,6 +56,30 @@ AGGREGATION_KEYS: dict[str, list[str]] = {
 }
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    source: str = "oag",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1/S2: the production source — Kafka topic -> validated Publication
+    stream. Identical pipeline to the file shim from the value column on;
+    requires the spark-sql-kafka connector package on the classpath (not
+    present in the test container, which is why tests use the file shim)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    if source == "oag":
+        return ingest.ingest_oag(raw)
+    return ingest.ingest_dblp(raw)
+
+
 def read_publications_stream(
     spark: SparkSession,
     path: str,
