@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": relational.q3_shipping_priority,
         "tpch_q5": relational.q5_local_supplier_volume,
         "window_top_orders": relational.window_top_orders_per_customer,
+        "window_order_deltas": relational.window_order_deltas,
         "rollup_order_volume": relational.rollup_order_volume,
         "distinct_agg_supplier": relational.distinct_agg_supplier_reach,
         "semi_anti_customers": relational.semi_anti_customers,
@@ -970,6 +971,18 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
+        """,
+        "window_order_deltas": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(rank() OVER w AS BIGINT) AS order_seq,
+                   round(o_totalprice, 2) AS price,
+                   round(lag(o_totalprice) OVER w, 2) AS prev_price,
+                   round(lead(o_totalprice) OVER w, 2) AS next_price,
+                   round(o_totalprice
+                         - coalesce(lag(o_totalprice) OVER w, 0.0), 2)
+                     AS delta_vs_prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "rollup_order_volume": """
             SELECT o_orderstatus, o_orderpriority,

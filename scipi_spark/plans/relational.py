@@ -124,6 +124,26 @@ def window_top_orders_per_customer(
     )
 
 
+def window_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: per customer order sequence with rank,
+    lag/lead order values, and delta vs the previous order — one window
+    pass, no self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("order_seq"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(prev, 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.col("o_totalprice") - F.coalesce(prev, F.lit(0.0)), 2).alias(
+            "delta_vs_prev"
+        ),
+    )
+
+
 def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: order counts and volume by
     (status, priority) with rollup subtotals."""
