@@ -45,9 +45,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # JVM/codegen warmup on a trivial scan so the first headliner isn't
-    # charged for session initialization
+    # Warmup: a trivial scan (JVM/codegen) and a no-op pandas UDF across
+    # all cores (Python worker pool + Arrow init), so the first headliner
+    # of each kind isn't charged for process startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _noop = pandas_udf(lambda s: s, "long")
+
+    spark.range(0, 10_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _noop(F.col("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -72,10 +72,16 @@ def dedup_exact(
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a narrow source across the cluster before per-row explosion:
     a small corpus file arrives as 1-2 scan partitions, which would run
-    the entire shingle/signature chain single-threaded."""
+    the entire shingle/signature chain single-threaded.
+
+    The persist() is a required optimizer barrier, not (just) a cache:
+    Catalyst pushes projections below a bare repartition, which would move
+    the expensive shingle computation back into the single scan task.
+    Identical plans share one cache entry (CacheManager plan matching), so
+    repeated calls don't duplicate storage."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target).persist()
     return df
 
 
@@ -208,6 +214,8 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # materialize: the candidate self-join reads band_rows on both sides
+    band_rows = band_rows.localCheckpoint(eager=True)
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")

@@ -34,10 +34,12 @@ def _as_double(col) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """A small corpus parquet arrives as 1 scan partition; spread it so
-    signature computation and scoring use every core."""
+    signature computation and scoring use every core. persist() is an
+    optimizer barrier — Catalyst would otherwise push the scoring
+    projection below the repartition, back into the single scan task."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target).persist()
     return df
 
 

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # floor AQE coalescing at the core count: byte-based coalescing
+        # collapses small-input/large-compute stages (shingle self-joins,
+        # band-bucket joins) onto one task
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(cpus))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
