@@ -462,6 +462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": relational.q1_pricing_summary,
         "tpch_q3": relational.q3_shipping_priority,
         "tpch_q5": relational.q5_local_supplier_volume,
+        "tpch_q6": relational.q6_forecast_revenue,
+        "tpch_q12": relational.q12_priority_shipping,
+        "tpch_q14": relational.q14_promo_share,
+        "cube_order_volume": relational.cube_order_volume,
         "window_top_orders": relational.window_top_orders_per_customer,
         "window_order_deltas": relational.window_order_deltas,
         "rollup_order_volume": relational.rollup_order_volume,
@@ -971,6 +975,44 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   count(*) FILTER (WHERE o_orderpriority IN
+                     ('1-URGENT', '2-HIGH')) AS high_line_count,
+                   count(*) FILTER (WHERE o_orderpriority NOT IN
+                     ('1-URGENT', '2-HIGH')) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q14": """
+            SELECT round(
+                     sum(CASE WHEN upper(p_type) LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END) * 100.0
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "cube_order_volume": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS volume
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "window_order_deltas": """
             SELECT o_custkey, o_orderkey,
