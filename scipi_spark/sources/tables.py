@@ -42,7 +42,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-def publications_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: One persisted copy of the publications analog per (SparkContext, sf_dir):
+#: a dozen gate entries derive from this corpus, and at cluster scale it is
+#: exactly the "validated publications table" a real deployment would
+#: materialize once and share.  Keyed by applicationId so a restarted
+#: context never sees another context's (invalid) cached plan.
+_ANALOG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def publications_analog(
+    spark: SparkSession, sf_dir: str, cached: bool = True
+) -> DataFrame:
     """Map the TPC-H-ish tables onto the Publication schema (SURVEY §1.1).
 
     One order = one publication:
@@ -60,6 +70,9 @@ def publications_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (part is a dimension table). This mirrors the ingest product:
     a deduplicated, validated publications table.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if cached and key in _ANALOG_CACHE:
+        return _ANALOG_CACHE[key]
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_partkey"
@@ -77,7 +90,7 @@ def publications_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set("p_type")).alias("fos"),
         )
     )
-    return orders.join(per_order, orders.o_orderkey == per_order.l_orderkey).select(
+    out = orders.join(per_order, orders.o_orderkey == per_order.l_orderkey).select(
         F.col("o_orderkey").cast("string").alias("doi"),
         F.col("o_orderpriority").alias("title"),
         F.col("o_orderkey").cast("string").alias("id"),
@@ -90,6 +103,10 @@ def publications_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fos"),
         F.lit("oag").alias("dataset"),
     )
+    if cached:
+        out = out.persist()
+        _ANALOG_CACHE[key] = out
+    return out
 
 
 #: DuckDB CTE prelude mirroring :func:`publications_analog` for oracle SQL.
