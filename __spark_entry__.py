@@ -462,9 +462,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": relational.q1_pricing_summary,
         "tpch_q3": relational.q3_shipping_priority,
         "tpch_q5": relational.q5_local_supplier_volume,
+        "tpch_q4": relational.q4_priority_check,
         "tpch_q6": relational.q6_forecast_revenue,
+        "tpch_q10": relational.q10_returned_items,
         "tpch_q12": relational.q12_priority_shipping,
+        "tpch_q13": relational.q13_customer_distribution,
         "tpch_q14": relational.q14_promo_share,
+        "tpch_q17": relational.q17_small_quantity_revenue,
+        "tpch_q18": relational.q18_large_orders,
+        "tpch_q19": relational.q19_discounted_revenue,
         "cube_order_volume": relational.cube_order_volume,
         "window_top_orders": relational.window_top_orders_per_customer,
         "window_order_deltas": relational.window_order_deltas,
@@ -976,14 +982,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders)
             WHERE rk <= 3
         """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY 1
+        """,
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                    count(*) AS n_items
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-              AND l_shipdate < TIMESTAMP '1995-01-01'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "tpch_q12": """
             SELECT l_returnflag,
@@ -992,9 +1021,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE o_orderpriority NOT IN
                      ('1-URGENT', '2-HIGH')) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-              AND l_shipdate < TIMESTAMP '1996-01-01'
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey,
+                         CAST(count(o_orderkey) AS BIGINT) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM (SELECT l_extendedprice, l_quantity,
+                         avg(l_quantity) OVER (PARTITION BY l_partkey) AS aq
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_brand = 'Brand#23')
+            WHERE l_quantity < 0.2 * aq
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
         """,
         "tpch_q14": """
             SELECT round(
