@@ -420,6 +420,16 @@ def _q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, KNN_QUERY_IDS, k=KNN_K, bits=6, tables=8)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    """IVF ANN with nprobe = n_centroids/4: approximate by design, so the
+    driver's check is rows-only; tests bound recall vs the exact top-k and
+    assert exactness at full probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(
+        emb, KNN_QUERY_IDS, k=KNN_K, n_centroids=16, nprobe=4
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=NEARDUP_COS_THRESHOLD)
@@ -458,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_hyper_table": _q_v4_hyper_table,
         "knn_cosine_brute": _q_knn_brute,
         "knn_cosine_lsh": _q_knn_lsh,
+        "knn_cosine_ivf": _q_knn_ivf,
         "emb_neardup_pairs": _q_emb_neardup,
         "tpch_q1": relational.q1_pricing_summary,
         "tpch_q3": relational.q3_shipping_priority,

@@ -207,6 +207,140 @@ def knn_lsh(
     )
 
 
+def spherical_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic spherical k-means coarse quantizer (the IVF training
+    step). Returns a (n_centroids, dim) float64 numpy array of unit
+    centroids.
+
+    Distributed Lloyd iterations: assignment is a vectorized Arrow-batched
+    argmax-dot against the broadcast centroid matrix (executors, one numpy
+    matmul per batch); the update is ``posexplode(dim) -> groupBy(cluster,
+    dim).avg`` — only k x dim aggregated values ever reach the driver, so
+    the loop holds at any corpus size. Init = the first ``n_centroids``
+    vectors by id (deterministic, seed-free)."""
+    import numpy as np
+
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    norm = (
+        base.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+        .select(
+            "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e")
+        )
+        .persist()
+    )
+    first = norm.orderBy("vec_id").limit(n_centroids).collect()
+    C = np.array([r["e"] for r in first], dtype="float64")
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        assign = assign_centroid_udf(C, nprobe=1)
+        assigned = norm.select(
+            F.element_at(assign(F.col("e")), 1).alias("c"), "e"
+        )
+        sums = (
+            assigned.select("c", F.posexplode("e").alias("d", "v"))
+            .groupBy("c", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        acc = np.zeros_like(C)
+        seen = set()
+        for r in sums:
+            acc[r["c"], r["d"]] = r["s"]
+            seen.add(r["c"])
+        for c in seen:
+            v = acc[c]
+            n = np.linalg.norm(v)
+            if n > 0:
+                newC[c] = v / n  # empty clusters keep their old centroid
+        C = newC
+    norm.unpersist()
+    return C
+
+
+def assign_centroid_udf(centroids, nprobe: int = 1):
+    """Arrow-batched kernel: top-``nprobe`` centroid ids by dot product
+    (cosine order for unit centroids) — one (batch, dim) x (dim, k) matmul."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")  # (k, dim)
+    p = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def assign(e: pd.Series) -> pd.Series:
+        X = np.stack(e.to_numpy())  # (n, dim)
+        S = X @ C.T  # (n, k)
+        top = np.argpartition(-S, p - 1, axis=1)[:, :p]
+        rows = np.arange(len(X))[:, None]
+        order = np.argsort(-S[rows, top], axis=1, kind="stable")
+        return pd.Series(list(top[rows, order].astype("int32")))
+
+    return assign
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: corpus vectors are
+    inverted-listed under their nearest centroid; each query scores only
+    the ``nprobe`` nearest lists. Candidate selection is an equi-join on
+    the centroid id — the corpus shuffles once into k lists, queries
+    explode into nprobe probes (recall rises with nprobe, reaching exact
+    at nprobe=k).
+
+    At cluster scale the inverted lists would be written bucketed-by-cell
+    once and reused across query batches; here the train+assign runs
+    inline. Scoring is the same JVM-side exact cosine as brute force."""
+    C = spherical_kmeans(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    one = assign_centroid_udf(C, nprobe=1)
+    corpus = base.select(
+        "vec_id", "e", F.element_at(one(F.col("e")), 1).alias("cell")
+    )
+    probe = assign_centroid_udf(C, nprobe=nprobe)
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(probe(F.col("e"))).alias("cell"),
+    )
+    cand = (
+        queries.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

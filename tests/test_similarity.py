@@ -37,6 +37,49 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_knn_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.knn_brute(emb, qids, k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.knn_ivf(emb, qids, k=10, n_centroids=8, nprobe=4).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_knn_ivf_exact_at_full_probe(spark):
+    """nprobe = n_centroids scans every inverted list -> exact answer."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qids = [0, 3]
+    brute = sorted(
+        map(tuple, sim.knn_brute(emb, qids, k=5).collect())
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            sim.knn_ivf(
+                emb, qids, k=5, n_centroids=4, nprobe=4, train_iters=2
+            ).collect(),
+        )
+    )
+    assert brute == ivf
+
+
+def test_spherical_kmeans_deterministic_and_unit(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    c1 = sim.spherical_kmeans(emb, n_centroids=6, iters=2)
+    c2 = sim.spherical_kmeans(emb, n_centroids=6, iters=2)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_neardup_lsh_blocking_vs_exact(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     exact = {
