@@ -67,10 +67,26 @@ def main() -> None:
         except Exception as exc:  # a warmup failure must not kill the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # Drain the warmup's deferred cleanup BEFORE timing anything: dropped
+    # DataFrame handles (checkpointed LPA state, per-op caches) are released
+    # by Python GC -> py4j -> ContextCleaner, an async path that otherwise
+    # fires mid-measurement and stalls whichever query it lands on
+    # (observed: a random headliner +10-30s per run; minhash 31s -> 8.6s
+    # with this drain in place).
+    import gc
+
+    for _ in range(2):
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(5)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINERS:
         fn = qs[name]
+        # keep per-query debt flushed too (cheap once the big drain ran)
+        gc.collect()
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0

@@ -215,6 +215,66 @@ def sliding_window_counts(
     )
 
 
+def stateful_user_stats(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, min_ts, max_ts) maintained in explicit GroupState
+    — the escape hatch for aggregations Spark's built-ins can't express
+    (the reference's analog is Flink's keyed ``reduce`` with rich state,
+    ``ScipiStream.java:146-207``).
+
+    Emits one updated row per user per micro-batch (update semantics).
+    State is partitioned by the group key in the executor StateStore, so
+    it scales exactly like a streaming groupBy. The batch twin — what the
+    converged output must equal — is ``events.groupBy(user_id).agg(count,
+    sum, min(ts), max(ts))`` (equivalence-tested in test_streaming.py)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, sum_value double, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = "n long, s double, mn timestamp, mx timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, mn, mx = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            lo, hi = pdf[ts_col].min(), pdf[ts_col].max()
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "first_ts": [mn],
+                "last_ts": [mx],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def session_window_stats(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -105,6 +105,61 @@ def test_parquet_upsert_semantics(spark, tmp_path):
     assert got == {"a": 1, "b": 9, "c": 3}
 
 
+def test_stateful_user_stats_converges_to_batch(spark, tmp_path):
+    from scipi_spark.streaming.pipelines import stateful_user_stats
+
+    rows = [
+        (1, "2024-01-01 00:05:00", 7, "click", 1.5),
+        (2, "2024-01-01 00:10:00", 7, "view", 2.0),
+        (3, "2024-01-01 00:20:00", 8, "click", 3.0),
+        (4, "2024-01-01 01:00:00", 7, "click", 4.0),
+        (5, "2024-01-01 01:30:00", 8, "view", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events")
+    # two files -> two micro-batches, so state must carry across batches
+    df.filter(F.col("event_id") <= 3).coalesce(1).write.parquet(src)
+    df.filter(F.col("event_id") > 3).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mem_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends a row per (user, batch); the LAST row per user is
+    # the converged state
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["first_ts"], r["last_ts"])
+        for r in spark.table("mem_stateful").orderBy("n_events").collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["first_ts"], r["last_ts"])
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_tumbling_window_stream_matches_batch(spark, tmp_path):
     rows = [
         (1, "2024-01-01 00:05:00", "click", 1.0),
