@@ -231,18 +231,14 @@ def _q_community_lpa(spark, sf_dir):
     (iterative — no SQL oracle; checked rows-only by the driver and
     exactly vs a pure-Python replication in tests/test_community.py).
 
-    The pubs analog is persisted for the duration of the (eager) LPA run:
-    vertex and edge extraction both read it, and the loop materializes
-    everything before this function returns."""
-    pubs = _graph_pubs(spark, sf_dir).coalesce(8).persist()
-    try:
-        vertices = community.extract_vertices(pubs)
-        edges = community.extract_edges(pubs)
-        labels = community.community_detection(
-            vertices, edges, iterations=5, delta=0.5
-        )
-    finally:
-        pubs.unpersist()
+    Vertex and edge extraction both read the (cache-backed) publications
+    analog, so the corpus materializes once across both scans."""
+    pubs = _graph_pubs(spark, sf_dir)
+    vertices = community.extract_vertices(pubs)
+    edges = community.extract_edges(pubs)
+    labels = community.community_detection(
+        vertices, edges, iterations=5, delta=0.5
+    )
     return community.community_sizes(labels, min_size=30)
 
 

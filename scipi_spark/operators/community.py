@@ -179,17 +179,48 @@ def community_detection(
     # of incoming (score*weight) messages equals score*w_sum, and the MAX
     # single message equals score*w_max — exactly Flink's semantics with
     # ~Nx less message traffic on multigraphs (the co-author multiset).
-    bidir0 = (
-        edges.select("src", "dst", "weight")
-        .unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-            )
+    # Canonicalize to unordered pairs BEFORE aggregating: grouping the raw
+    # doubled union shuffles 2|E| rows, grouping (least, greatest) shuffles
+    # |E| and the mirror emission afterwards is a narrow map (both
+    # directions of an undirected pair share w_sum/w_max). Self-loops keep
+    # the doubled-union semantics (both mirror copies land in one group).
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
         )
-        .groupBy("src", "dst")
+        .groupBy("a", "b")
         .agg(F.sum("weight").alias("w_sum"), F.max("weight").alias("w_max"))
-        .persist()
     )
+    self_loops = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("a"))
+        .agg(
+            (F.sum("weight") * 2).alias("w_sum"),
+            F.max("weight").alias("w_max"),
+        )
+        .select("a", F.col("a").alias("b"), "w_sum", "w_max")
+    )
+    # Mirror via explode, NOT a union of two references to `canon` — union
+    # branches don't share subplans, so that would run the aggregation twice
+    # (measured 2x on the build; pitfall #2 in SCALE.md).
+    mirrored = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e"),
+        "w_sum",
+        "w_max",
+    ).select("e.src", "e.dst", "w_sum", "w_max")
+    bidir0 = mirrored.unionByName(
+        self_loops.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w_sum", "w_max"
+        )
+    ).persist()
     n_edges = bidir0.count()
 
     # Size the per-iteration shuffles to the graph, not the session: on a
@@ -228,10 +259,13 @@ def _lpa_loop(
     checkpoint: bool,
 ) -> DataFrame:
     for step in range(1, iterations + 1):
+        # shuffle_hash: state/winners are far too big to broadcast at real
+        # scale but always hash-table-buildable per partition; the hint
+        # skips the sort-merge sorts each superstep would otherwise pay.
         msgs = bidir.join(
             state.select(
                 F.col("id").alias("src"), F.col("label"), F.col("score")
-            ),
+            ).hint("shuffle_hash"),
             "src",
         ).select(
             F.col("dst").alias("id"),
@@ -265,7 +299,7 @@ def _lpa_loop(
             )
         )
         state = (
-            state.join(winners, "id", "left")
+            state.join(winners.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.coalesce("new_label", "label").alias("label"),
