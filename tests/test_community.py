@@ -95,7 +95,9 @@ def _lpa_py(init_labels, edges, iterations, delta):
             # max sum, ties -> smallest label
             best = sorted(lblscores, key=lambda t: (-t[1], t[0]))[0][0]
             new_label[v] = best
-            new_score[v] = maxs[(v, best)] - delta / step
+            # Flink decays the score only when the label changes
+            penalty = delta / step if best != label[v] else 0.0
+            new_score[v] = maxs[(v, best)] - penalty
         for v in init_labels:
             if v in new_label:
                 label[v], score[v] = new_label[v], new_score[v]
