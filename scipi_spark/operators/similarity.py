@@ -347,27 +347,67 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int | None = None,
+    tables: int = 16,
+    multiprobe: bool = True,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """All pairs (a<b) with cosine >= threshold.
 
-    ``bits=None`` is the exact O(n²) variant (verification / small-n);
-    with ``bits`` set, candidates are restricted to same-LSH-bucket pairs
-    — the embedding twin of MinHash banding."""
+    ``bits=None`` is the exact O(n²) variant (the recall oracle / small-n
+    verification tool). With ``bits`` set, this is the scale path — the
+    embedding twin of MinHash banding: ``tables`` independent b-bit
+    hyperplane signatures per vector; a pair is a candidate iff its
+    signatures collide in ANY table (within Hamming-1 when ``multiprobe``,
+    which flips each bit on one join side only). Candidates are scored
+    with the exact cosine, so precision is exact and only recall is
+    probabilistic: ~1-(1-q)^L with q = p^b + b*p^(b-1)*(1-p), p =
+    1 - angle/pi.
+
+    Shuffle shape: the corpus shuffles once on (table, signature) — never
+    the cross product; candidate ids are deduped BEFORE scoring so the
+    wide embedding arrays move through equi-joins, not the dedup shuffle.
+    At larger corpora raise ``bits`` (~log2(n / target bucket size)) to
+    keep buckets bounded; recall lost to wider signatures is bought back
+    with ``tables``."""
     base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
     if bits is not None:
-        planes = hyperplanes(dim, bits, seed)
-        base = base.withColumn("sig", lsh_signature(F.col("e"), planes))
-        a = base.select(
-            F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("sig")
+        all_planes = [
+            hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)
+        ]
+        sigs_udf = make_signatures_udf(all_planes)
+        sigs = base.select(
+            "vec_id", sigs_udf(F.col("e")).alias("sigs")
+        ).select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+        b_side = sigs.select(
+            F.col("vec_id").alias("id_b"), "t", "sig"
         )
-        b = base.select(
-            F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("sig")
+        a_side = sigs.select(F.col("vec_id").alias("id_a"), "t", "sig")
+        if multiprobe:
+            probes = F.array(
+                F.col("sig"),
+                *[
+                    F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(bits)
+                ],
+            )
+            a_side = a_side.select(
+                "id_a", "t", F.explode(probes).alias("sig")
+            )
+        cand = (
+            a_side.join(
+                b_side,
+                ["t", "sig"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+        ea = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+        eb = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+        pairs = cand.join(ea, "id_a").join(eb, "id_b")
     else:
         a = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
         b = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
