@@ -421,6 +421,63 @@ def _q_c16_strength(spark, sf_dir):
     return community.community_strength(sizes)
 
 
+_PLANTED_CACHE: dict = {}
+
+# Planted-partition twin for the iterative LPA machinery: 50 disjoint
+# 5-cliques built deterministically from the smallest 250 orderkeys.
+# On disjoint cliques Flink-semantics LPA provably converges (by
+# superstep 3) to one label per clique — the minimum initial xxhash64
+# label — so mapping final label -> min member id yields exactly the
+# planted partition, which plain SQL can state. This turns the same
+# community_detection code that runs rows-only on the organic graph into
+# a hash-matchable driver row.
+PLANTED_N = 250
+PLANTED_C = 50
+
+
+def _planted_labels(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PLANTED_CACHE:
+        from pyspark.sql import Window
+
+        orders = load_table(spark, sf_dir, "orders")
+        keys = (
+            orders.select(F.col("o_orderkey").cast("long").alias("k"))
+            .orderBy("k")
+            .limit(PLANTED_N)
+        )
+        mem = keys.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k")) - 1
+        ).select(
+            F.concat(F.lit("v"), F.col("k")).alias("id"),
+            (F.col("rn") % PLANTED_C).alias("g"),
+        )
+        a = mem.select("g", F.col("id").alias("src"))
+        b = mem.select("g", F.col("id").alias("dst"))
+        edges = (
+            a.join(b, "g")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst", F.lit(1.0).alias("weight"))
+        )
+        labels = community.community_detection(
+            mem.select("id"), edges, iterations=5, delta=0.5
+        )
+        _PLANTED_CACHE[key] = labels.persist()
+    return _PLANTED_CACHE[key]
+
+
+def _q_c8_lpa_planted(spark, sf_dir):
+    labels = _planted_labels(spark, sf_dir)
+    comm_min = labels.groupBy("label").agg(F.min("id").alias("community"))
+    return labels.join(comm_min, "label").select("id", "community")
+
+
+def _q_c16_strength_planted(spark, sf_dir):
+    labels = _planted_labels(spark, sf_dir)
+    sizes = community.community_sizes(labels, min_size=1)
+    return community.community_strength(sizes)
+
+
 def _q_knn_brute(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_brute(emb, KNN_QUERY_IDS, k=KNN_K)
@@ -488,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_community_edges": _q_community_edges,
         "c8_community_lpa": _q_community_lpa,
         "c16_community_strength": _q_c16_strength,
+        "c8_lpa_planted": _q_c8_lpa_planted,
+        "c16_strength_planted": _q_c16_strength_planted,
         "t3_top_topics": _q_t3_top_topics,
         "v2_yrwise_table": _q_v2_yrwise_table,
         "v3_aap_table": _q_v3_aap_table,
@@ -911,6 +970,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
             FROM alledges GROUP BY 1, 2
+        """,
+        # the planted partition IS the provable LPA fixed point (see the
+        # entry docstrings), so the oracle states it directly
+        "c8_lpa_planted": f"""
+            WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+                       ORDER BY k LIMIT {PLANTED_N}),
+            mem AS (SELECT 'v' || CAST(k AS VARCHAR) AS id,
+                           (row_number() OVER (ORDER BY k) - 1) % {PLANTED_C} AS g
+                    FROM k),
+            cm AS (SELECT g, min(id) AS community FROM mem GROUP BY g)
+            SELECT m.id, cm.community FROM mem m JOIN cm USING (g)
+        """,
+        "c16_strength_planted": f"""
+            WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+                       ORDER BY k LIMIT {PLANTED_N}),
+            mem AS (SELECT 'v' || CAST(k AS VARCHAR) AS id,
+                           (row_number() OVER (ORDER BY k) - 1) % {PLANTED_C} AS g
+                    FROM k),
+            s AS (SELECT g, count(*) AS c FROM mem GROUP BY g),
+            t AS (SELECT sum(c) AS t FROM s)
+            SELECT round(sum(c * (CAST(c AS DOUBLE) / t)) / 100.0, 6) AS strength
+            FROM s, t
         """,
         "t3_top_topics": f"""
             SELECT p.p_brand AS keyword_name,
