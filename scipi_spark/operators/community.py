@@ -231,14 +231,18 @@ def community_detection(
         self_loops.select(
             F.col("a").alias("src"), F.col("b").alias("dst"), "w_sum", "w_max"
         )
-    ).persist()
-    n_edges = bidir0.count()
+    )
 
     # Size the per-iteration shuffles to the graph, not the session: on a
     # small graph 64-way stages are pure scheduling overhead (measured 1.7x
     # end-to-end at sf0.1), while a 100TB graph keeps the session setting.
+    # The mirrored-edge count is estimated as 2x the raw multiset (exact
+    # only without parallel edges) — partition sizing needs magnitude, not
+    # precision, and the estimate avoids materializing the edge pipeline
+    # twice (once to count, once to persist).
     # NOTE: the tuned confs are session-level — a concurrent query on the
     # same SparkSession would inherit them for the duration of the loop.
+    n_edges = 2 * edges.count()
     spark = vertices.sparkSession
     saved_partitions = spark.conf.get("spark.sql.shuffle.partitions")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -251,16 +255,34 @@ def community_detection(
         # is pure per-iteration latency (measured ~10% of the loop at sf0.1).
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-        # hash-partition on the message-join key under the tuned parallelism
-        bidir = bidir0.repartition(F.col("src")).persist()
+        # Run the loop on 64-bit hashed vertex ids: every superstep
+        # shuffles |E| message rows keyed by vertex, and fixed-width longs
+        # shuffle (and hash-join) far cheaper than variable-length name
+        # strings. The hash is the same xxhash64 that seeds labels, so a
+        # (hash -> name) mapping restores ids with ONE extra join total.
+        bidir = (
+            bidir0.select(
+                F.xxhash64("src").alias("src"),
+                F.xxhash64("dst").alias("dst"),
+                "w_sum",
+                "w_max",
+            )
+            .repartition(F.col("src"))
+            .persist()
+        )
         bidir.count()
-        bidir0.unpersist()
 
-        state = _lpa_loop(state, bidir, iterations, delta, checkpoint)
+        state_h = state.select(
+            F.xxhash64("id").alias("id"), "label", "score"
+        )
+        state_h = _lpa_loop(state_h, bidir, iterations, delta, checkpoint)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_partitions)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-    result = state.select("id", "label")
+    mapping = vertices.select("id", F.xxhash64("id").alias("h"))
+    result = state_h.join(
+        mapping.hint("shuffle_hash"), state_h.id == mapping.h
+    ).select(mapping.id, "label")
     bidir.unpersist()
     return result
 
@@ -272,8 +294,9 @@ def _lpa_loop(
     delta: float,
     checkpoint: bool,
 ) -> DataFrame:
+    neg_inf = float("-inf")
     for step in range(1, iterations + 1):
-        # shuffle_hash: state/winners are far too big to broadcast at real
+        # shuffle_hash: the state side is far too big to broadcast at real
         # scale but always hash-table-buildable per partition; the hint
         # skips the sort-merge sorts each superstep would otherwise pay.
         msgs = bidir.join(
@@ -291,45 +314,61 @@ def _lpa_loop(
             F.sum("mscore_sum").alias("sum_score"),
             F.max("mscore_max").alias("max_single"),
         )
-        # argmax by (sum_score desc, label asc) via one max(struct) agg —
-        # a hash aggregate with map-side partials, cheaper than a
-        # sort-based row_number window. neg_label encodes the
-        # smallest-label tie-break inside the lexicographic struct max.
-        winners = (
-            per_label.select(
+        # Fuse the winner argmax AND the state join into one aggregation:
+        # each vertex's current state rides along as a sentinel row with
+        # sum_score = -inf — it never beats a real message in the
+        # max(struct) (argmax by sum desc, label asc via neg_label), but
+        # it carries (old_label, old_score), which max() recovers since
+        # exactly one sentinel exists per vertex and real rows hold NULLs.
+        # This removes the per-superstep winners->state join entirely:
+        # a superstep is now 2 shuffles (message agg, fused argmax).
+        cand = per_label.select(
+            "id",
+            F.struct(
+                "sum_score",
+                (-F.col("label")).alias("neg_label"),
+                "max_single",
+            ).alias("s"),
+            F.lit(None).cast("long").alias("old_label"),
+            F.lit(None).cast("double").alias("old_score"),
+        ).unionByName(
+            state.select(
                 "id",
                 F.struct(
-                    F.col("sum_score"),
+                    F.lit(neg_inf).alias("sum_score"),
                     (-F.col("label")).alias("neg_label"),
-                    F.col("max_single"),
+                    F.lit(None).cast("double").alias("max_single"),
                 ).alias("s"),
-            )
-            .groupBy("id")
-            .agg(F.max("s").alias("s"))
-            .select(
-                "id",
-                (-F.col("s.neg_label")).alias("new_label"),
-                F.col("s.max_single").alias("new_max"),
+                F.col("label").alias("old_label"),
+                F.col("score").alias("old_score"),
             )
         )
         # Flink's CommunityDetection subtracts delta/superstep from the
         # adopted score ONLY when the label actually changes; a vertex
-        # re-confirming its own label keeps the undecayed max message.
+        # re-confirming its own label keeps the undecayed max message; a
+        # vertex with no messages (sentinel wins) keeps its state as-is.
         state = (
-            state.join(winners.hint("shuffle_hash"), "id", "left")
+            cand.groupBy("id")
+            .agg(
+                F.max("s").alias("s"),
+                F.max("old_label").alias("old_label"),
+                F.max("old_score").alias("old_score"),
+            )
             .select(
                 "id",
-                F.coalesce("new_label", "label").alias("label"),
-                F.when(F.col("new_label").isNull(), F.col("score"))
+                (-F.col("s.neg_label")).alias("label"),
+                F.when(F.col("s.max_single").isNull(), F.col("old_score"))
                 .when(
-                    F.col("new_label") != F.col("label"),
-                    F.col("new_max") - F.lit(delta) / step,
+                    -F.col("s.neg_label") != F.col("old_label"),
+                    F.col("s.max_single") - F.lit(delta) / step,
                 )
-                .otherwise(F.col("new_max"))
+                .otherwise(F.col("s.max_single"))
                 .alias("score"),
             )
         )
-        if checkpoint:
+        # lineage grows ~2 shuffles per superstep; cutting every 2nd step
+        # halves the materializations without letting plans stack deep.
+        if checkpoint and (step % 2 == 0 or step == iterations):
             state = state.localCheckpoint(eager=True)
 
     return state
