@@ -171,8 +171,13 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs in portable mode: the 60-bit md5-prefix
+    feature hash is computable bit-identically in DuckDB, so the ENTIRE
+    pipeline — feature hashing, per-bit majority, signature packing,
+    chunk blocking, Hamming filter — verifies against a pure-SQL oracle.
+    Production default stays xxhash64 (same code path, cheaper hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, k=1, max_hamming=3)
+    return dedup.simhash_pairs(docs, k=1, max_hamming=3, portable=True)
 
 
 # Association/community analog parameters
@@ -917,6 +922,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # full SimHash replication: 60-bit md5-prefix feature hash ->
+        # per-bit majority -> packed signature -> exact Hamming<=3 pairs
+        # (the chunk blocking on the Spark side is recall-complete for
+        # Hamming<=3 by pigeonhole, so exact all-pairs SQL is equivalent)
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(text, '\s+'), x -> x <> '')) AS t
+              FROM documents
+            ), fh AS (
+              SELECT doc_id,
+                     list_sum([(strpos('0123456789abcdef',
+                                       substr(md5(f), i, 1)) - 1)
+                               * (1::BIGINT << (4 * (15 - i)))
+                               for i in range(1, 16)])::BIGINT AS h
+              FROM (SELECT doc_id, unnest(t) AS f FROM toks)
+            ), bits AS (
+              SELECT doc_id, r.b,
+                     sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM fh, range(0, 60) r(b)
+              GROUP BY doc_id, r.b
+            ), sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                              ELSE 0 END)::BIGINT AS sim
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
         # LSH candidates are verified with exact jaccard, so at this
         # corpus's similarity profile (planted near-dups >> threshold,
         # recall measured 1.0 at sf0.01) the output equals the exact pairs.

@@ -260,29 +260,49 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1
-) -> DataFrame:
-    """(doc, simhash: long) — 64-bit SimHash over word k-shingles using
-    xxhash64 features: bit_i = sign(sum over features of ±1 at bit i).
+def _portable_feature_hash(col) -> F.Column:
+    """60-bit feature hash computable bit-identically in Spark AND DuckDB:
+    the first 15 hex chars of md5, parsed as an integer. Used by the
+    ``portable`` SimHash mode so a pure-SQL oracle can replicate the full
+    signature pipeline; xxhash64 stays the (faster) production default."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Computed without UDFs: explode features, expand 64 per-bit sums in one
-    aggregation (the same single-shuffle shape as minhash signatures)."""
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, simhash: long) — SimHash over word k-shingles:
+    bit_i = sign(sum over features of ±1 at bit i). 64-bit xxhash64
+    features by default; ``portable=True`` switches to the 60-bit
+    md5-prefix hash (cross-engine replicable, see _portable_feature_hash).
+
+    Computed without UDFs: explode features, expand the per-bit sums in
+    one aggregation (the same single-shuffle shape as minhash signatures)."""
+    n_bits = 60 if portable else 64
+    hcol = (
+        _portable_feature_hash(F.col("feat"))
+        if portable
+        else F.xxhash64("feat")
+    )
     feats = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, k)).alias("feat"),
-    ).select("doc", F.xxhash64("feat").alias("h"))
+    ).select("doc", hcol.alias("h"))
     bit_sums = feats.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sim = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -297,11 +317,14 @@ def simhash_pairs(
     text_col: str = "text",
     k: int = 1,
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Pairs (a<b) with Hamming(simhash_a, simhash_b) <= max_hamming,
-    blocked on 4x16-bit chunks (pigeonhole guarantees recall for
-    max_hamming <= 3)."""
-    sh = simhash64(df, id_col, text_col, k)
+    blocked on 4 equal-width chunks (16 bits, or 15 in ``portable`` mode;
+    pigeonhole guarantees recall for max_hamming <= 3 either way)."""
+    chunk_bits = 15 if portable else 16
+    chunk_mask = (1 << chunk_bits) - 1
+    sh = simhash64(df, id_col, text_col, k, portable=portable)
     chunks = sh.select(
         "doc",
         "simhash",
@@ -310,8 +333,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(ci).alias("chunk"),
-                        F.shiftright(F.col("simhash"), ci * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), ci * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("cv"),
                     )
                     for ci in range(4)
