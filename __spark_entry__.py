@@ -119,6 +119,41 @@ def _q_ingest_oag(spark, sf_dir):
     )
 
 
+def _q_ingest_dblp(spark, sf_dir):
+    """P2+P3+P5: serialize the analog corpus to raw DBLP JSON (key/
+    conference/plain-string authors, ``ScipiStream.java:379-462`` shape),
+    parse + validate. Poison: orderkey % 7 == 0 gets a symbols-only title
+    (cleans to NULL -> dropped by rule 3), % 11 == 0 a 3-char year
+    (rule 6), so the filter provably drops rows. DBLP keywords/fos are the
+    constant ['computer science'] so n_keywords is identically 1."""
+    pubs = publications_analog(spark, sf_dir)
+    okey = F.col("doi").cast("long")
+    raw = pubs.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("d"), F.col("doi")).alias("key"),
+                F.when(okey % 7 == 0, "###").otherwise(F.col("title")).alias(
+                    "title"
+                ),
+                F.when(okey % 11 == 0, "20x").otherwise(F.col("year")).alias(
+                    "year"
+                ),
+                F.col("venue").alias("conference"),
+                F.col("publisher"),
+                F.col("authors"),
+            )
+        ).alias("value")
+    )
+    out = ingest.ingest_dblp(raw)
+    return out.select(
+        "doi",
+        "title",
+        "year",
+        F.size("keywords").cast("long").alias("n_keywords"),
+        F.size("authors").cast("long").alias("n_authors"),
+    )
+
+
 def _q_text_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -534,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_topics_filter": _q_t1,
         "v1_authorship_pattern_table": _q_v1,
         "p1_p5_ingest_oag": _q_ingest_oag,
+        "p2_p5_ingest_dblp": _q_ingest_dblp,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -859,6 +895,22 @@ def oracle_sql() -> dict[str, str]:
                          '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')) AS title,
                    CAST(year(o.o_orderdate) AS VARCHAR) AS year,
                    n_keywords,
+                   n_authors
+            FROM orders o JOIN per_order p ON o.o_orderkey = p.okey
+            WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey % 11 <> 0
+        """,
+        "p2_p5_ingest_dblp": r"""
+            WITH per_order AS (
+              SELECT l.l_orderkey AS okey,
+                     CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_authors
+              FROM lineitem l
+              GROUP BY 1
+            )
+            SELECT 'd' || CAST(o.o_orderkey AS VARCHAR) AS doi,
+                   lower(regexp_replace(regexp_replace(o.o_orderpriority,
+                         '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')) AS title,
+                   CAST(year(o.o_orderdate) AS VARCHAR) AS year,
+                   CAST(1 AS BIGINT) AS n_keywords,
                    n_authors
             FROM orders o JOIN per_order p ON o.o_orderkey = p.okey
             WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey % 11 <> 0
