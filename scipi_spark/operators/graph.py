@@ -1,13 +1,19 @@
 """Generic iterative graph algorithms beyond the reference's Gelly call:
 connected components (used for duplicate-cluster assembly over near-dup
-pair sets) via large-star/small-star-style min-label propagation.
+pair sets) via hash-min label propagation.
 
 Scale shape: each iteration is one message aggregation (min over
 neighbors) + one join — identical shuffle profile to the LPA loop, with
-``localCheckpoint`` lineage cuts. Converges in O(log n) iterations on
-real-world graphs; iteration stops early when no label changes."""
+``localCheckpoint`` lineage cuts. Hash-min needs O(graph diameter)
+iterations — the right trade for near-dup cluster graphs, whose
+components are shallow (duplicates of a common document). For
+adversarially deep graphs (long chains) the upgrade path is the
+large-star/small-star contraction of Kiveris et al. (O(log n) rounds);
+this implementation instead detects non-convergence and warns/raises."""
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -18,11 +24,15 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """(id, component) where component = min vertex id reachable.
 
     Vertex ids must be orderable (numeric or string); the component label
-    is the minimum id in the component."""
+    is the minimum id in the component. If labels are still changing
+    after ``max_iterations`` (component diameter exceeds the budget) the
+    result would be a silently split clustering — so this raises when
+    ``strict`` else emits a RuntimeWarning."""
     bidir = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -38,6 +48,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 1
     for _ in range(max_iterations):
         nbr_min = (
             bidir.join(labels, bidir.b == labels.id)
@@ -66,6 +77,16 @@ def connected_components(
             break
 
     bidir.unpersist()
+    if changed != 0:
+        msg = (
+            "connected_components did not converge within "
+            f"max_iterations={max_iterations}; component labels are split "
+            "(a component's diameter exceeds the iteration budget) — "
+            "raise max_iterations"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", "comp")
 
 

@@ -110,11 +110,19 @@ def parquet_upsert(
 ) -> None:
     """Keyed last-write-wins upsert into a parquet table (the Cassandra-
     upsert stand-in, S5/S6): existing rows whose key appears in the batch
-    are replaced; everything else is kept. Atomic via write-to-temp + swap.
+    are replaced; everything else is kept.
 
-    On Delta/Iceberg this is a single MERGE; the parquet fallback rewrites
-    the table, which is fine for the bounded result tables it serves
-    (distinct keywords/years/team sizes — not fact data)."""
+    NOT transactional: the merge is staged to a temp dir (so the final
+    write never reads the table it overwrites), but the final overwrite
+    is a second full write — a crash between the two writes, or a
+    concurrent reader mid-overwrite, can observe a partial table. The
+    single-writer foreachBatch loop this serves tolerates that (the next
+    micro-batch rewrites); anything needing real atomicity should sink to
+    a table format with MERGE (Delta/Iceberg) instead. The rewrite cost
+    is fine for the bounded result tables it serves (distinct keywords/
+    years/team sizes — not fact data)."""
+    import shutil
+
     batch_df = batch_df.dropDuplicates(keys)
     if os.path.exists(path):
         current = spark.read.parquet(path)
@@ -124,9 +132,12 @@ def parquet_upsert(
     else:
         merged = batch_df
     tmp = path.rstrip("/") + "._tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_aggregation_upsert(

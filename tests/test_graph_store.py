@@ -52,6 +52,22 @@ def test_connected_components_random_graph(spark):
     assert got == want
 
 
+def test_connected_components_nonconvergence_detected(spark):
+    import pytest
+
+    # a 9-node chain has diameter 8: hash-min cannot finish in 2 rounds
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edf, max_iterations=2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edf, max_iterations=2, strict=True)
+    # and with budget it converges exactly
+    got = {r["id"]: r["comp"] for r in connected_components(edf).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_dedup_clusters_chain(spark):
     # chain 1-2-3 plus isolated pair 7-9: transitive closure matters
     pairs = spark.createDataFrame(
