@@ -357,6 +357,77 @@ def _q_stream_keyword_count(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the corpus
+    plus a planted duplicate of every 10th document is replayed as a
+    2-micro-batch JSONL stream; first-arrival-per-fingerprint rows are
+    appended to a memory sink. The converged fingerprint set must equal
+    batch DISTINCT over the original corpus (copies share fingerprints)."""
+    import tempfile
+    import uuid
+
+    from scipi_spark.operators.textops import fingerprint
+    from scipi_spark.streaming import streaming_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    raw = docs.unionByName(dups).select(
+        F.to_json(F.struct("doc_id", "text")).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="scipi_stream_dedup_")
+    src = f"{d}/src"
+    raw.coalesce(2).write.mode("overwrite").text(src)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(src)
+        .select(
+            F.from_json("value", "doc_id long, text string").alias("j")
+        )
+        .select(
+            "j.doc_id",
+            fingerprint("j.text").alias("fp"),
+            # deterministic synthetic event time (the corpus has none)
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("j.doc_id") % 997
+            ).alias("ts"),
+        )
+    )
+    deduped = streaming_dedup(stream, ["fp"], ts_col="ts", delay="1 hour")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.select("fp")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("fp")
+
+
+def _q_grouped_topk_parts(spark, sf_dir):
+    """Grouped top-k: the 3 highest-volume parts per brand (ties broken by
+    part key). Aggregation shuffle + per-group window rank, k-pruned."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+    return analytics.topk_per_group(
+        per_part,
+        ["p_brand"],
+        [F.desc("total_qty"), F.asc("p_partkey")],
+        k=3,
+    ).select("p_brand", "p_partkey", "total_qty", "rk")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the MinHash-LSH pair
     graph; oracle = recursive-CTE transitive closure over the exact pairs."""
@@ -621,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": relational.events_approx_distinct,
         "s5_latest_publications": _q_s5_latest_publications,
         "stream_keyword_count": _q_stream_keyword_count,
+        "stream_dedup_exact": _q_stream_dedup,
+        "grouped_topk_parts": _q_grouped_topk_parts,
         "dedup_clusters": _q_dedup_clusters,
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
@@ -1415,6 +1488,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        # first-arrival-per-fingerprint over originals+copies converges to
+        # the distinct fingerprint set of the original corpus
+        "stream_dedup_exact": r"""
+            SELECT DISTINCT
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "grouped_topk_parts": """
+            SELECT p_brand, p_partkey, total_qty, CAST(rk AS INTEGER) AS rk
+            FROM (
+              SELECT p_brand, p_partkey, total_qty,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY total_qty DESC, p_partkey) AS rk
+              FROM (SELECT p.p_brand, p.p_partkey,
+                           round(sum(l.l_quantity), 2) AS total_qty
+                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                    GROUP BY 1, 2))
+            WHERE rk <= 3
         """,
         # salting is exact for associative aggregates -> same oracle as p7
         "p7_keyword_count_salted": """

@@ -151,6 +151,27 @@ def top_n(counts: DataFrame, count_col: str, n: int = 100) -> DataFrame:
     ]).limit(n)
 
 
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Top-k rows per group, rank exposed as ``rk``. Pass fully
+    deterministic ``order_cols`` (include a tie-break key).
+
+    Plan: hash-partition on the group key, in-partition sort, row_number,
+    filter — the filter prunes to k rows per group before anything
+    downstream, and the whole window stays in codegen. At scale the
+    per-partition sort is the only cost beyond the one shuffle; skewed
+    groups split under AQE. (A heap-style partial top-k aggregate would
+    avoid the sort but leaves whole-stage codegen for an ObjectHashAgg —
+    the sort-based window wins until group cardinality is extreme.)"""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # V1 — authorship-pattern display table with >cutoff bucket and cumulative %
 # (visualisations.py:67-138 — the one window function in the reference)

@@ -177,6 +177,24 @@ def run_aggregation_to_memory(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key, emitting it
+    immediately (append mode), with dedup state bounded by the watermark —
+    ``dropDuplicatesWithinWatermark``, the production shape for keyed
+    dedup over unbounded streams (plain ``dropDuplicates`` would grow
+    state forever). State lives in the executor StateStore hash-
+    partitioned by key, exactly like a streaming aggregation; the batch
+    twin is ``distinct`` over the same key."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 # ---------------------------------------------------------------------------
 # windowed/watermarked extensions (north-star; reference has none)
 # ---------------------------------------------------------------------------
