@@ -103,6 +103,44 @@ def read_dblp_xml(spark: SparkSession, xml_path: str, batch_size: int = 10_000) 
     return spark.createDataFrame(rows, DBLP_RAW_SCHEMA)
 
 
+def read_dblp_xml_distributed(
+    spark: SparkSession, chunks_glob: str
+) -> DataFrame:
+    """Distributed S9: parse pre-split DBLP XML chunks in parallel.
+
+    The single-JVM producer (``read_dblp_xml``, mirroring
+    ``DblpParser.java:40-160``) cannot scale past one core or one
+    machine's memory for the multi-GB dblp archive. The standard fix is
+    record-boundary splitting: cut the archive between top-level records
+    and wrap each chunk in a root element — then every chunk is
+    independently well-formed and this reader parses them all in
+    parallel. Only the file LISTING happens on the driver; each executor
+    task streams its chunk files through the same incremental parser as
+    the single-JVM path (Arrow-batched ``mapInPandas``), so the output
+    rows are identical up to order. On a cluster the glob would point at
+    shared storage (s3a://...), and parallelism = number of chunks."""
+    import glob as globmod
+
+    import pandas as pd
+
+    files = sorted(globmod.glob(chunks_glob))
+    if not files:
+        raise FileNotFoundError(f"no XML chunks match {chunks_glob!r}")
+    paths = spark.createDataFrame([(f,) for f in files], "path string")
+    n = min(len(files), spark.sparkContext.defaultParallelism)
+
+    def parse(batches):
+        cols = [f.name for f in DBLP_RAW_SCHEMA.fields]
+        for batch in batches:
+            for path in batch["path"]:
+                recs = list(iter_dblp_records(path))
+                yield pd.DataFrame(
+                    {c: [r[c] for r in recs] for c in cols}
+                )
+
+    return paths.repartition(n).mapInPandas(parse, DBLP_RAW_SCHEMA)
+
+
 def to_kafka_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """S10: shape rows into Kafka producer records — (key, value) with the
     row serialized as one JSON document, ready for

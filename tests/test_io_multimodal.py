@@ -79,6 +79,41 @@ def test_dblp_xml_ingest_end_to_end(spark, tmp_path):
     assert got["confz3"]["publisher"] == "acm"
 
 
+def _dblp_record(i: int) -> str:
+    extra = "<publisher>ACM</publisher>" if i % 3 == 0 else ""
+    return (
+        f'<article key="journals/x/{i}">'
+        f"<author>Author {i}</author><author>Shared Coauthor</author>"
+        f"<title>Paper {i}</title><journal>J{i % 4}</journal>"
+        f"<year>{2000 + i % 20}</year>{extra}</article>"
+    )
+
+
+def test_dblp_xml_distributed_matches_single_jvm(spark, tmp_path):
+    records = [_dblp_record(i) for i in range(30)]
+    # single file with every record
+    single = tmp_path / "dblp_all.xml"
+    single.write_text("<dblp>" + "".join(records) + "</dblp>")
+    # the same records split at record boundaries into 3 rooted chunks
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    for ci in range(3):
+        (chunks / f"chunk{ci}.xml").write_text(
+            "<dblp>" + "".join(records[ci * 10 : (ci + 1) * 10]) + "</dblp>"
+        )
+
+    want = sorted(map(tuple, io.read_dblp_xml(spark, str(single)).collect()))
+    got = sorted(
+        map(
+            tuple,
+            io.read_dblp_xml_distributed(
+                spark, str(chunks / "chunk*.xml")
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 30
+
+
 def _media_df(spark):
     rows = [
         (1, "image", "png", b"\x89PNGfake1", (64, 48, 3, None, None)),
