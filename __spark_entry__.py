@@ -357,6 +357,59 @@ def _q_stream_keyword_count(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _media_analog(spark, sf_dir):
+    """Deterministic media assets from the documents table: payload =
+    utf-8 text bytes, media type cycling by doc_id, video durations from
+    doc_id arithmetic — so the binary mapInPandas plumbing has an
+    SQL-expressible ground truth."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            ((F.col("doc_id") % 7) * 1500).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction through the REAL Arrow mapInPandas
+    stage (binary payload batches -> fixed-width vectors) with the
+    deterministic sha256 stand-in decoder. The float32 features are
+    round-tripped back to their exact byte values (|err| < 2e-5 << 0.5)
+    and packed into a string so the driver hash-compares against DuckDB's
+    sha256 byte-for-byte."""
+    from scipi_spark.operators import multimodal
+
+    media = _media_analog(spark, sf_dir)
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decode)
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            "feature",
+            lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+        ),
+    )
+    return feats.select("asset_id", "media_type", sig.alias("sig16"))
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling (metadata-driven row explosion inside
+    mapInPandas): one row per sampled timestamp for the video assets."""
+    from scipi_spark.operators import multimodal
+
+    media = _media_analog(spark, sf_dir)
+    return multimodal.sample_frames(media, every_ms=1000)
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicatesWithinWatermark): the corpus
     plus a planted duplicate of every 10th document is replayed as a
@@ -694,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_keyword_count": _q_stream_keyword_count,
         "stream_dedup_exact": _q_stream_dedup,
         "grouped_topk_parts": _q_grouped_topk_parts,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
         "dedup_clusters": _q_dedup_clusters,
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
@@ -1488,6 +1543,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        # sha256 bytes of the utf-8 payload, exactly what fake_decode's
+        # digest-derived features round-trip back to
+        "multimodal_features": """
+            SELECT doc_id AS asset_id,
+                   ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+                     AS media_type,
+                   array_to_string(
+                     [CAST((strpos('0123456789abcdef',
+                                   substr(sha256(text), 2*i-1, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef',
+                                     substr(sha256(text), 2*i, 1)) - 1)
+                           AS VARCHAR)
+                      for i in range(1, 17)], ',') AS sig16
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT asset_id,
+                   CAST(i // 1000 AS INTEGER) AS frame_idx,
+                   CAST(i AS BIGINT) AS frame_ms
+            FROM (SELECT doc_id AS asset_id,
+                         unnest(range(0, (doc_id % 7) * 1500, 1000)) AS i
+                  FROM documents WHERE doc_id % 3 = 2)
         """,
         # first-arrival-per-fingerprint over originals+copies converges to
         # the distinct fingerprint set of the original corpus
