@@ -410,6 +410,20 @@ def _q_multimodal_frames(spark, sf_dir):
     return multimodal.sample_frames(media, every_ms=1000)
 
 
+def _q_pipeline_clean_corpus(spark, sf_dir):
+    """The LLM preprocessing pipeline composed end-to-end as ONE plan:
+    language-ID gate -> quality-score gate -> exact dedup (min doc id per
+    fingerprint survives). All narrow maps + one window shuffle; at scale
+    this is the shape of a trillion-token cleaning pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.quality_features(docs)
+    kept = scored.filter(
+        (textops.lang_id("text") == "en") & (F.col("q_score") >= 0.5)
+    )
+    surviving = dedup.dedup_exact(kept)
+    return surviving.select("doc_id", "q_score")
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicatesWithinWatermark): the corpus
     plus a planted duplicate of every 10th document is replayed as a
@@ -735,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_volume": relational.cube_order_volume,
         "window_top_orders": relational.window_top_orders_per_customer,
         "window_order_deltas": relational.window_order_deltas,
+        "window_rolling_revenue": relational.window_rolling_revenue,
         "rollup_order_volume": relational.rollup_order_volume,
         "distinct_agg_supplier": relational.distinct_agg_supplier_reach,
         "semi_anti_customers": relational.semi_anti_customers,
@@ -749,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk_parts": _q_grouped_topk_parts,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "dedup_clusters": _q_dedup_clusters,
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
@@ -1431,6 +1447,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
+        "window_rolling_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   count(*) OVER w AS n_orders_90d,
+                   round(sum(o_totalprice) OVER w, 2) AS revenue_90d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL '90 days' PRECEDING
+                               AND CURRENT ROW)
+        """,
         "window_order_deltas": """
             SELECT o_custkey, o_orderkey,
                    CAST(rank() OVER w AS BIGINT) AS order_seq,
@@ -1543,6 +1568,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        # lang + quality gates then min-doc-per-fingerprint (exact dedup)
+        "pipeline_clean_corpus": _TOKS_CTE
+        + f"""
+            , feat AS (
+              SELECT doc_id, text,
+                CAST(length(text) AS DOUBLE) / greatest(len(t), 1) AS mean_tok,
+                CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                     AS DOUBLE) / greatest(len(t), 1) AS sw_ratio,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio
+              FROM toks
+            ), scored AS (
+              SELECT doc_id, text,
+                     round(least(1.0,
+                           0.5 * alpha_ratio
+                           + 0.3 * least(sw_ratio * 4, 1.0)
+                           + CASE WHEN mean_tok >= 3 AND mean_tok <= 10
+                                  THEN 0.2 ELSE 0.0 END), 6) AS q_score
+              FROM feat
+              WHERE sw_ratio >= 0.05
+            ), kept AS (
+              SELECT doc_id, q_score,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM scored WHERE q_score >= 0.5
+            )
+            SELECT doc_id, q_score FROM (
+              SELECT doc_id, q_score,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM kept)
+            WHERE rn = 1
         """,
         # sha256 bytes of the utf-8 payload, exactly what fake_decode's
         # digest-derived features round-trip back to

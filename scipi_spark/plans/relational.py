@@ -365,6 +365,26 @@ def window_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, each order's trailing-90-day
+    order count and revenue. The frame is VALUE-based (all orders whose
+    date falls in the interval, ties included wholesale), not row-based —
+    rangeBetween over a day-number key (timestamps don't cast to numeric
+    directly), the Spark spelling of RANGE BETWEEN INTERVAL '90 days'
+    PRECEDING AND CURRENT ROW — both bounds inclusive on whole days.
+    One hash partition on the customer + one in-partition sort serves
+    both aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-90, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_90d"),
+    )
+
+
 def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: order counts and volume by
     (status, priority) with rollup subtotals."""
