@@ -686,13 +686,58 @@ def _q_knn_ivf(spark, sf_dir):
 
 def _q_emb_neardup(spark, sf_dir):
     """LSH-bucketed near-dup pairs (the scale path — never the cross
-    product). 16 tables x 4 bits + multiprobe: measured recall 1.0 vs the
-    exact O(n^2) variant at sf0.01, so the exact-pairs SQL below is the
-    oracle (same precedent as dedup_minhash_lsh); precision is exact
-    because candidates are re-scored with the true cosine."""
+    product). Signature width follows the corpus: bits =
+    max(4, log2(n/64)) keeps expected bucket occupancy ~64 at any SF, so
+    the candidate join stays near-linear instead of collapsing toward
+    all-pairs as n grows (measured 24.8s -> bounded at sf0.1 when 10k
+    vectors moved from 16 to 256 buckets/table). At sf0.01 this resolves
+    to 16 tables x 4 bits + multiprobe: measured recall 1.0 vs the exact
+    O(n^2) variant, so the exact-pairs SQL below is the oracle (same
+    precedent as dedup_minhash_lsh); precision is exact because
+    candidates are re-scored with the true cosine."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = max(4, math.ceil(math.log2(max(n, 64) / 64)))
     return similarity.cosine_neardup_pairs(
-        emb, threshold=NEARDUP_COS_THRESHOLD, bits=4, tables=16
+        emb, threshold=NEARDUP_COS_THRESHOLD, bits=bits, tables=16
+    )
+
+
+def _q_emb_neardup_planted(spark, sf_dir):
+    """The TRUE near-dup operating regime: every vector gets a
+    deterministically perturbed copy (e'_i = e_i + 0.1 * e_{(i+1) mod d},
+    cosine vs original ~0.99), and the task is finding the planted pairs
+    at threshold 0.95. Here LSH banding is genuinely sub-quadratic:
+    12-bit signatures put random pairs (cos <= ~0.5, collision prob
+    p^12 ~ 1e-2 per table) in different buckets while planted pairs
+    (p ~ 0.95) collide with near-certainty across 16 tables — no
+    multiprobe needed. Contrast with emb_neardup_pairs' 0.4-threshold
+    entry, where the corpus has no planted structure and ANY method
+    degrades toward all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 64
+    ed = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pert = ed.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "e",
+            lambda x, i: x
+            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
+        ).alias("e"),
+    )
+    both = ed.unionByName(pert)
+    return similarity.cosine_neardup_pairs(
+        both,
+        threshold=0.95,
+        vec_col="e",
+        bits=12,
+        tables=16,
+        multiprobe=False,
     )
 
 
@@ -734,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_lsh": _q_knn_lsh,
         "knn_cosine_ivf": _q_knn_ivf,
         "emb_neardup_pairs": _q_emb_neardup,
+        "emb_neardup_planted": _q_emb_neardup_planted,
         "tpch_q1": relational.q1_pricing_summary,
         "tpch_q3": relational.q3_shipping_priority,
         "tpch_q5": relational.q5_local_supplier_volume,
@@ -1293,6 +1339,27 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
               FROM base a, base b WHERE a.vec_id < b.vec_id)
             WHERE cosine >= {NEARDUP_COS_THRESHOLD}
+        """,
+        # exact all-pairs over originals + deterministically perturbed
+        # copies; the LSH entry must find every planted pair (recall 1.0
+        # by the 16-table margin at p~0.95)
+        "emb_neardup_planted": """
+            WITH ed AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), pert AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     [e[i] + 0.1 * e[(i % 64) + 1] for i in range(1, 65)] AS e
+              FROM ed
+            ), allv AS (
+              SELECT * FROM ed UNION ALL SELECT * FROM pert
+            )
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_inner_product(a.e, b.e)
+                           / (sqrt(list_inner_product(a.e, a.e))
+                              * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+              FROM allv a, allv b WHERE a.vec_id < b.vec_id)
+            WHERE cosine >= 0.95
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -386,11 +386,14 @@ def cosine_neardup_pairs(
         )
         a_side = sigs.select(F.col("vec_id").alias("id_a"), "t", "sig")
         if multiprobe:
+            # flip at most 4 bits: probe fan-out stays constant as bits
+            # scales with log2(n), instead of growing the candidate join
+            # by another factor of bits
             probes = F.array(
                 F.col("sig"),
                 *[
                     F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long"))
-                    for i in range(bits)
+                    for i in range(min(bits, 4))
                 ],
             )
             a_side = a_side.select(
