@@ -792,6 +792,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": relational.q17_small_quantity_revenue,
         "tpch_q18": relational.q18_large_orders,
         "tpch_q19": relational.q19_discounted_revenue,
+        "tpch_q2": relational.q2_min_cost_supplier,
+        "tpch_q7": relational.q7_volume_shipping,
+        "tpch_q8": relational.q8_market_share,
+        "tpch_q9": relational.q9_product_type_profit,
+        "tpch_q11": relational.q11_important_parts,
+        "tpch_q15": relational.q15_top_supplier,
+        "tpch_q16": relational.q16_supplier_count_by_part,
+        "tpch_q20": relational.q20_dominant_suppliers,
+        "tpch_q21": relational.q21_suppliers_kept_waiting,
+        "tpch_q22": relational.q22_global_sales_opportunity,
         "cube_order_volume": relational.cube_order_volume,
         "window_top_orders": relational.window_top_orders_per_customer,
         "window_order_deltas": relational.window_order_deltas,
@@ -1506,6 +1516,181 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        # Q2 adaptation: supply relation = observed (l_partkey,l_suppkey)
+        # pairs; cost = min observed unit price (order-independent, so
+        # bit-stable cross-engine where avg would not be)
+        "tpch_q2": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS cost
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size = 15 AND p_type = 'SMALL'
+              GROUP BY l_partkey, l_suppkey
+            ), best AS (
+              SELECT * FROM (
+                SELECT ps.*, min(cost) OVER (PARTITION BY l_partkey) AS mc
+                FROM ps)
+              WHERE cost = mc
+            )
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   l_partkey AS p_partkey, round(cost, 6) AS cost
+            FROM best
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_acctbal DESC, s_name, p_partkey
+            LIMIT 100
+        """,
+        "tpch_q7": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS VARCHAR) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            SELECT CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_year
+        """,
+        # Q9 adaptation: cost proxy 0.6 * p_retailprice * l_quantity
+        # (no partsupp.ps_supplycost in the testdata)
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2)
+                     AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, o_year
+        """,
+        "tpch_q11": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(l_extendedprice * (1 - l_discount)) AS value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_5'
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, round(value, 2) AS value
+            FROM per_part
+            WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+            ORDER BY value DESC, p_partkey
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     sum(l_extendedprice * (1 - l_discount)) AS total
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total = (SELECT max(total) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        # Q16 adaptation: supply relation from lineitem; "complaints"
+        # exclusion = suppliers with negative account balance
+        "tpch_q16": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        # Q20 adaptation: "excess stock" = supplier shipped more than half
+        # of a part's 1996 flow (no availqty in the testdata)
+        "tpch_q20": """
+            WITH per_pair AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_partkey, l_suppkey
+            ), dominant AS (
+              SELECT DISTINCT l_suppkey FROM (
+                SELECT l_suppkey, qty,
+                       sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+                FROM per_pair)
+              WHERE qty > 0.5 * part_total
+            )
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+            ORDER BY s_suppkey
+        """,
+        # Q21 adaptation: "late" = returnflag 'R' (no commit/receipt
+        # dates); sole-blame via one per-order aggregate
+        "tpch_q21": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT l_suppkey)
+                       FILTER (WHERE l_returnflag = 'R') AS n_bad_supp,
+                     max(l_suppkey)
+                       FILTER (WHERE l_returnflag = 'R') AS bad_supp
+              FROM lineitem
+              GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON bad_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_bad_supp = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        # Q22 adaptation: country code = c_nationkey % 5 (no phone column)
+        "tpch_q22": """
+            SELECT c_nationkey % 5 AS cntrycode,
+                   count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY cntrycode
         """,
         "cube_order_volume": """
             SELECT o_orderstatus, o_orderpriority,

@@ -516,3 +516,374 @@ def events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+def q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str, size: int = 15, ptype: str = "SMALL", n: int = 100
+) -> DataFrame:
+    """TPC-H Q2-style: cheapest supplier per qualifying part.
+
+    The testdata has no partsupp table, so the supply relation is the
+    (l_partkey, l_suppkey) pairs observed in lineitem and "supply cost"
+    is the minimum observed unit price (min is order-independent, so it
+    is bit-stable across engines — avg would not be).  The textbook
+    correlated-min subquery is a window min over partkey: the per-pair
+    aggregate and the window share the same partitioning, so Catalyst
+    plans ONE shuffle for both.  part is pre-filtered and broadcast."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == size) & (F.col("p_type") == ptype))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("cost", 6).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(n)
+    )
+
+
+def q7_volume_shipping(
+    spark: SparkSession, sf_dir: str, n1: str = "NATION_1", n2: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year and
+    direction.  Both nation dimensions broadcast (aliased to keep the two
+    roles distinct); the only shuffles are the two fact joins and the
+    final 4-row aggregate."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp_nation), sup.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cust_nation), cust.c_nationkey == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("string").alias("l_year"),
+        )
+        .agg(F.round(rev, 2).alias("revenue"))
+    )
+
+
+def q8_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    target_nation: str = "NATION_3",
+    region: str = "ASIA",
+    ptype: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8: the target nation's share of supplier volume into a
+    customer region, by order year.  Share = conditional-sum / sum in one
+    aggregate (no self-join); every dimension broadcasts."""
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    cust_nat = nation.join(
+        F.broadcast(reg), nation.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == ptype
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("cn_key"), "inner")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(supp_nat), sup.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("string").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_type_profit(
+    spark: SparkSession, sf_dir: str, name_word: str = "widget"
+) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation and order year for parts
+    whose name contains a word.  No partsupp.ps_supplycost in the
+    testdata, so cost is the deterministic proxy 0.6 * p_retailprice *
+    l_quantity (documented divergence; the plan shape — two fact joins,
+    all dimensions broadcast — is the point)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_word)
+    ).select("p_partkey", "p_retailprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("string").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def q11_important_parts(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_5",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11-style: parts whose stocked value (here: lineitem revenue
+    via suppliers of one nation) exceeds a fraction of the total.  The
+    HAVING-scalar-subquery is a 1-row broadcast cross join — the per-part
+    aggregate is computed once and reused for both sides (no second scan:
+    the total is an agg OF the per-part agg)."""
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    per_part = per_part.persist()
+    total = per_part.agg(
+        (F.sum("value") * F.lit(fraction)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    revenue "view" is computed once, its 1-row max broadcasts back onto
+    it (equality join, not a sort), exactly the textbook view+max shape
+    without materializing anything twice."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total"))
+        .persist()
+    )
+    mx = revenue.agg(F.max("total").alias("max_total"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("max_total"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier count per (brand, type, size)
+    bucket.  The supply relation is distinct (l_partkey, l_suppkey) from
+    lineitem (no partsupp table); the "customer complaints" exclusion is
+    suppliers with negative account balance (deterministic analog).  The
+    excluded-supplier set is tiny and broadcast as an anti join."""
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(bad_sup), ps.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_dominant_suppliers(
+    spark: SparkSession, sf_dir: str, prefix: str = "red",
+    year: int = 1996, frac: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20-style: suppliers holding a dominant share of a part's
+    flow.  availqty doesn't exist in the testdata, so "excess stock"
+    becomes: shipped more than ``frac`` of a part's total quantity that
+    year (same semi-join-chain plan shape: part filter -> per-(part,supp)
+    aggregate -> correlated threshold -> semi join suppliers).  The
+    threshold is a window sum over the SAME partitioning as the
+    aggregate — one shuffle total."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(prefix)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_pair.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") > frac * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str, n: int = 100
+) -> DataFrame:
+    """TPC-H Q21-style: suppliers solely responsible for problems in
+    multi-supplier orders.  No commit/receipt dates in the testdata, so
+    "late" is returnflag = 'R'.  The textbook EXISTS + NOT-EXISTS double
+    correlation collapses into ONE per-order aggregate: an order counts
+    against supplier S iff it has >= 2 distinct suppliers and S is the
+    only supplier with a returned item — all derivable from
+    count-distinct + conditional max in a single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_bad_supp"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("bad_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_bad_supp") == 1)
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("bad_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("bad_supp") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(n)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: wealthy customers with no orders, grouped by
+    country code.  No phone column in the testdata, so the country code
+    is c_nationkey % 5 (deterministic analog of the phone prefix), and
+    "no orders" is scoped to the recent window (every customer has SOME
+    order at this density).  The average-balance scalar broadcasts; the
+    no-orders test is a left anti join (never a NOT IN shuffle)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", (F.col("c_nationkey") % 5).alias("cntrycode")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
