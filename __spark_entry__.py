@@ -186,6 +186,43 @@ def _q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", textops.fingerprint("text").alias("fp"))
 
 
+def _q_text_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_features(docs)
+
+
+def _q_text_pii_scrub(spark, sf_dir):
+    """Planted-PII regime (the corpus itself has none): every third doc
+    gets a deterministic email, every third a phone-shaped digit run, so
+    the scrub provably redacts and the untouched docs provably pass
+    through byte-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textops.pii_scrub(planted).select("doc_id", "n_redactions", "scrubbed")
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_exact(docs).select(
@@ -755,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_p5_ingest_dblp": _q_ingest_dblp,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
+        "text_pii_scrub": _q_text_pii_scrub,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1161,6 +1200,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "text_repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), word_stats AS (
+              SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                     round(1 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                               / greatest(len(ws), 1), 6) AS dup_word_frac
+              FROM w
+            ), g2 AS (
+              SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1]
+                             for i in range(1, len(ws))]) AS g
+              FROM w
+            ), g3 AS (
+              SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws) - 1)]) AS g
+              FROM w
+            ), c2 AS (
+              SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+            ), c3 AS (
+              SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+            ), a2 AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                       AS top_bigram_frac
+              FROM c2 GROUP BY doc_id
+            ), a3 AS (
+              SELECT doc_id,
+                     round(CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0)
+                                AS DOUBLE) / sum(c), 6) AS dup_trigram_frac
+              FROM c3 GROUP BY doc_id
+            )
+            SELECT ws.doc_id, n_words, dup_word_frac,
+                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac
+            FROM word_stats ws
+            LEFT JOIN a2 ON ws.doc_id = a2.doc_id
+            LEFT JOIN a3 ON ws.doc_id = a3.doc_id
+        """,
+        "text_pii_scrub": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' contact user'
+                               || CAST(doc_id AS VARCHAR) || '@example.com now'
+                          WHEN doc_id % 3 = 1
+                          THEN text || ' call 555-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        + len(regexp_extract_all(text,
+                          '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_redactions,
+                   regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+            FROM planted
         """,
         "dedup_exact": r"""
             SELECT doc_id, fp FROM (

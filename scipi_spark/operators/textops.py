@@ -113,3 +113,101 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-word
+    fraction, top-bigram fraction (mass of the most frequent 2-gram), and
+    duplicate-trigram fraction (mass of 3-grams occurring more than once).
+
+    High values flag boilerplate/spam for training-data filtering (the
+    same role as the repetition rules in the Gopher/MassiveText paper).
+    The word-level metric is a pure Column expression fused into the
+    scan; the n-gram metrics are ONE explode -> count -> per-doc
+    aggregate chain: 2- and 3-grams are tagged and exploded together, so
+    the whole operator costs two shuffles (by (doc, n, gram), then by
+    doc) regardless of corpus size, with no Python anywhere."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("w"))
+    word_stats = base.select(
+        id_col,
+        F.size("w").cast("long").alias("n_words"),
+        F.round(
+            1
+            - F.size(F.array_distinct("w"))
+            / F.greatest(F.size("w"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+    )
+
+    def grams(n: int) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("w") - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"), F.concat_ws(" ", F.slice("w", i, n)).alias("g")
+            ),
+        )
+        return F.when(F.size("w") >= n, g).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    counts = (
+        base.select(id_col, F.explode(F.concat(grams(2), grams(3))).alias("ng"))
+        .groupBy(id_col, "ng.n", "ng.g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    per_doc = counts.groupBy(id_col).agg(
+        F.round(
+            F.max(F.when(is2, F.col("c")))
+            / F.sum(F.when(is2, F.col("c"))).cast("double"),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(is3 & (F.col("c") > 1), F.col("c"))), F.lit(0)
+            )
+            / F.sum(F.when(is3, F.col("c"))).cast("double"),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    # left join keeps degenerate docs (<2 words) with NULL-coalesced zeros
+    return (
+        word_stats.join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
+#: Redaction patterns shared by Java regex (Spark) and RE2 (DuckDB oracle):
+#: pure alternation/classes, no lookarounds or backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and phone-shaped digit runs, keeping a
+    per-document redaction count for audit.  Pure regexp Column
+    expressions — a narrow map fused into the scan; the patterns are
+    deliberately lookaround-free so the same regex text runs on Spark's
+    Java engine and RE2-based engines."""
+    c = F.col(text_col)
+    n_redactions = (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0))
+    ).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "*",
+        n_redactions.alias("n_redactions"),
+        scrubbed.alias("scrubbed"),
+    )
