@@ -191,6 +191,46 @@ def _q_text_repetition(spark, sf_dir):
     return textops.repetition_features(docs)
 
 
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark-leak check: every 25th doc plays the eval set; training
+    docs sharing any word 5-gram with it are flagged with their overlap
+    count.  Contamination is PLANTED so the check provably fires: each
+    train doc with id % 25 == 7 gets the first 8 tokens of its
+    neighboring eval doc appended (natural word-soup collisions alone
+    flag almost nothing).  Eval shingles broadcast — the corpus side
+    never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    eval_docs = docs.filter(did % 25 == 0)
+    snips = eval_docs.select(
+        F.col("doc_id").alias("eid"),
+        F.concat_ws(" ", F.slice(textops.tokens("text"), 1, 8)).alias("snip"),
+    )
+    train = (
+        docs.filter(did % 25 != 0)
+        .join(F.broadcast(snips), did - (did % 25) == F.col("eid"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                did % 25 == 7, F.concat_ws(" ", F.col("text"), F.col("snip"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return textops.decontaminate(train, eval_docs, k=5)
+
+
+def _q_doc_chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.pack_sequences(docs, budget=512)
+
+
 def _q_text_pii_scrub(spark, sf_dir):
     """Planted-PII regime (the corpus itself has none): every third doc
     gets a deterministic email, every third a phone-shaped digit run, so
@@ -794,6 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
+        "text_decontaminate": _q_text_decontaminate,
+        "doc_chunks": _q_doc_chunks,
+        "pack_sequences": _q_pack_sequences,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1243,6 +1286,76 @@ def oracle_sql() -> dict[str, str]:
             FROM word_stats ws
             LEFT JOIN a2 ON ws.doc_id = a2.doc_id
             LEFT JOIN a3 ON ws.doc_id = a3.doc_id
+        """,
+        "text_decontaminate": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS rw
+              FROM documents
+            ), snips AS (
+              SELECT doc_id AS eid,
+                     array_to_string(list_slice(rw, 1, 8), ' ') AS snip
+              FROM raw WHERE eid % 25 = 0
+            ), w AS (
+              SELECT r.doc_id,
+                     CASE WHEN r.doc_id % 25 = 7
+                          THEN list_filter(string_split_regex(
+                                 array_to_string(r.rw, ' ') || ' ' || s.snip,
+                                 '\s+'), x -> x <> '')
+                          ELSE r.rw END AS ws
+              FROM raw r
+              LEFT JOIN snips s ON r.doc_id - (r.doc_id % 25) = s.eid
+            ), sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(list_slice(ws, i, i + 4), ' ')
+                        for i in range(1, len(ws) - 3)])) AS g
+              FROM w WHERE len(ws) >= 5
+            ), ev AS (
+              SELECT DISTINCT g FROM sh WHERE doc_id % 25 = 0
+            ), tr AS (
+              SELECT doc_id, g FROM sh WHERE doc_id % 25 <> 0
+            )
+            SELECT doc_id, count(*) AS n_shared_grams
+            FROM tr JOIN ev USING (g)
+            GROUP BY doc_id
+        """,
+        "doc_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), st AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, len(ws) + 1, 48)) AS start
+              FROM w WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   (start - 1) // 48 AS chunk_id,
+                   array_to_string(list_slice(ws, start, start + 63), ' ')
+                     AS chunk_text,
+                   CAST(least(64, len(ws) - start + 1) AS BIGINT) AS n_tokens
+            FROM st
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT source, doc_id,
+                     CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                          AS BIGINT) AS bin
+              FROM t
+            )
+            SELECT source, bin, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM b GROUP BY source, bin
         """,
         "text_pii_scrub": r"""
             WITH planted AS (

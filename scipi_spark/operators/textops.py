@@ -10,7 +10,7 @@ column pruning (only ``text`` is read).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny English function-word list for the n-gram/stopword language heuristic.
@@ -210,4 +210,101 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         n_redactions.alias("n_redactions"),
         scrubbed.alias("scrubbed"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word k-gram with an evaluation set (the standard n-gram overlap
+    check run before LLM training).
+
+    Scale shape: the eval side is always tiny relative to the corpus, so
+    its distinct shingle set BROADCASTS — the training corpus is never
+    shuffled, just one narrow explode + broadcast hash join + per-doc
+    count.  Returns (id, n_shared_grams) for contaminated docs only."""
+    eval_grams = (
+        eval_docs.select(F.explode(word_shingles(text_col, k)).alias("g"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), on="g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-count overlapping chunks (the
+    context-window preprocessing step for LLM training).  One narrow
+    explode fused into the scan — chunk starts are a stepped sequence()
+    and each chunk is a slice of the token array; no shuffle, no Python.
+    The last chunk may be short; empty docs yield no chunks."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("w"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(stride))
+    return (
+        base.filter(F.size("w") > 0)
+        .select(id_col, "w", F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            ((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("w", F.col("start"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.size("w") - F.col("start") + 1
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed-budget
+    training bins by running token count in (group, id) order — the
+    streaming first-fit approximation of bin packing, made reproducible
+    by the explicit ordering.  bin = floor(tokens_before / budget).
+
+    Scale shape: the prefix sum is a window WITHIN each group (source
+    shard), never a global single-partition sort — adding more shards
+    adds parallelism.  Returns per-bin occupancy for audit."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(text_col)
+    with_bins = df.select(
+        F.col(group_col), F.col(id_col), n_tok.alias("n_tokens")
+    ).select(
+        group_col,
+        id_col,
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget)
+        .cast("long")
+        .alias("bin"),
+    )
+    return with_bins.groupBy(group_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
     )
