@@ -125,3 +125,119 @@ def test_lang_id(spark):
         "doc_id", textops.lang_id("text").alias("l")).collect()}
     assert got[1] == "en"
     assert got[2] == "unknown"
+
+
+def test_repetition_features_edges(spark):
+    from scipi_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one word repeated
+            (2, "a b c d"),            # all distinct
+            (3, "x"),                  # single word: no bigrams/trigrams
+            (4, "a b a b a b"),        # perfectly periodic
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.repetition_features(df).collect()
+    }
+    assert rows[1]["dup_word_frac"] == 0.75          # 1 distinct of 4
+    assert rows[1]["top_bigram_frac"] == 1.0         # "a a" is every bigram
+    assert rows[1]["dup_trigram_frac"] == 1.0
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == round(1 / 3, 6)  # all unique
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[3]["top_bigram_frac"] == 0.0         # coalesced: no bigrams
+    assert rows[3]["dup_trigram_frac"] == 0.0
+    # doc 4: bigrams = [ab, ba, ab, ba, ab] -> top = 3/5
+    assert rows[4]["top_bigram_frac"] == 0.6
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from scipi_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@my-site.org today"),
+            (2, "call 555-1234 or 555-9999"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.pii_scrub(df).collect()}
+    assert rows[1]["n_redactions"] == 1
+    assert "<EMAIL>" in rows[1]["scrubbed"]
+    assert "@" not in rows[1]["scrubbed"]
+    assert rows[2]["n_redactions"] == 2
+    assert rows[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert rows[3]["n_redactions"] == 0
+    assert rows[3]["scrubbed"] == "nothing here"
+
+
+def test_chunk_documents_boundaries(spark):
+    from scipi_spark.operators import textops
+
+    words_100 = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words_100), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    chunks = textops.chunk_documents(
+        df, chunk_tokens=64, stride=48
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 1, 49, 97 -> chunks of 64, 52, 4 tokens
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in d1] == [64, 52, 4]
+    assert d1[0]["chunk_text"].split()[0] == "w0"
+    assert d1[1]["chunk_text"].split()[0] == "w48"
+    assert d1[2]["chunk_text"].split() == ["w96", "w97", "w98", "w99"]
+    # short doc: one short chunk
+    d2 = by_doc[2]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 3
+    # empty doc: no chunks
+    assert 3 not in by_doc
+
+
+def test_pack_sequences_deterministic_bins(spark):
+    from scipi_spark.operators import textops
+
+    # 5 docs of 200 tokens each in one shard: bins at budget 512 are
+    # floor(tokens_before/512) = 0,0,0,1,1
+    docs = [
+        (i, "s0", " ".join(["t"] * 200)) for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = sorted(
+        textops.pack_sequences(df, budget=512).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [(r["bin"], r["n_docs"], r["sum_tokens"]) for r in rows] == [
+        (0, 3, 600),
+        (1, 2, 400),
+    ]
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    from scipi_spark.operators import textops
+
+    evald = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x y alpha beta gamma delta epsilon end"),  # shares 5-grams
+            (2, "p q r s t u v w"),                         # clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.decontaminate(train, evald, k=5).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1
+    # "alpha beta gamma delta epsilon" is the only shared 5-gram
+    assert rows[0]["n_shared_grams"] == 1
