@@ -818,7 +818,12 @@ def q20_dominant_suppliers(
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        # dominant is at most |supplier| rows but Catalyst has no stats
+        # for the derived set — hint it broadcast so the semi join never
+        # sort-merges
+        sup.join(
+            F.broadcast(dominant), sup.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
