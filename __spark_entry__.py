@@ -616,6 +616,24 @@ def _q_asof_join_events(spark, sf_dir):
     return out.select("event_id", F.round("value_r", 6).alias("value_r"))
 
 
+def _q_stream_interval_join(spark, sf_dir):
+    """Batch twin of the stream-stream interval join (click-after-view
+    attribution within 15 minutes): the same interval_join_streams code
+    runs on batch frames here and on two file streams in
+    test_streaming.py, which asserts stream == batch output."""
+    from scipi_spark.sources.tables import load_events
+    from scipi_spark.streaming.pipelines import interval_join_streams
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join_streams(views, clicks, bound="15 minutes")
+
+
 def _q_range_join_events(spark, sf_dir):
     """Range join: (purchase, error) pairs where the error happened in the
     10 minutes before the same user's purchase."""
@@ -906,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
+        "stream_interval_join": _q_stream_interval_join,
         "p7_keyword_count_salted": _q_p7_salted,
         "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
@@ -2163,6 +2182,22 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'view') q
               ON t.user_id = q.user_id AND t.ts >= q.ts
+        """,
+        # floor(epoch) on both sides mirrors Spark's unix_timestamp
+        # (truncation, not boundary counting) for sub-second timestamps
+        "stream_interval_join": """
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   c.event_id AS click_id,
+                   CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
+                     AS lag_seconds
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') v
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+              ON v.user_id = c.user_id
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL '15 minutes'
         """,
         "range_join_events": """
             SELECT t.event_id, q.event_id AS event_id_r

@@ -327,3 +327,50 @@ def session_window_stats(
             "sum_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    bound: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: pair
+    each left event with right events of the same key arriving within
+    ``[left.ts, left.ts + bound]`` (click-after-view attribution).
+
+    Both sides carry watermarks and the join condition bounds BOTH
+    event times, so Spark can size the join state and evict expired
+    rows — without the bound, stream-stream join state grows forever.
+    State is hash-partitioned by the join key in the StateStore, i.e.
+    both streams co-partition on ``key`` exactly like a streaming
+    aggregation; at 100 TB/day the bound (not the corpus) sizes memory.
+
+    Works identically on batch frames (the theta join becomes a key
+    equi-join + range filter), which is what the oracle entry runs."""
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {bound}"
+        ),
+        "inner",
+    ).select(
+        F.col("l_key").alias(key),
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias(
+            "lag_seconds"
+        ),
+    )

@@ -195,3 +195,48 @@ def test_tumbling_window_stream_matches_batch(spark, tmp_path):
     # sanity: hour buckets
     assert {t[2:] for t in got} == {("click", 2, 3.0), ("view", 1, 3.0),
                                     ("click", 1, 4.0), ("view", 1, 5.0)}
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from scipi_spark.streaming.pipelines import interval_join_streams
+
+    views = [
+        (1, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-01 00:30:00", 10),
+        (3, "2024-01-01 00:00:00", 20),
+    ]
+    clicks = [
+        (101, "2024-01-01 00:10:00", 10),  # within 15m of view 1
+        (102, "2024-01-01 00:40:00", 10),  # within 15m of view 2 only
+        (103, "2024-01-01 02:00:00", 10),  # beyond every bound
+        (104, "2024-01-01 00:05:00", 30),  # no matching view user
+    ]
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    vdf, cdf = _df(views), _df(clicks)
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    vdf.coalesce(1).write.mode("overwrite").parquet(vsrc)
+    cdf.coalesce(1).write.mode("overwrite").parquet(csrc)
+
+    batch = sorted(map(tuple, interval_join_streams(vdf, cdf).collect()))
+    assert batch == [(10, 1, 101, 600), (10, 2, 102, 600)]
+
+    vstream = spark.readStream.schema(vdf.schema).parquet(vsrc)
+    cstream = spark.readStream.schema(cdf.schema).parquet(csrc)
+    q = (
+        interval_join_streams(vstream, cstream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mem_interval_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("mem_interval_join").collect()))
+    assert got == batch
