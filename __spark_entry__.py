@@ -26,6 +26,7 @@ from scipi_spark.operators import (
     association,
     community,
     dedup,
+    graph,
     similarity,
     textops,
 )
@@ -616,6 +617,35 @@ def _q_asof_join_events(spark, sf_dir):
     return out.select("event_id", F.round("value_r", 6).alias("value_r"))
 
 
+def _q_graph_triangles(spark, sf_dir):
+    """Per-author triangle counts over the co-authorship graph (ordered
+    two-join wedge closure on canonical pairs)."""
+    pubs = publications_analog(spark, sf_dir)
+    pairs = graph.cooccurrence_pairs(pubs, "authors")
+    return graph.triangle_counts(pairs).select(
+        F.col("vertex").alias("author"), "n_triangles"
+    )
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    """5-iteration PageRank over the co-authorship graph; fixed iteration
+    count (no float convergence test) makes it cross-engine checkable —
+    the oracle unrolls the same five steps in SQL. Ranks are n-normalized
+    so round-6 hashing keeps ~6 significant digits at any graph size;
+    top-100 with rounded-rank ordering and author tie-break."""
+    pubs = publications_analog(spark, sf_dir)
+    pairs = graph.cooccurrence_pairs(pubs, "authors")
+    pr = graph.pagerank(pairs, damping=0.85, iterations=5, normalized=True)
+    return (
+        pr.select(
+            F.col("vertex").alias("author"),
+            F.round("rank", 6).alias("rank_norm"),
+        )
+        .orderBy(F.desc("rank_norm"), F.asc("author"))
+        .limit(100)
+    )
+
+
 def _q_stream_interval_join(spark, sf_dir):
     """Batch twin of the stream-stream interval join (click-after-view
     attribution within 15 minutes): the same interval_join_streams code
@@ -925,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
         "stream_interval_join": _q_stream_interval_join,
+        "graph_triangles": _q_graph_triangles,
+        "graph_pagerank": _q_graph_pagerank,
         "p7_keyword_count_salted": _q_p7_salted,
         "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
@@ -2139,6 +2171,73 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        # canonical co-author pairs -> ordered wedge closure; each
+        # triangle found once because u < v < w
+        "graph_triangles": _GRAPH_CTE
+        + """
+            , pairs AS (
+              SELECT DISTINCT x.a AS u, y.a AS v
+              FROM oa x JOIN oa y
+                ON x.l_orderkey = y.l_orderkey AND x.a < y.a
+            ), tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM pairs e1
+              JOIN pairs e2 ON e1.v = e2.u
+              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), pv AS (
+              SELECT a AS vertex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            )
+            SELECT vertex AS author, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pv GROUP BY vertex
+        """,
+        # 5 unrolled PageRank steps; (1 - 0.85) is written as the
+        # subtraction (not the literal 0.15) so both engines compute the
+        # identical double
+        "graph_pagerank": _GRAPH_CTE
+        + """
+            , pairs AS (
+              SELECT DISTINCT x.a AS u, y.a AS v
+              FROM oa x JOIN oa y
+                ON x.l_orderkey = y.l_orderkey AND x.a < y.a
+            ), bidir AS (
+              SELECT u AS a, v AS b FROM pairs
+              UNION ALL SELECT v, u FROM pairs
+            ), deg AS (
+              SELECT a, count(*) AS deg FROM bidir GROUP BY a
+            ), nn AS (SELECT count(*) AS n FROM deg),
+            p0 AS (SELECT a, 1.0 / n AS rank FROM deg, nn),
+            p1 AS (
+              SELECT b AS a, (SELECT (1 - 0.85) / n FROM nn)
+                     + 0.85 * sum(p0.rank / deg.deg) AS rank
+              FROM p0 JOIN bidir USING (a) JOIN deg USING (a) GROUP BY b
+            ),
+            p2 AS (
+              SELECT b AS a, (SELECT (1 - 0.85) / n FROM nn)
+                     + 0.85 * sum(p1.rank / deg.deg) AS rank
+              FROM p1 JOIN bidir USING (a) JOIN deg USING (a) GROUP BY b
+            ),
+            p3 AS (
+              SELECT b AS a, (SELECT (1 - 0.85) / n FROM nn)
+                     + 0.85 * sum(p2.rank / deg.deg) AS rank
+              FROM p2 JOIN bidir USING (a) JOIN deg USING (a) GROUP BY b
+            ),
+            p4 AS (
+              SELECT b AS a, (SELECT (1 - 0.85) / n FROM nn)
+                     + 0.85 * sum(p3.rank / deg.deg) AS rank
+              FROM p3 JOIN bidir USING (a) JOIN deg USING (a) GROUP BY b
+            ),
+            p5 AS (
+              SELECT b AS a, (SELECT (1 - 0.85) / n FROM nn)
+                     + 0.85 * sum(p4.rank / deg.deg) AS rank
+              FROM p4 JOIN bidir USING (a) JOIN deg USING (a) GROUP BY b
+            )
+            SELECT a AS author, round(rank * (SELECT n FROM nn), 6) AS rank_norm
+            FROM p5
+            ORDER BY rank_norm DESC, author
+            LIMIT 100
         """,
         "c14_decorated_subgraph": _GRAPH_CTE
         + """

@@ -97,3 +97,113 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -
     return connected_components(pairs, src=id_a, dst=id_b).select(
         F.col("id").alias("doc"), F.col("comp").alias("cluster")
     )
+
+
+def cooccurrence_pairs(df: DataFrame, set_col: str = "authors") -> DataFrame:
+    """Distinct canonical (u < v) co-occurrence pairs from a set-valued
+    column — a per-row array comprehension (no join: the pair fan-out
+    happens inside the row before the single distinct)."""
+    pairs = F.flatten(
+        F.transform(
+            set_col,
+            lambda a, i: F.filter(
+                F.transform(
+                    set_col,
+                    lambda b, j: F.when(
+                        i < j,
+                        F.struct(
+                            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-vertex triangle counts over an undirected simple graph given
+    as canonical (src < dst) distinct edges.
+
+    The classic two-join enumeration: wedges (a<b<c via e1(a,b) ⋈
+    e2(b,c)) closed by e3(a,c). Each triangle is found exactly once
+    because ids are ordered. The three member vertices are emitted with
+    one explode (NOT a triple self-union, which would execute the join
+    chain three times). At production scale the standard refinement is
+    ordering by DEGREE instead of id before canonicalizing, which bounds
+    the wedge fan-out of hub vertices; id order keeps the oracle
+    portable here and the join shape is identical."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    members = tri.select(
+        F.explode(
+            F.array(F.col("e1.u"), F.col("e1.v"), F.col("e2.v"))
+        ).alias("vertex")
+    )
+    return members.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    damping: float = 0.85,
+    iterations: int = 5,
+    normalized: bool = False,
+) -> DataFrame:
+    """PageRank over an undirected graph (canonical distinct edges; both
+    directions are materialized once here), run for a FIXED number of
+    iterations so the result is deterministic and cross-engine
+    checkable — no float convergence test.
+
+    Scale shape per iteration: one message aggregation (sum of
+    rank/degree over in-neighbors) + one broadcast-free equi-join,
+    hash-partitioned on vertex id — the same shuffle profile as the LPA
+    loop. Degrees are computed once and cached with the edge list;
+    lineage is cut by localCheckpoint every other iteration. No dangling
+    mass term: every vertex of an edge list has degree >= 1."""
+    bidir = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    deg = bidir.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    adj = bidir.join(deg, on="a").persist()
+    n = adj.select("a").distinct().count()
+    base = (1.0 - damping) / n
+
+    ranks = deg.select("a", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contrib = (
+            adj.join(ranks, on="a")
+            .groupBy("b")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("m"))
+        )
+        ranks = contrib.select(
+            F.col("b").alias("a"),
+            (F.lit(base) + F.lit(damping) * F.col("m")).alias("rank"),
+        )
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint()
+    adj.unpersist()
+    out = ranks.select(F.col("a").alias("vertex"), "rank")
+    if normalized:
+        # rank * n keeps ~6 significant digits under round-6 hashing
+        # regardless of graph size (raw ranks live at the 1/n scale)
+        out = out.select("vertex", (F.col("rank") * n).alias("rank"))
+    return out

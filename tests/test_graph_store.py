@@ -114,3 +114,34 @@ def test_approx_distinct_within_bounds(spark):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] <= 0.1
+
+
+def test_triangle_counts_known_graph(spark):
+    from scipi_spark.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d} (4 triangles, each vertex in 3) plus a pendant
+    # edge d-e (e in no triangle, never emitted)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"),
+    ]
+    edf = spark.createDataFrame(edges, "u string, v string")
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_counts(edf).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_pagerank_star_graph(spark):
+    from scipi_spark.operators.graph import pagerank
+
+    # undirected star: hub h + 4 leaves. By symmetry every leaf has the
+    # same rank; ranks sum to ~1 (no dangling mass on an edge graph)
+    edges = [("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4")]
+    edf = spark.createDataFrame(edges, "u string, v string")
+    got = {r["vertex"]: r["rank"] for r in pagerank(edf, iterations=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    leaf_ranks = {v for k, v in got.items() if k != "h"}
+    assert len(leaf_ranks) == 1          # symmetric leaves identical
+    # fixed point: h = 0.15/5 + 0.85*4*leaf, leaf = 0.15/5 + 0.85*h/4
+    # -> h ~ 0.421, leaf ~ 0.145 (hub ~2.9x a leaf)
+    assert got["h"] > 2 * max(leaf_ranks)
