@@ -617,6 +617,16 @@ def _q_asof_join_events(spark, sf_dir):
     return out.select("event_id", F.round("value_r", 6).alias("value_r"))
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by portable md5
+    hash bucket — a document's split never changes as the corpus grows
+    (the reproducibility property df.sample cannot give)."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dataset_split(docs, key="doc_id").select("doc_id", "split")
+
+
 def _q_graph_triangles(spark, sf_dir):
     """Per-author triangle counts over the co-authorship graph (ordered
     two-join wedge closure on canonical pairs)."""
@@ -957,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
+        "dataset_split": _q_dataset_split,
         "p7_keyword_count_salted": _q_p7_salted,
         "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
@@ -2171,6 +2182,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        # same md5-prefix bucket both engines: first 8 hex chars -> int,
+        # mod 10000, thresholds 9000/9500
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS b
+              FROM documents)
         """,
         # canonical co-author pairs -> ordered wedge closure; each
         # triangle found once because u < v < w

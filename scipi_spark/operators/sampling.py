@@ -1,0 +1,63 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent: the
+same document can land in different splits across runs or cluster
+layouts.  These operators hash a stable key instead — a document's split
+NEVER changes as the corpus grows, shrinks, or repartitions, which is
+the property training pipelines actually need (no eval contamination
+when new data arrives).
+
+The hash is the first 8 hex chars of md5 — deliberately portable: the
+identical expression exists in every engine (the DuckDB oracle computes
+the same buckets), unlike xxhash64 which is Spark-specific.  All pure
+Column expressions, fused into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space; 10^4 gives 0.01% split granularity
+N_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the key's string
+    form (portable across engines and runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")
+
+
+def dataset_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket: cumulative
+    weight thresholds over ``hash_bucket(key)``.  Adding documents later
+    never moves an existing document between splits."""
+    b = hash_bucket(key)
+    expr = None
+    acc = 0.0
+    for name, w in weights:
+        acc += w
+        cond = b < int(round(acc * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float fuzz guard: anything past the last threshold joins the tail
+    expr = expr.otherwise(weights[-1][0])
+    return df.select("*", expr.alias("split"))
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key: str = "doc_id"
+) -> DataFrame:
+    """Keep a stable ``rate`` fraction by hash bucket — the reproducible
+    (and join-consistent: the same keys survive in every table sampled
+    with the same key) alternative to ``df.sample``."""
+    return df.filter(hash_bucket(key) < int(round(rate * N_BUCKETS)))
