@@ -695,13 +695,16 @@ def q9_product_type_profit(
 
 def q11_important_parts(
     spark: SparkSession, sf_dir: str, nation: str = "NATION_5",
-    fraction: float = 0.001,
+    multiplier: float = 2.0,
 ) -> DataFrame:
     """TPC-H Q11-style: parts whose stocked value (here: lineitem revenue
-    via suppliers of one nation) exceeds a fraction of the total.  The
-    HAVING-scalar-subquery is a 1-row broadcast cross join — the per-part
-    aggregate is computed once and reused for both sides (no second scan:
-    the total is an agg OF the per-part agg)."""
+    via suppliers of one nation) exceeds ``multiplier`` x the MEAN part
+    value.  The official query's fixed fraction-of-total threshold must
+    be rescaled by 1/SF to stay meaningful (it selects nothing at larger
+    SFs); a mean-relative threshold is scale-invariant by construction.
+    The HAVING-scalar-subquery is a 1-row broadcast cross join — the
+    per-part aggregate is computed once and reused for both sides (no
+    second scan: the threshold is an agg OF the per-part agg)."""
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
     sup = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
@@ -716,7 +719,7 @@ def q11_important_parts(
     )
     per_part = per_part.persist()
     total = per_part.agg(
-        (F.sum("value") * F.lit(fraction)).alias("threshold")
+        (F.avg("value") * F.lit(multiplier)).alias("threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
