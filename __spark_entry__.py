@@ -192,6 +192,11 @@ def _q_text_repetition(spark, sf_dir):
     return textops.repetition_features(docs)
 
 
+def _q_text_rarity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.rarity_features(docs)
+
+
 def _q_text_decontaminate(spark, sf_dir):
     """Benchmark-leak check: every 25th doc plays the eval set; training
     docs sharing any word 5-gram with it are flagged with their overlap
@@ -897,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
+        "text_rarity": _q_text_rarity,
         "text_decontaminate": _q_text_decontaminate,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
@@ -1353,6 +1359,31 @@ def oracle_sql() -> dict[str, str]:
             FROM word_stats ws
             LEFT JOIN a2 ON ws.doc_id = a2.doc_id
             LEFT JOIN a3 ON ws.doc_id = a3.doc_id
+        """,
+        # every float is a ratio of exact integer counts -> bit-identical
+        # cross-engine (a log-prob variant would hinge on libm rounding)
+        "text_rarity": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS freq
+              FROM w GROUP BY tok
+            ), stats AS (
+              SELECT CAST(sum(freq) AS DOUBLE) / count(*) AS mean_freq
+              FROM vocab
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(freq) AS DOUBLE) / count(*), 6)
+                     AS avg_corpus_freq,
+                   round(CAST(count(*) FILTER (
+                            WHERE freq < (SELECT mean_freq FROM stats))
+                          AS DOUBLE) / count(*), 6) AS rare_frac
+            FROM w JOIN vocab USING (tok)
+            GROUP BY doc_id
         """,
         "text_decontaminate": r"""
             WITH raw AS (

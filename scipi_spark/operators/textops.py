@@ -308,3 +308,44 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+def rarity_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency rarity scoring — the shuffle-shape stand-in for
+    LM-perplexity quality filters (KenLM-style) without a model: per
+    document, the mean corpus frequency of its tokens and the fraction
+    of below-mean-frequency ("rare") tokens.  Gibberish scores rare-high;
+    boilerplate scores rare-low.
+
+    Two aggregations: the global vocabulary (token -> count, tiny
+    relative to the corpus — broadcast back; at web scale a vocabulary
+    is ~1e7 rows and still broadcastable, else it becomes a bucketed
+    join on token) and the per-doc rollup.  Deliberately integer-based:
+    every float here is a ratio of exact counts, so the DuckDB oracle is
+    bit-identical — a log-probability variant would hinge on cross-libm
+    ln() rounding."""
+    toks = tokens(text_col)
+    words = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    vocab = words.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # below-mean-frequency threshold from exact integer totals
+    stats = vocab.agg(
+        (F.sum("freq") / F.count(F.lit(1))).alias("mean_freq")
+    )
+    return (
+        words.join(F.broadcast(vocab), on="tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("freq") / F.count(F.lit(1)), 6).alias(
+                "avg_corpus_freq"
+            ),
+            F.round(
+                F.sum(F.when(F.col("freq") < F.col("mean_freq"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_frac"),
+        )
+    )
