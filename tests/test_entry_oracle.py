@@ -31,3 +31,25 @@ def test_query_matches_oracle(spark, name):
 
 def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_bench_headliners_are_registered():
+    """bench.py must never name a query that queries() doesn't expose —
+    a rename would silently break the driver's per-round bench run."""
+    import bench
+
+    missing = [n for n in bench.HEADLINERS if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_coverage_totals_match_registry():
+    """COVERAGE.md's gate-total claim is checked against the live
+    registry so the documented counts can't drift."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    m = re.search(r"Gate totals: (\d+) entries, (\d+) with DuckDB oracles", text)
+    assert m, "COVERAGE.md gate-totals line missing"
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == len(ORACLES)
