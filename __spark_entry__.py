@@ -507,6 +507,34 @@ def _q_pipeline_clean_corpus(spark, sf_dir):
     return surviving.select("doc_id", "q_score")
 
 
+def _q_pipeline_training_data(spark, sf_dir):
+    """The FULL training-data prep pipeline as one declarative plan:
+    language/quality gate -> exact dedup -> decontaminate against the
+    eval slice (doc_id % 25 == 0; eval docs and any train doc sharing a
+    5-gram with them are dropped) -> deterministic hash split (train
+    only) -> 64-token chunking with stride 48.  Every stage is an
+    already-oracled operator; the composition itself is what this entry
+    proves.  Emits (doc_id, chunk_id, n_tokens) for the train chunks."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textops.quality_features(docs)
+    kept = scored.filter(
+        (textops.lang_id("text") == "en") & (F.col("q_score") >= 0.5)
+    )
+    surviving = dedup.dedup_exact(kept)
+    eval_docs = docs.filter(F.col("doc_id") % 25 == 0)
+    train_side = surviving.filter(F.col("doc_id") % 25 != 0)
+    flagged = textops.decontaminate(train_side, eval_docs, k=5).select("doc_id")
+    pool = train_side.join(flagged, on="doc_id", how="left_anti")
+    train = sampling.dataset_split(pool, key="doc_id").filter(
+        F.col("split") == "train"
+    )
+    return textops.chunk_documents(train, chunk_tokens=64, stride=48).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicatesWithinWatermark): the corpus
     plus a planted duplicate of every 10th document is replayed as a
@@ -972,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
+        "pipeline_training_data": _q_pipeline_training_data,
         "dedup_clusters": _q_dedup_clusters,
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
@@ -2138,6 +2167,78 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         # lang + quality gates then min-doc-per-fingerprint (exact dedup)
+        # full prep pipeline: quality gate -> dedup -> decontaminate vs
+        # the eval slice -> hash split (train) -> 64/48 chunking
+        "pipeline_training_data": _TOKS_CTE
+        + f"""
+            , feat AS (
+              SELECT doc_id, text,
+                CAST(length(text) AS DOUBLE) / greatest(len(t), 1) AS mean_tok,
+                CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                     AS DOUBLE) / greatest(len(t), 1) AS sw_ratio,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio
+              FROM toks
+            ), scored AS (
+              SELECT doc_id, text,
+                     round(least(1.0,
+                           0.5 * alpha_ratio
+                           + 0.3 * least(sw_ratio * 4, 1.0)
+                           + CASE WHEN mean_tok >= 3 AND mean_tok <= 10
+                                  THEN 0.2 ELSE 0.0 END), 6) AS q_score
+              FROM feat
+              WHERE sw_ratio >= 0.05
+            ), kept AS (
+              SELECT doc_id, text,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM scored WHERE q_score >= 0.5
+            ), surv AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM kept)
+              WHERE rn = 1
+            ), wsur AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM surv
+            ), wev AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 25 = 0
+            ), ev AS (
+              SELECT DISTINCT unnest(list_distinct(
+                       [array_to_string(list_slice(ws, i, i + 4), ' ')
+                        for i in range(1, len(ws) - 3)])) AS g
+              FROM wev WHERE len(ws) >= 5
+            ), tr_sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(list_slice(ws, i, i + 4), ' ')
+                        for i in range(1, len(ws) - 3)])) AS g
+              FROM wsur WHERE doc_id % 25 <> 0 AND len(ws) >= 5
+            ), flagged AS (
+              SELECT DISTINCT doc_id FROM tr_sh JOIN ev USING (g)
+            ), pool AS (
+              SELECT s.doc_id, w.ws FROM surv s JOIN wsur w ON s.doc_id = w.doc_id
+              WHERE s.doc_id % 25 <> 0
+                AND s.doc_id NOT IN (SELECT doc_id FROM flagged)
+            ), train AS (
+              SELECT doc_id, ws FROM pool
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10000 < 9000
+            ), st AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, len(ws) + 1, 48)) AS start
+              FROM train WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   (start - 1) // 48 AS chunk_id,
+                   CAST(least(64, len(ws) - start + 1) AS BIGINT) AS n_tokens
+            FROM st
+        """,
         "pipeline_clean_corpus": _TOKS_CTE
         + f"""
             , feat AS (
