@@ -992,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_hourly": relational.events_json_hourly,
         "events_sessionize": relational.events_sessionize,
         "events_percentiles": relational.events_percentiles,
+        "events_funnel": relational.events_funnel,
         "events_approx_distinct": relational.events_approx_distinct,
         "s5_latest_publications": _q_s5_latest_publications,
         "stream_keyword_count": _q_stream_keyword_count,
@@ -2458,6 +2459,42 @@ def oracle_sql() -> dict[str, str]:
               ON v.user_id = c.user_id
              AND c.ts >= v.ts
              AND c.ts <= v.ts + INTERVAL '15 minutes'
+        """,
+        # identical two-running-min window formulation; epoch() floored to
+        # mirror unix_timestamp truncation
+        "events_funnel": """
+            WITH w1 AS (
+              SELECT event_id, user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view'
+                              THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS t1
+              FROM events
+            ), w2 AS (
+              SELECT event_id, user_id, ts, event_type, t1,
+                     min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                               AND CAST(floor(epoch(ts)) AS BIGINT) <= t1 + 604800
+                              THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS t2
+              FROM w1
+            ), w3 AS (
+              SELECT user_id, t1, t2,
+                     min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                               AND CAST(floor(epoch(ts)) AS BIGINT) <= t1 + 604800
+                              THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS t3
+              FROM w2
+            ), per_user AS (
+              SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+              FROM w3 GROUP BY user_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(count(t1) AS BIGINT) AS step1_users,
+                   CAST(count(t2) AS BIGINT) AS step2_users,
+                   CAST(count(t3) AS BIGINT) AS step3_users
+            FROM per_user
         """,
         "range_join_events": """
             SELECT t.event_id, q.event_id AS event_id_r

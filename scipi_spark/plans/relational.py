@@ -895,3 +895,63 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def events_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    within_seconds: int = 604_800,
+) -> DataFrame:
+    """Ordered funnel conversion: users whose first ``steps[0]`` is
+    followed by a ``steps[1]`` and then a ``steps[2]``, all inside a
+    horizon measured from the first step.
+
+    The sequencing constraint (step k counts only AFTER step k-1) is
+    expressed with RUNNING MINs over one per-user event-time ordering —
+    two window passes that share the same partitioning, so the whole
+    funnel costs ONE shuffle regardless of step count; the textbook
+    k-way self-join would cost k-1 shuffles and explode on heavy users."""
+    s1, s2, s3 = steps
+    # event_id in the ordering makes the running-min frame a strict total
+    # order — identical tie handling in Spark and the oracle
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sec = F.unix_timestamp("ts")
+    t1_run = F.min(F.when(F.col("event_type") == s1, sec)).over(w)
+    with1 = ev.select(
+        "event_id", "user_id", "ts", "event_type", t1_run.alias("t1")
+    )
+    t2_cand = F.when(
+        (F.col("event_type") == s2)
+        & F.col("t1").isNotNull()
+        & (sec <= F.col("t1") + within_seconds),
+        sec,
+    )
+    with2 = with1.select(
+        "event_id", "user_id", "ts", "event_type", "t1",
+        F.min(t2_cand).over(w).alias("t2"),
+    )
+    t3_cand = F.when(
+        (F.col("event_type") == s3)
+        & F.col("t2").isNotNull()
+        & (sec <= F.col("t1") + within_seconds),
+        sec,
+    )
+    per_user = with2.select(
+        "user_id", "t1", "t2", F.min(t3_cand).over(w).alias("t3")
+    ).groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("step1_users"),
+        F.count("t2").alias("step2_users"),
+        F.count("t3").alias("step3_users"),
+    )
