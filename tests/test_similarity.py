@@ -93,3 +93,22 @@ def test_neardup_lsh_blocking_vs_exact(spark):
     assert blocked <= exact
     if exact:
         assert len(blocked) / len(exact) >= 0.5
+
+
+def test_allpairs_blocked_equals_exact(spark):
+    """The blocked-GEMM all-pairs path is exact: identical (pair, cosine)
+    set to the O(n^2) crossJoin variant at a dense threshold, including
+    every vector landing in block 0 edge cases (n_blocks > n)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for n_blocks in (4, 128):
+        exact = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in sim.cosine_neardup_pairs(emb, threshold=0.3).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in sim.cosine_allpairs_blocked(
+                emb, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact
