@@ -22,6 +22,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(df: DataFrame, colname: str) -> Column:
+    """Fractional epoch seconds for any time-like column. TIMESTAMP_NTZ
+    has no direct numeric cast, so it routes through TIMESTAMP first
+    (session timezone is pinned to UTC in :mod:`scipi_spark.session`, so
+    the wall clock IS the epoch); plain numerics pass through."""
+    dtype = df.schema[colname].dataType.simpleString()
+    c = F.col(colname)
+    if dtype.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -103,13 +115,14 @@ def range_join(
     rcols = [c for c in right.columns if c not in by]
     width = max(upper_seconds, 1)
 
-    lhs = left.withColumn(
-        "_bk", F.floor(F.col(on).cast("double") / width).cast("long")
+    lhs = left.withColumn("_tl", _epoch_seconds(left, on)).withColumn(
+        "_bk", F.floor(F.col("_tl") / width).cast("long")
     )
     rhs = right.select(
         *by,
         *[F.col(c).alias(c + suffix) for c in rcols],
-        F.floor(F.col(r_on).cast("double") / width).cast("long").alias("_rbk"),
+        _epoch_seconds(right, r_on).alias("_tr"),
+        F.floor(_epoch_seconds(right, r_on) / width).cast("long").alias("_rbk"),
     )
     probes = lhs.withColumn(
         "_probe", F.explode(F.array(F.col("_bk"), F.col("_bk") - 1))
@@ -118,8 +131,7 @@ def range_join(
     joined = probes.join(rhs, cond)
     for c in by:
         joined = joined.drop(rhs[c])
-    t_l = F.col(on).cast("double")
-    t_r = F.col(r_on + suffix).cast("double")
+    t_l, t_r = F.col("_tl"), F.col("_tr")
     return joined.filter(
         (t_r <= t_l - lower_seconds) & (t_r >= t_l - upper_seconds)
-    ).drop("_bk", "_probe", "_rbk")
+    ).drop("_bk", "_probe", "_rbk", "_tl", "_tr")
