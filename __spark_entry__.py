@@ -660,6 +660,52 @@ def _q_dataset_split(spark, sf_dir):
     return sampling.dataset_split(docs, key="doc_id").select("doc_id", "split")
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Corpus mixing: per-source deterministic sampling rates (up-weight
+    curated sources, down-weight crawl) as ONE fused scan filter — the
+    per-stratum threshold is a CASE on source, so the predicate pushes
+    into the scan and no per-stratum jobs or unions exist."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.25, "src2": 0.8},
+        strata_col="source",
+        key="doc_id",
+        default_rate=0.5,
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_token_budget_cap(spark, sf_dir):
+    """Per-source token budget: admit documents in stable hash order
+    until each source's running token sum would exceed the cap — an
+    unbiased, reproducible per-domain data-mix knob (one window
+    shuffle)."""
+    from scipi_spark.operators import sampling, textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", textops.token_count("text").alias("n_tokens")
+    )
+    out = sampling.token_budget_cap(
+        with_tokens, budget=1_000, tokens_col="n_tokens",
+        group_col="source", key="doc_id",
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
+def _q_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (keyword extraction / scored
+    inverted-index postings): explode -> (doc,term) agg -> broadcast
+    vocabulary df join -> per-doc top-k window."""
+    from scipi_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, k=3)
+
+
 def _q_graph_triangles(spark, sf_dir):
     """Per-author triangle counts over the co-authorship graph
     (degree-oriented wedge closure).  Caveat recorded in SCALE.md: the
@@ -1007,6 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "dataset_split": _q_dataset_split,
+        "stratified_sample": _q_stratified_sample,
+        "token_budget_cap": _q_token_budget_cap,
+        "text_tfidf": _q_text_tfidf,
         "p7_keyword_count_salted": _q_p7_salted,
         "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
@@ -2331,6 +2380,66 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                           AS BIGINT) % 10000 AS b
               FROM documents)
+        """,
+        # per-stratum md5-bucket thresholds as one CASE — identical
+        # bucketing to dataset_split
+        "stratified_sample": """
+            SELECT doc_id, source
+            FROM (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS b
+              FROM documents)
+            WHERE b < CASE source WHEN 'src0' THEN 10000
+                                  WHEN 'src1' THEN 2500
+                                  WHEN 'src2' THEN 8000
+                                  ELSE 5000 END
+        """,
+        # stable-hash admission order, per-source running token sum
+        "token_budget_cap": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS b
+              FROM documents)
+            SELECT doc_id, source, n_tokens
+            FROM (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+            WHERE cum <= 1000
+        """,
+        # tf * ln(N/df) over exact integer counts; rank on the rounded
+        # score with term-asc ties in both engines
+        "text_tfidf": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM w GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), scored AS (
+              SELECT doc_id, term, tf,
+                     round(tf * ln(n / df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, tfidf, rank
+            FROM (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         # canonical co-author pairs -> ordered wedge closure; each
         # triangle found once because u < v < w

@@ -61,3 +61,67 @@ def deterministic_sample(
     (and join-consistent: the same keys survive in every table sampled
     with the same key) alternative to ``df.sample``."""
     return df.filter(hash_bucket(key) < int(round(rate * N_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive:
+    each stratum (source, language, domain, ...) keeps its own stable
+    fraction, e.g. up-weight curated sources and down-weight crawl data
+    while preserving reproducibility (the same documents survive on every
+    run and cluster layout).
+
+    One scan, one fused filter — the per-stratum threshold is a CASE
+    expression on ``strata_col``, so no per-stratum jobs, no unions, and
+    Catalyst pushes the whole predicate into the scan."""
+    thr = None
+    for s, r in sorted(rates.items()):
+        t = int(round(r * N_BUCKETS))
+        thr = (
+            F.when(F.col(strata_col) == s, t)
+            if thr is None
+            else thr.when(F.col(strata_col) == s, t)
+        )
+    thr = (
+        thr.otherwise(int(round(default_rate * N_BUCKETS)))
+        if thr is not None
+        else F.lit(int(round(default_rate * N_BUCKETS)))
+    )
+    return df.filter(hash_bucket(key) < thr)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    group_col: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Cap each group's total token count at ``budget``: documents are
+    admitted in stable hash order (bucket, then key — reproducible and
+    independent of partitioning) until the group's running token sum
+    would exceed the budget.  The standard "at most N tokens per domain"
+    knob in training-data mixes; because admission order is hashed, the
+    kept set is an unbiased sample of the group, not its head.
+
+    One shuffle (window partitioned by group).  Skew note: a single
+    giant group serializes into one window partition — at 100 TB, cap
+    groups are domains/sources (thousands of rows each after upstream
+    filters, not billions), which is the regime this targets."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(key), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum_tokens") <= budget)
+        .drop("_cum_tokens")
+    )

@@ -349,3 +349,54 @@ def rarity_features(
             ).alias("rare_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword-extraction /
+    relevance primitive (and the exact shuffle shape of building an
+    inverted index with scored postings).
+
+    Plan shape: one explode -> (doc, term) count aggregation [shuffle on
+    (doc, term)], a vocabulary-sized document-frequency aggregation
+    [shuffle on term] broadcast back (web-scale vocabularies are ~1e7
+    rows — still broadcastable; beyond that this becomes a bucketed join
+    on term), and a per-doc top-k window [reuses the doc partitioning].
+    idf = ln(N / df) over exact integer counts, so the only float is one
+    ln both engines compute identically under round-6 hashing."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )

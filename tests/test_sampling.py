@@ -46,3 +46,70 @@ def test_split_unaffected_by_partitioning(spark):
     one = sampling.dataset_split(_docs(spark, 500).coalesce(1), key="doc_id")
     many = sampling.dataset_split(_docs(spark, 500).repartition(16), key="doc_id")
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def _sourced(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+    )
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    rows = sampling.stratified_sample(
+        _sourced(spark, 2000),
+        rates={"src0": 1.0, "src1": 0.0, "src2": 0.5},
+        strata_col="source",
+        key="doc_id",
+        default_rate=0.2,
+    ).collect()
+    from collections import Counter
+
+    c = Counter(r["source"] for r in rows)
+    assert c["src0"] == 500          # rate 1.0 keeps every row
+    assert "src1" not in c           # rate 0.0 keeps none
+    assert 175 < c["src2"] < 325     # ~50%
+    assert 50 < c["src3"] < 150      # default 20%
+
+
+def test_stratified_sample_subset_of_deterministic_sample(spark):
+    # a stratum's survivors are exactly deterministic_sample at its rate
+    df = _sourced(spark, 1000)
+    strat = sampling.stratified_sample(
+        df, rates={"src0": 0.3}, strata_col="source", key="doc_id"
+    )
+    flat = sampling.deterministic_sample(
+        df.filter(F.col("source") == "src0"), 0.3, key="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in strat.collect()) == sorted(
+        r["doc_id"] for r in flat.collect()
+    )
+
+
+def test_token_budget_cap_bounds_every_group(spark):
+    out = sampling.token_budget_cap(
+        _sourced(spark, 1000), budget=50, group_col="source", key="doc_id"
+    )
+    sums = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert sums and all(t <= 50 for t in sums.values())
+
+
+def test_token_budget_cap_stable_under_partitioning(spark):
+    df = _sourced(spark, 500)
+    one = sampling.token_budget_cap(df.coalesce(1), budget=80, group_col="source")
+    many = sampling.token_budget_cap(df.repartition(16), budget=80, group_col="source")
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_token_budget_cap_admits_prefix_not_head(spark):
+    # admission is hash-ordered: the kept set is NOT simply the lowest ids
+    df = _sourced(spark, 400)
+    kept = {r["doc_id"] for r in sampling.token_budget_cap(
+        df, budget=100, group_col="source").collect()}
+    n = len(kept)
+    assert 0 < n < 400
+    assert kept != set(range(n))

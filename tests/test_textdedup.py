@@ -241,3 +241,42 @@ def test_decontaminate_finds_planted_overlap(spark):
     assert rows[0]["doc_id"] == 1
     # "alpha beta gamma delta epsilon" is the only shared 5-gram
     assert rows[0]["n_shared_grams"] == 1
+
+
+def test_tfidf_top_terms_known_values(spark):
+    from scipi_spark.operators import textops
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"], r["rank"])
+        for r in textops.tfidf_top_terms(docs, k=2).collect()
+    }
+    ln = math.log
+    # df: apple 1, banana 2, cherry 2, durian 1; N = 3
+    assert out[(1, "apple")] == (2, round(2 * ln(3 / 1), 6), 1)
+    assert out[(1, "banana")] == (1, round(1 * ln(3 / 2), 6), 2)
+    assert out[(3, "cherry")][0] == 2 and out[(3, "durian")][0] == 2
+    # durian (df=1) outscores cherry (df=2): 2*ln(3) > 2*ln(1.5)
+    assert out[(3, "durian")][2] == 1 and out[(3, "cherry")][2] == 2
+    assert len(out) == 6  # k=2 per doc
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    from scipi_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "common unique%d" % i) for i in range(4)], ["doc_id", "text"]
+    )
+    rows = textops.tfidf_top_terms(docs, k=2).collect()
+    by_term = {(r["doc_id"], r["term"]): r for r in rows}
+    for i in range(4):
+        assert by_term[(i, "common")]["tfidf"] == 0.0
+        assert by_term[(i, "unique%d" % i)]["rank"] == 1  # idf ln(4) beats 0
