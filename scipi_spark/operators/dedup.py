@@ -86,15 +86,30 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _shingle_index(
-    df: DataFrame, id_col: str, text_col: str, k: int, max_doc_freq: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_doc_freq: int | None,
+    hash_ids: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(doc shingle-set sizes, exploded shingle postings) — postings
-    optionally truncated at a document-frequency cap."""
+    optionally truncated at a document-frequency cap.
+
+    ``hash_ids`` replaces each shingle string with its 64-bit xxhash64 —
+    set identity, not content, is all the downstream joins/aggregations
+    need, and fixed-width longs shuffle and hash-join far cheaper than
+    k-word strings. A collision (which would slightly overcount one
+    pair's intersection) needs ~2^32 DISTINCT shingles by the birthday
+    bound — at that corpus size flip to ``hash_ids=False`` or a 128-bit
+    hash."""
     sh = _spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
     )
     sizes = sh.select("doc", F.size("shingles").cast("long").alias("n_sh"))
     postings = sh.select("doc", F.explode("shingles").alias("sh"))
+    if hash_ids:
+        postings = postings.select("doc", F.xxhash64("sh").alias("sh"))
     if max_doc_freq is not None:
         df_counts = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         postings = postings.join(
@@ -167,6 +182,15 @@ def minhash_signatures(
     postings = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
     ).select("doc", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h0"))
+    return _signatures_from_postings(postings, coeffs, p)
+
+
+def _signatures_from_postings(
+    postings: DataFrame, coeffs: list[tuple[int, int]], p: int
+) -> DataFrame:
+    """(doc, sig) from (doc, h0) postings: num_perm running minima of the
+    2-universal permutations — one hash aggregation, map-side partial."""
+    num_perm = len(coeffs)
     mins = postings.groupBy("doc").agg(
         *[
             F.min(F.pmod(F.col("h0") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{j}")
@@ -191,13 +215,29 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard (precision exact, recall ~ 1-(1-s^r)^b).
 
-    Pipeline: signatures → band hashes → equi-join on (band, hash) →
-    distinct candidate pairs → exact-Jaccard verification restricted to
-    candidates.
+    Pipeline: ONE shingle scan materialized as 64-bit-hashed postings
+    (read by both the signature aggregation and the exact-Jaccard
+    verification — the scan/explode runs once, and every downstream
+    shuffle carries fixed-width longs, not shingle strings) → band
+    hashes → equi-join on (band, hash) → distinct candidate pairs →
+    exact-Jaccard verification restricted to candidates.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    p = 2_147_483_647
+    rng = random.Random(1_000_003)
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)]
+    sizes, postings = _shingle_index(df, id_col, text_col, k, None)
+    if verify:
+        # both the signature agg and the verify self-join read postings;
+        # materialize once (at real scale: a parquet temp or .persist —
+        # localCheckpoint keeps the local path allocation-cheap)
+        postings = postings.localCheckpoint(eager=True)
+    sigs = _signatures_from_postings(
+        postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
+    )
     band_rows = sigs.select(
         "doc",
         F.explode(
@@ -232,8 +272,9 @@ def minhash_lsh_pairs(
     if not verify:
         return candidates
 
-    # verify candidates with exact jaccard over shingle sets
-    sizes, postings = _shingle_index(df, id_col, text_col, k, None)
+    # verify candidates with exact jaccard over the SAME postings the
+    # signatures were built from (hashed shingle ids preserve set
+    # identity, which is all Jaccard needs)
     pa = postings.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     pb = postings.select(F.col("doc").alias("pb_doc"), F.col("sh").alias("sh_b"))
     inter = (
