@@ -329,7 +329,14 @@ def _graph_vertices_edges(spark, sf_dir):
             community.extract_vertices(pubs).persist(),
             community.extract_edges(pubs).persist(),
         )
-    return _GRAPH_CACHE[key]
+    v, e = _GRAPH_CACHE[key]
+    # re-register after an external clearCache() (the bench isolates
+    # headliners this way) — otherwise every scan recomputes uncached
+    for df in (v, e):
+        sl = df.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            df.persist()
+    return v, e
 
 
 def _q_assoc_cosine(spark, sf_dir):
@@ -860,7 +867,11 @@ def _planted_labels(spark, sf_dir):
             mem.select("id"), edges, iterations=5, delta=0.5
         )
         _PLANTED_CACHE[key] = labels.persist()
-    return _PLANTED_CACHE[key]
+    out = _PLANTED_CACHE[key]
+    sl = out.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        out.persist()  # re-register after an external clearCache()
+    return out
 
 
 def _q_c8_lpa_planted(spark, sf_dir):

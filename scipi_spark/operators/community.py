@@ -195,8 +195,17 @@ def community_detection(
     # |E| and the mirror emission afterwards is a narrow map (both
     # directions of an undirected pair share w_sum/w_max). Self-loops keep
     # the doubled-union semantics (both mirror copies land in one group).
+    # Hash vertex names to 64-bit ids AT THE SCAN, before any shuffle:
+    # every exchange from here on carries fixed-width longs, never
+    # variable-length name strings. Canonical pairs order by hash (not
+    # name) — any total order works for unordered-pair grouping. The
+    # same xxhash64 seeds labels, so (hash -> name) restores ids with
+    # one join at the end.
+    hedges = edges.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst"), "weight"
+    )
     canon = (
-        edges.filter(F.col("src") != F.col("dst"))
+        hedges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
@@ -206,7 +215,7 @@ def community_detection(
         .agg(F.sum("weight").alias("w_sum"), F.max("weight").alias("w_max"))
     )
     self_loops = (
-        edges.filter(F.col("src") == F.col("dst"))
+        hedges.filter(F.col("src") == F.col("dst"))
         .groupBy(F.col("src").alias("a"))
         .agg(
             (F.sum("weight") * 2).alias("w_sum"),
@@ -255,21 +264,7 @@ def community_detection(
         # is pure per-iteration latency (measured ~10% of the loop at sf0.1).
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-        # Run the loop on 64-bit hashed vertex ids: every superstep
-        # shuffles |E| message rows keyed by vertex, and fixed-width longs
-        # shuffle (and hash-join) far cheaper than variable-length name
-        # strings. The hash is the same xxhash64 that seeds labels, so a
-        # (hash -> name) mapping restores ids with ONE extra join total.
-        bidir = (
-            bidir0.select(
-                F.xxhash64("src").alias("src"),
-                F.xxhash64("dst").alias("dst"),
-                "w_sum",
-                "w_max",
-            )
-            .repartition(F.col("src"))
-            .persist()
-        )
+        bidir = bidir0.repartition(F.col("src")).persist()
         bidir.count()
 
         state_h = state.select(
@@ -366,9 +361,12 @@ def _lpa_loop(
                 .alias("score"),
             )
         )
-        # lineage grows ~2 shuffles per superstep; cutting every 2nd step
-        # halves the materializations without letting plans stack deep.
-        if checkpoint and (step % 2 == 0 or step == iterations):
+        # Checkpoint EVERY superstep: `state` feeds TWO places (the
+        # message join and the sentinel union branch), and union branches
+        # do not share subplans — an unmaterialized state would execute
+        # its whole upstream twice per superstep (measured 12.1s vs 7.3s
+        # for the 5-step sf0.1 loop when cutting only every 2nd step).
+        if checkpoint:
             state = state.localCheckpoint(eager=True)
 
     return state

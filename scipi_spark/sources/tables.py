@@ -72,7 +72,14 @@ def publications_analog(
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if cached and key in _ANALOG_CACHE:
-        return _ANALOG_CACHE[key]
+        out = _ANALOG_CACHE[key]
+        # spark.catalog.clearCache() (the bench does this between
+        # headliners) drops the cached data but leaves this handle —
+        # without re-registering, every downstream scan would silently
+        # recompute the full analog pipeline uncached.
+        if out.storageLevel.useMemory is False and out.storageLevel.useDisk is False:
+            out.persist()
+        return out
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_partkey"
