@@ -377,7 +377,11 @@ def tfidf_top_terms(
             )
         ).alias("term"),
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregation and the scoring
+    # join; persist it or the scan+explode+agg chain executes twice
+    # (plan-verified: without this the physical plan shows two full
+    # parquet scans of the text column)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n"))
     scored = (
