@@ -288,6 +288,22 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_dedup_increment(spark, sf_dir):
+    """Incremental MinHash-LSH: the last 20% of doc_ids play the daily
+    increment, checked against the remaining 80% corpus + itself.
+    Old-old pairs never form — candidate work scales with the batch,
+    not the corpus (the 100 TB production shape of dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    return dedup.minhash_lsh_increment(
+        corpus, batch, k=3, num_perm=64, bands=16, threshold=0.3
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs in portable mode: the 60-bit md5-prefix
     feature hash is computable bit-identically in DuckDB, so the ENTIRE
@@ -994,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_increment": _q_dedup_increment,
         "dedup_simhash": _q_dedup_simhash,
         "a1_assoc_cosine": _q_assoc_cosine,
         "a4_assoc_usage_edges": _q_assoc_usage_edges,
@@ -1615,6 +1632,25 @@ def oracle_sql() -> dict[str, str]:
         # corpus's similarity profile (planted near-dups >> threshold,
         # recall measured 1.0 at sf0.01) the output equals the exact pairs.
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        # incremental dedup: same exact-Jaccard ground truth, restricted
+        # to pairs touching the batch (doc_id >= floor(p80)); old-old
+        # pairs are out of scope by construction
+        "dedup_increment": _SHINGLE_CTE + """
+, cut AS (
+  SELECT CAST(floor(quantile_cont(doc_id, 0.8)) AS BIGINT) AS c FROM documents
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
+  AND (doc_a >= (SELECT c FROM cut) OR doc_b >= (SELECT c FROM cut))
+""",
         "a1_assoc_cosine": _COSINE_SQL,
         "a4_assoc_usage_edges": _USAGE_EDGES_CTE
         + "SELECT author, keyword, cnt FROM e",

@@ -402,3 +402,106 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_lsh_increment(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs between a NEW batch and the
+    existing corpus (plus new-new pairs) — old-old pairs never form.
+
+    This is the production shape of dedup at 100 TB: the corpus is
+    already deduplicated, and each arriving increment only needs to be
+    checked against corpus + itself. The candidate join probes band
+    buckets FROM THE BATCH SIDE only, so join work scales with
+    |batch| x bucket occupancy, not |corpus|^2; at real scale the
+    corpus's band rows live in a persisted signature store (bucketed on
+    (band, bh)) and this becomes a pure probe join with no corpus-side
+    recompute. Output pairs are canonical (doc_a < doc_b), verified with
+    exact Jaccard like :func:`minhash_lsh_pairs`.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    p = 2_147_483_647
+    rng = random.Random(1_000_003)
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)]
+
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("is_new")
+    ).unionByName(
+        batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("is_new"))
+    )
+    flags = tagged.select(F.col(id_col).alias("doc"), "is_new")
+    sizes, postings = _shingle_index(tagged, id_col, text_col, k, None)
+    postings = postings.localCheckpoint(eager=True)
+    sigs = _signatures_from_postings(
+        postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
+    )
+    # attach the new/old flag at signature granularity (one row per doc,
+    # BEFORE the xbands explosion) with a plain shuffle join — corpus-
+    # sized sides must never broadcast
+    band_rows = sigs.join(flags, "doc").select(
+        "doc",
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "is_new", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    band_rows = band_rows.localCheckpoint(eager=True)
+
+    new_side = band_rows.filter(F.col("is_new")).alias("a")
+    all_side = band_rows.alias("b")
+    candidates = (
+        new_side.join(
+            all_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        # canonicalize so a new-new pair found from both probes dedups
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    pa = postings.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    pb = postings.select(F.col("doc").alias("pb_doc"), F.col("sh").alias("sh_b"))
+    inter = (
+        candidates.join(pa, "doc_a")
+        .join(
+            pb,
+            (F.col("doc_b") == F.col("pb_doc")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac.cast("double"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -280,3 +280,31 @@ def test_tfidf_ubiquitous_term_scores_zero(spark):
     for i in range(4):
         assert by_term[(i, "common")]["tfidf"] == 0.0
         assert by_term[(i, "unique%d" % i)]["rank"] == 1  # idf ln(4) beats 0
+
+
+def test_minhash_increment_covers_batch_pairs_only(spark):
+    from pyspark.sql import functions as F
+    from scipi_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_increment(
+            corpus, batch, k=3, num_perm=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, k=3, num_perm=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    want = {(a, b) for a, b in full if a >= cutoff or b >= cutoff}
+    assert inc == want          # exactly the batch-touching pairs
+    assert all(a >= cutoff or b >= cutoff for a, b in inc)  # no old-old
