@@ -729,6 +729,29 @@ def _q_text_tfidf(spark, sf_dir):
     return textops.tfidf_top_terms(docs, k=3)
 
 
+#: BM25 gate query: three corpus terms of different document frequencies.
+BM25_QUERY = ["join", "hash", "scan"]
+
+
+def _q_text_bm25(spark, sf_dir):
+    """Top-10 BM25 documents for a fixed bag-of-words query — keyword
+    search over the corpus. Only query-term postings ever shuffle (the
+    IN-filter folds into the explode), avgdl/N is a 1-row broadcast,
+    ranking is TakeOrdered (no full sort)."""
+    from scipi_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bm25_search(docs, BM25_QUERY, topk=10)
+
+
+def _q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the events stream — the
+    standard product-analytics rollup (cohort = first-activity week)."""
+    from scipi_spark.plans.relational import events_cohort_retention
+
+    return events_cohort_retention(spark, sf_dir)
+
+
 def _q_graph_triangles(spark, sf_dir):
     """Per-author triangle counts over the co-authorship graph
     (degree-oriented wedge closure).  Caveat recorded in SCALE.md: the
@@ -1084,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "token_budget_cap": _q_token_budget_cap,
         "text_tfidf": _q_text_tfidf,
+        "text_bm25": _q_text_bm25,
+        "events_cohort_retention": _q_events_cohort_retention,
         "p7_keyword_count_salted": _q_p7_salted,
         "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
@@ -2487,6 +2512,60 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                        ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
               FROM scored)
             WHERE rank <= 3
+        """,
+        # Lucene-variant BM25 over the same tokenization; both engines
+        # sort on the round-6 score with doc_id ties
+        "text_bm25": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(t) AS term FROM toks
+            ), lens AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     (SELECT avg(dl) FROM lens) AS avgdl
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM w WHERE term IN ('join', 'hash', 'scan')
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            )
+            SELECT doc_id,
+                   round(sum(
+                     ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN dfreq USING (term)
+                    JOIN lens USING (doc_id)
+                    CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 10
+        """,
+        # Monday-truncated weeks in both engines; offsets are exact
+        # multiples of 7 days so the division is integer-safe
+        "events_cohort_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS week
+              FROM events
+            ), c AS (
+              SELECT user_id, week,
+                     min(week) OVER (PARTITION BY user_id) AS cohort_week
+              FROM uw
+            )
+            SELECT cohort_week,
+                   CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT)
+                     AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM c GROUP BY 1, 2
         """,
         # canonical co-author pairs -> ordered wedge closure; each
         # triangle found once because u < v < w

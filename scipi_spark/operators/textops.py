@@ -404,3 +404,71 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (the Lucene
+    idf variant: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale shape: the posting explode filters to the query's terms at the
+    scan (a broadcast-literal IN over a handful of terms — Catalyst
+    folds it into the explode filter), so only query-term postings ever
+    shuffle; document length and the global avgdl come from one narrow
+    length projection (avgdl + N is a 1-row broadcast). Ranking is a
+    global top-k (orderBy + limit = TakeOrdered, no full sort)."""
+    q = [t for t in query_terms if t]
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    ).filter(F.col("term").isin(q))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    lens = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("dl"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(topk)
+        .select(id_col, "bm25")
+    )

@@ -955,3 +955,28 @@ def events_funnel(
         F.count("t2").alias("step2_users"),
         F.count("t3").alias("step3_users"),
     )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week
+    (the cohort), counted as retained in each later week they appear.
+    Output: (cohort_week, week_offset, n_users).
+
+    Two aggregations over one events scan: distinct (user, week)
+    activity [shuffle on user], a per-user min for the cohort week
+    (a window over the SAME user partitioning — no extra exchange),
+    then the (cohort, offset) rollup. Weeks are Monday-truncated
+    DATEs, so offsets are exact multiples of 7 days in every engine."""
+    ev = load_events(spark, sf_dir)
+    user_weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    with_cohort = user_weeks.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        with_cohort.groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -308,3 +308,63 @@ def test_minhash_increment_covers_batch_pairs_only(spark):
     want = {(a, b) for a, b in full if a >= cutoff or b >= cutoff}
     assert inc == want          # exactly the batch-touching pairs
     assert all(a >= cutoff or b >= cutoff for a, b in inc)  # no old-old
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    from scipi_spark.operators import textops
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),       # has both query terms
+            (2, "alpha gamma gamma"),     # only the common term
+            (3, "gamma gamma gamma"),     # no query terms
+            (4, "alpha alpha alpha"),     # common term, high tf
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.bm25_search(docs, ["alpha", "beta"], topk=4).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids                  # no query terms -> no score
+    assert ids[0] == 1                   # rare "beta" dominates
+    # manual check of doc 1's score (N=4, df_alpha=3, df_beta=1, dl=3, avgdl=3)
+    idf_a = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    idf_b = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    tf1a = (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / 3))
+    tf1b = (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3))
+    want = round(idf_a * tf1a + idf_b * tf1b, 6)
+    got = {r["doc_id"]: r["bm25"] for r in rows}[1]
+    assert abs(got - want) < 1e-6
+
+
+def test_cohort_retention_counts(spark):
+    from scipi_spark.plans import relational
+    import datetime as dt
+
+    # week0: users 1,2,3 start; week1: 1,3 return + user 4 starts
+    base = dt.datetime(2024, 1, 1, 12, 0)  # a Monday
+    rows = [
+        (1, base), (2, base), (3, base),
+        (1, base + dt.timedelta(days=7)),
+        (3, base + dt.timedelta(days=8)),
+        (4, base + dt.timedelta(days=7)),
+        (1, base + dt.timedelta(days=1)),   # same week dup -> distinct
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    import scipi_spark.sources.tables as tables
+    orig = tables.load_events
+    try:
+        # events_cohort_retention loads via load_events(spark, sf_dir)
+        import scipi_spark.plans.relational as rel
+        saved = rel.load_events
+        rel.load_events = lambda s, d: ev
+        out = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+            for r in relational.events_cohort_retention(spark, "ignored").collect()
+        }
+    finally:
+        rel.load_events = saved
+    assert out[("2024-01-01", 0)] == 3
+    assert out[("2024-01-01", 1)] == 2
+    assert out[("2024-01-08", 0)] == 1
+    assert len(out) == 3
