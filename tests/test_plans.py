@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions for the scale-critical operators:
+the promises SCALE.md makes (zero-shuffle filters, single-exchange
+windows, no duplicate scans, broadcast dimensions) asserted as code
+against .explain output, so a regression that silently adds an
+exchange or a second scan of the text column fails the suite."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _count(plan: str, pattern: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def test_stratified_sample_is_pure_scan_filter(spark):
+    from scipi_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.stratified_sample(
+        docs, rates={"src0": 1.0, "src1": 0.25}, strata_col="source"
+    )
+    plan = _plan(out.select("doc_id", "source"))
+    assert _count(plan, r"\bExchange\b") == 0          # fused into the scan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan  # pruned
+
+
+def test_token_budget_cap_single_exchange(spark):
+    from scipi_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("n_tokens")
+    )
+    out = sampling.token_budget_cap(docs, budget=1000)
+    plan = _plan(out)
+    # exactly the window's hash partitioning on the group column
+    assert _count(plan, r"\(\d+\) Exchange\b") == 1
+
+
+def test_tfidf_scans_text_once(spark):
+    from scipi_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.tfidf_top_terms(docs, k=3))
+    # one full text scan (tf, cached) + one zero-column count scan;
+    # the regression this guards: dfreq recomputing the explode chain
+    assert _count(plan, r"doc_id:bigint,text:string") == 1
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_bm25_filters_postings_at_the_scan(spark):
+    from scipi_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.bm25_search(docs, ["join", "hash"], topk=5))
+    # ranking is top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # the df table and the corpus stats are broadcast, not shuffled
+    assert _count(plan, r"BroadcastExchange") >= 2
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    from scipi_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", "value")
+    plan = _plan(asof_join(left, right, on="ts", by=["user_id"]))
+    # union -> ONE window exchange; no join operator at all
+    assert _count(plan, r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin") == 0
+    assert _count(plan, r"\(\d+\) Exchange\b") == 1
+
+
+def test_cohort_retention_reuses_user_partitioning(spark):
+    from scipi_spark.plans.relational import events_cohort_retention
+
+    plan = _plan(events_cohort_retention(spark, SF))
+    # distinct (shuffle 1, on user+week), window min reuses... then the
+    # rollup (shuffle 2, on cohort/offset): never more than 3 exchanges
+    assert _count(plan, r"\(\d+\) Exchange\b") <= 3
