@@ -2257,6 +2257,16 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
         """,
+        # the sketch value is engine-specific; the entry emits the exact
+        # count plus an in-query bound check on its own HLL estimate, so
+        # this oracle verifies both the deterministic column and (via the
+        # literal TRUE) that Spark's sketch stayed inside 3x rsd
+        "events_approx_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS sketch_within_bounds
+            FROM events GROUP BY event_type
+        """,
         "events_percentiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 6) AS p50,

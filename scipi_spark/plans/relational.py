@@ -487,11 +487,27 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct-user sketch per event type — approximate by design
-    (no cross-engine oracle; tests bound the error vs the exact count)."""
+    """HLL++ distinct-user sketch per event type, self-verified: the
+    sketch value itself is engine-specific (no cross-engine oracle
+    exists), so the query emits the EXACT distinct count (oracle-able)
+    plus a boolean asserting the sketch landed within 3x the requested
+    rsd — the driver gate then catches sketch regressions through the
+    deterministic columns. At scale only the sketch aggregation runs
+    (one pass, fixed memory); the exact twin here is the verification
+    harness, not the production path."""
     ev = load_events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", rsd=0.02)
+                    - F.count_distinct("user_id")
+                )
+                / F.count_distinct("user_id")
+            )
+            <= 0.06
+        ).alias("sketch_within_bounds"),
     )
 
 
