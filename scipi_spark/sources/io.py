@@ -149,3 +149,48 @@ def to_kafka_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
     if key_col is None:
         return df.select(value)
     return df.select(F.col(key_col).cast("string").alias("key"), value)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str = "doc_id",
+    order_col: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write a training corpus as exactly ``n_shards`` deterministic
+    shard files: shard = portable md5-bucket of ``key`` (the same
+    bucketing as :mod:`scipi_spark.operators.sampling`, so a document's
+    shard never changes across runs or cluster layouts), one output
+    file per shard, rows sorted within each shard by ``order_col``
+    (default: the key's bucket order, i.e. a deterministic corpus-level
+    shuffle — exactly what a training loader wants, NOT ingestion
+    order).
+
+    Plan shape: one ``repartition(n_shards, shard)`` exchange +
+    ``sortWithinPartitions`` (no global sort), written with
+    ``partitionBy(shard)`` so loaders address shards as
+    ``shard=K/part-*``. At 100 TB pick n_shards so each shard is
+    ~0.5-2 GB; the writer never funnels through fewer tasks than
+    shards."""
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators.sampling import hash_bucket
+
+    shard = (hash_bucket(key, n_shards * 1000) % n_shards).alias("shard")
+    out = df.withColumn("shard", shard)
+    order = order_col or "_order"
+    if order_col is None:
+        out = out.withColumn("_order", hash_bucket(key))
+    (
+        # key appended to the sort: the coarse bucket order alone has
+        # ties, and file content must be byte-deterministic
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order, key)
+        .drop(*([] if order_col else ["_order"]))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

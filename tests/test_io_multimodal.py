@@ -159,3 +159,35 @@ def test_sample_frames(spark):
         (3, 2, 2000),
         (3, 3, 3000),
     ]
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    import glob
+    import os
+
+    from scipi_spark.sources.io import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, n_shards=4)
+    write_training_shards(docs.repartition(13), p2, n_shards=4)  # layout-independent
+
+    dirs = sorted(os.path.basename(d) for d in glob.glob(p1 + "/shard=*"))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    for d in dirs:
+        files = [f for f in glob.glob(f"{p1}/{d}/part-*") if not f.endswith(".crc")]
+        assert len(files) == 1          # exactly one file per shard
+
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    assert a.count() == docs.count()
+    # same shard assignment regardless of input partitioning
+    ka = {(r["doc_id"], r["shard"]) for r in a.select("doc_id", "shard").collect()}
+    kb = {(r["doc_id"], r["shard"]) for r in b.select("doc_id", "shard").collect()}
+    assert ka == kb
+    # within-shard order is the hash order, not ingestion order
+    rows0 = [
+        r["doc_id"]
+        for r in spark.read.parquet(p1 + "/shard=0").select("doc_id").collect()
+    ]
+    assert rows0 != sorted(rows0)
