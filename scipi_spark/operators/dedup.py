@@ -202,6 +202,67 @@ def _signatures_from_postings(
     )
 
 
+def _minhash_coeffs(num_perm: int) -> tuple[list[tuple[int, int]], int]:
+    """Fixed-seed 2-universal permutation coefficients over the Mersenne
+    prime 2^31-1 — shared by every minhash entry point so signatures
+    computed today match a store written yesterday."""
+    p = 2_147_483_647
+    rng = random.Random(1_000_003)
+    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)], p
+
+
+def _band_rows(sigs: DataFrame, bands: int, r: int, extra: list[str] | None = None) -> DataFrame:
+    """(doc[, extra...], band, bh): one murmur3 hash per r-row signature
+    band, exploded — the LSH bucket keys."""
+    extra = extra or []
+    return sigs.select(
+        "doc",
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", *extra, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def _jaccard_verify(
+    candidates: DataFrame, postings: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs over hashed shingle
+    postings: intersection via equi-join restricted to candidates, sizes
+    joined back — precision becomes exact, only recall stays
+    probabilistic."""
+    pa = postings.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    pb = postings.select(F.col("doc").alias("pb_doc"), F.col("sh").alias("sh_b"))
+    inter = (
+        candidates.join(pa, "doc_a")
+        .join(
+            pb,
+            (F.col("doc_b") == F.col("pb_doc")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac.cast("double"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -224,9 +285,7 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    p = 2_147_483_647
-    rng = random.Random(1_000_003)
-    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)]
+    coeffs, p = _minhash_coeffs(num_perm)
     sizes, postings = _shingle_index(df, id_col, text_col, k, None)
     if verify:
         # both the signature agg and the verify self-join read postings;
@@ -238,24 +297,8 @@ def minhash_lsh_pairs(
         coeffs,
         p,
     )
-    band_rows = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
-                            "bh"
-                        ),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     # materialize: the candidate self-join reads band_rows on both sides
-    band_rows = band_rows.localCheckpoint(eager=True)
+    band_rows = _band_rows(sigs, bands, r).localCheckpoint(eager=True)
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -272,29 +315,9 @@ def minhash_lsh_pairs(
     if not verify:
         return candidates
 
-    # verify candidates with exact jaccard over the SAME postings the
-    # signatures were built from (hashed shingle ids preserve set
-    # identity, which is all Jaccard needs)
-    pa = postings.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    pb = postings.select(F.col("doc").alias("pb_doc"), F.col("sh").alias("sh_b"))
-    inter = (
-        candidates.join(pa, "doc_a")
-        .join(
-            pb,
-            (F.col("doc_b") == F.col("pb_doc")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac.cast("double"), 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    # verify with exact jaccard over the SAME postings the signatures
+    # were built from (hashed shingle ids preserve set identity)
+    return _jaccard_verify(candidates, postings, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -429,9 +452,7 @@ def minhash_lsh_increment(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    p = 2_147_483_647
-    rng = random.Random(1_000_003)
-    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)]
+    coeffs, p = _minhash_coeffs(num_perm)
 
     tagged = corpus.select(
         F.col(id_col), F.col(text_col), F.lit(False).alias("is_new")
@@ -449,35 +470,29 @@ def minhash_lsh_increment(
     # attach the new/old flag at signature granularity (one row per doc,
     # BEFORE the xbands explosion) with a plain shuffle join — corpus-
     # sized sides must never broadcast
-    band_rows = sigs.join(flags, "doc").select(
-        "doc",
-        "is_new",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
-                            "bh"
-                        ),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc", "is_new", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    band_rows = _band_rows(sigs.join(flags, "doc"), bands, r, extra=["is_new"])
     band_rows = band_rows.localCheckpoint(eager=True)
 
-    new_side = band_rows.filter(F.col("is_new")).alias("a")
-    all_side = band_rows.alias("b")
-    candidates = (
-        new_side.join(
-            all_side,
+    candidates = _probe_candidates(
+        band_rows.filter(F.col("is_new")), band_rows
+    )
+    return _jaccard_verify(candidates, postings, sizes, threshold)
+
+
+def _probe_candidates(probe_bands: DataFrame, index_bands: DataFrame) -> DataFrame:
+    """Canonical distinct candidate pairs from probing ``probe_bands``'
+    (band, bh) buckets against ``index_bands`` — a pair found from both
+    sides (probe-probe) dedups through the least/greatest canonical
+    form."""
+    a = probe_bands.alias("a")
+    b = index_bands.alias("b")
+    return (
+        a.join(
+            b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc") != F.col("b.doc")),
         )
-        # canonicalize so a new-new pair found from both probes dedups
         .select(
             F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
             F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
@@ -485,23 +500,101 @@ def minhash_lsh_increment(
         .distinct()
     )
 
-    pa = postings.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    pb = postings.select(F.col("doc").alias("pb_doc"), F.col("sh").alias("sh_b"))
-    inter = (
-        candidates.join(pa, "doc_a")
-        .join(
-            pb,
-            (F.col("doc_b") == F.col("pb_doc")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    table: str = "minhash_store_bands",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_buckets: int = 16,
+) -> None:
+    """Persist a corpus's LSH state once so later increments probe it
+    with ZERO corpus-side recompute:
+
+    - ``<path>/postings``, ``<path>/sizes`` — hashed shingle postings and
+      set sizes (parquet), read only by the exact-Jaccard verify of
+      candidate pairs that actually touch corpus docs;
+    - table ``<table>`` — band rows bucketed AND sorted on (band, bh)
+      (data at ``<path>/bands``): the probe equi-join on exactly the
+      bucket keys reads the store with NO Exchange and NO Sort on the
+      corpus side (plan-asserted in tests) — only the day's batch
+      shuffles, which is what makes daily dedup O(|batch|) instead of
+      O(|corpus|).
+
+    The signature coefficients are fixed-seed (:func:`_minhash_coeffs`),
+    so signatures computed at probe time match the stored ones."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    coeffs, p = _minhash_coeffs(num_perm)
+    spark = df.sparkSession
+    sizes, postings = _shingle_index(df, id_col, text_col, k, None)
+    postings.write.mode("overwrite").parquet(path.rstrip("/") + "/postings")
+    sizes.write.mode("overwrite").parquet(path.rstrip("/") + "/sizes")
+    # signatures from the COMPACT stored postings, not the raw text scan
+    stored = spark.read.parquet(path.rstrip("/") + "/postings")
+    sigs = _signatures_from_postings(
+        stored.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac.cast("double"), 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    (
+        _band_rows(sigs, bands, r)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .option("path", path.rstrip("/") + "/bands")
+        .saveAsTable(table)
     )
+
+
+def minhash_lsh_increment_from_store(
+    spark,
+    path: str,
+    batch: DataFrame,
+    table: str = "minhash_store_bands",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The probe side of :func:`write_signature_store`: near-dup pairs
+    between ``batch`` and the stored corpus (plus batch-batch pairs),
+    identical output to :func:`minhash_lsh_increment` run on the raw
+    corpus (equivalence-tested) — but the corpus text is never touched:
+    candidates probe the bucketed band table shuffle-free on the corpus
+    side, and the verify reads only the stored postings."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    coeffs, p = _minhash_coeffs(num_perm)
+    base = path.rstrip("/")
+    corpus_bands = spark.table(table)
+    corpus_postings = spark.read.parquet(base + "/postings")
+    corpus_sizes = spark.read.parquet(base + "/sizes")
+
+    b_sizes, b_postings = _shingle_index(batch, id_col, text_col, k, None)
+    b_postings = b_postings.localCheckpoint(eager=True)
+    b_sigs = _signatures_from_postings(
+        b_postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
+    )
+    b_bands = _band_rows(b_sigs, bands, r).localCheckpoint(eager=True)
+
+    # TWO probe joins, not one join against a union — a union of the
+    # bucketed table with anything loses its bucketing and would shuffle
+    # the whole corpus index. batch-vs-store probes the bucketed scan
+    # (corpus side exchange-free); batch-vs-batch is a small self-join.
+    candidates = (
+        _probe_candidates(b_bands, corpus_bands)
+        .unionByName(_probe_candidates(b_bands, b_bands))
+        .distinct()
+    )
+    postings = corpus_postings.unionByName(b_postings)
+    sizes = corpus_sizes.unionByName(b_sizes)
+    return _jaccard_verify(candidates, postings, sizes, threshold)

@@ -368,3 +368,89 @@ def test_cohort_retention_counts(spark):
     assert out[("2024-01-01", 1)] == 2
     assert out[("2024-01-08", 0)] == 1
     assert len(out) == 3
+
+
+def test_signature_store_probe_matches_direct_increment(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from scipi_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+
+    spark.sql("DROP TABLE IF EXISTS sigstore_test")
+    dedup.write_signature_store(
+        corpus, str(tmp_path / "store"), table="sigstore_test",
+        k=3, num_perm=64, bands=16,
+    )
+    from_store = dedup.minhash_lsh_increment_from_store(
+        spark, str(tmp_path / "store"), batch, table="sigstore_test",
+        k=3, num_perm=64, bands=16, threshold=0.3,
+    )
+    direct = dedup.minhash_lsh_increment(
+        corpus, batch, k=3, num_perm=64, bands=16, threshold=0.3
+    )
+    got = sorted(map(tuple, from_store.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and want  # identical pairs, non-empty fixture
+
+
+def test_signature_store_probe_is_corpus_shuffle_free(spark, tmp_path):
+    """The store's reason to exist: the probe join must read the bucketed
+    band table without an Exchange (only the batch side shuffles)."""
+    import re
+
+    from pyspark.sql import functions as F
+    from scipi_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    spark.sql("DROP TABLE IF EXISTS sigstore_plan")
+    dedup.write_signature_store(
+        corpus, str(tmp_path / "store"), table="sigstore_plan", n_buckets=8
+    )
+    # isolate the probe join: batch bands vs the stored table, no AQE
+    # so the final plan is inspectable deterministically
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # model the big-batch regime: a real increment is far beyond
+        # broadcast size, so force the shuffled-join path the store is
+        # designed for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        coeffs, p = dedup._minhash_coeffs(64)
+        _, b_post = dedup._shingle_index(batch, "doc_id", "text", 3, None)
+        b_sigs = dedup._signatures_from_postings(
+            b_post.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+            coeffs, p,
+        )
+        b_bands = dedup._band_rows(b_sigs, 16, 4).localCheckpoint(eager=True)
+        # plain-parquet copy of the same corpus index for the differential
+        plain_path = str(tmp_path / "bands_plain")
+        spark.table("sigstore_plan").write.mode("overwrite").parquet(plain_path)
+
+        def n_exchanges(index_df):
+            probe = dedup._probe_candidates(b_bands, index_df)
+            jvm = spark._jvm
+            plan = probe._jdf.queryExecution().explainString(
+                jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            return len(re.findall(r"\(\d+\) Exchange\b", plan)), plan
+
+        n_bucketed, plan_b = n_exchanges(spark.table("sigstore_plan"))
+        n_plain, _ = n_exchanges(spark.read.parquet(plain_path))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    # identical batch side, identical join — the bucketed index is the
+    # only difference, and it must remove exactly the corpus-side shuffle
+    assert "Bucketed: true" in plan_b
+    assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
