@@ -86,11 +86,9 @@ def _q_v1(spark, sf_dir):
     return analytics.authorship_pattern_table(ap, cutoff=V1_CUTOFF)
 
 
-def _q_ingest_oag(spark, sf_dir):
-    """P1+P3+P4+P5: serialize the analog corpus to raw OAG JSON (authors as
-    structs), parse with from_json, run the 7-rule validation. Records with
-    orderkey % 7 == 0 are poisoned to lang='fr' and % 11 == 0 to a 3-char
-    year, so the filter provably drops rows."""
+def _poisoned_oag_raw(spark, sf_dir):
+    """Raw OAG JSON lines with deterministic poison: orderkey % 7 == 0 →
+    lang='fr' (fails rule 1), % 11 == 0 → 3-char year (fails rule 6)."""
     pubs = publications_analog(spark, sf_dir)
     okey = F.col("doi").cast("long")
     raw = pubs.select(
@@ -110,13 +108,33 @@ def _q_ingest_oag(spark, sf_dir):
             )
         ).alias("value")
     )
-    out = ingest.ingest_oag(raw)
+    return raw
+
+
+def _q_ingest_oag(spark, sf_dir):
+    """P1+P3+P4+P5: serialize the analog corpus to raw OAG JSON (authors
+    as structs), parse with from_json, run the 7-rule validation; the
+    poisoned rows provably drop."""
+    out = ingest.ingest_oag(_poisoned_oag_raw(spark, sf_dir))
     return out.select(
         "doi",
         "title",
         "year",
         F.size("keywords").cast("long").alias("n_keywords"),
         F.size("authors").cast("long").alias("n_authors"),
+    )
+
+
+def _q_p5_reject_audit(spark, sf_dir):
+    """The dead-letter channel of the same ingest: rejected records
+    counted by FIRST failing rule (reference check order). Auditable
+    ingest loss instead of a silent filter."""
+    parsed = ingest.parse_oag(_poisoned_oag_raw(spark, sf_dir))
+    reasons = ingest.validate_publications_with_reasons(parsed)
+    return (
+        reasons.filter(F.col("reject_reason").isNotNull())
+        .groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -1019,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_topics_filter": _q_t1,
         "v1_authorship_pattern_table": _q_v1,
         "p1_p5_ingest_oag": _q_ingest_oag,
+        "p5_reject_audit": _q_p5_reject_audit,
         "p2_p5_ingest_dblp": _q_ingest_dblp,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -1383,6 +1402,19 @@ def oracle_sql() -> dict[str, str]:
                    n_authors
             FROM orders o JOIN per_order p ON o.o_orderkey = p.okey
             WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey % 11 <> 0
+        """,
+        # rejected = poisoned rows, grouped by first failing rule in the
+        # reference's check order: %7 -> lang (checked before year), else
+        # %11 -> year; only orders with lineitems enter the pipeline
+        "p5_reject_audit": r"""
+            SELECT CASE WHEN o.o_orderkey % 7 = 0 THEN 'lang'
+                        ELSE 'year' END AS reject_reason,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders o
+            JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+              ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey % 7 = 0 OR o.o_orderkey % 11 = 0
+            GROUP BY 1
         """,
         "p2_p5_ingest_dblp": r"""
             WITH per_order AS (

@@ -82,6 +82,21 @@ def validate_publications(parsed: DataFrame) -> DataFrame:
          ``ScipiStream.java:560-566``)
       7. >=1 cleaned author (per-element validateStr, no length cap)
     """
+    return (
+        validate_publications_with_reasons(parsed)
+        .filter(F.col("reject_reason").isNull())
+        .drop("reject_reason")
+    )
+
+
+def validate_publications_with_reasons(parsed: DataFrame) -> DataFrame:
+    """P5 with a dead-letter channel: every record annotated with
+    ``reject_reason`` (NULL = valid; else the FIRST failing rule in the
+    reference's check order — lang, doi, title, source, topics, year,
+    authors). Training/analytics pipelines route the non-null rows to a
+    quarantine sink instead of silently dropping them, so ingest loss is
+    auditable. Pure Column expressions; the reason CASE costs nothing
+    beyond the checks the filter already ran."""
     df = parsed.select(
         validate_str("doi").alias("doi"),
         validate_str("title").alias("title"),
@@ -95,18 +110,30 @@ def validate_publications(parsed: DataFrame) -> DataFrame:
         validate_topics("fos").alias("fos"),
         F.col("dataset"),
     )
-    return df.filter(
-        (F.col("lang") == "en")
-        & F.col("doi").isNotNull()
-        & F.col("title").isNotNull()
-        & (F.col("publisher").isNotNull() | F.col("venue").isNotNull())
-        & (
-            (F.coalesce(F.size("keywords"), F.lit(0)) > 0)
-            | (F.coalesce(F.size("fos"), F.lit(0)) > 0)
+
+    def fails(cond):
+        # null-safe negation: a NULL check result is a failure
+        return ~F.coalesce(cond, F.lit(False))
+
+    reason = (
+        F.when(fails(F.col("lang") == "en"), "lang")
+        .when(fails(F.col("doi").isNotNull()), "doi")
+        .when(fails(F.col("title").isNotNull()), "title")
+        .when(
+            fails(F.col("publisher").isNotNull() | F.col("venue").isNotNull()),
+            "source",
         )
-        & (F.length("_year_clean") == 4)
-        & (F.coalesce(F.size("authors"), F.lit(0)) > 0)
-    ).drop("_year_clean")
+        .when(
+            fails(
+                (F.coalesce(F.size("keywords"), F.lit(0)) > 0)
+                | (F.coalesce(F.size("fos"), F.lit(0)) > 0)
+            ),
+            "topics",
+        )
+        .when(fails(F.length("_year_clean") == 4), "year")
+        .when(fails(F.coalesce(F.size("authors"), F.lit(0)) > 0), "authors")
+    )
+    return df.select("*", reason.alias("reject_reason")).drop("_year_clean")
 
 
 def ingest_oag(raw: DataFrame, json_col: str = "value") -> DataFrame:

@@ -140,3 +140,23 @@ def test_clean_authors_no_length_cap(spark):
     df = spark.createDataFrame([([("x" * 50), "Y!"],)], "a array<string>")
     got = df.select(clean_authors("a").alias("c")).collect()[0]["c"]
     assert got == ["x" * 50, "y"]
+
+
+def test_reject_reasons_first_failing_rule(spark):
+    lines = [json.dumps(r) for r in OAG_FIXTURE]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    parsed = ingest.parse_oag(raw)
+    rows = ingest.validate_publications_with_reasons(parsed).collect()
+    by_doi = {r["doi"]: r["reject_reason"] for r in rows}
+    assert by_doi["101ab"] is None            # valid
+    assert by_doi["108"] is None              # fos saved it
+    assert by_doi["102"] == "lang"
+    assert by_doi[None] == "doi"
+    assert by_doi["103"] == "title"
+    assert by_doi["104"] == "source"          # venue "??" cleans to null too
+    assert by_doi["105"] == "topics"
+    assert by_doi["106"] == "year"
+    assert by_doi["107"] == "authors"
+    # the plain validator is exactly "reason is null"
+    kept = {r["doi"] for r in ingest.validate_publications(parsed).collect()}
+    assert kept == {d for d, why in by_doi.items() if why is None}
