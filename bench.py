@@ -28,7 +28,9 @@ HEADLINERS = [
     "p1_p5_ingest_oag",
     "text_quality",
     "dedup_minhash_lsh",
+    "dedup_increment",
     "dedup_ngram_jaccard",
+    "text_bm25",
     "knn_cosine_brute",
     "knn_cosine_lsh",
     "emb_neardup_pairs",
