@@ -434,7 +434,12 @@ def bm25_search(
             )
         ).alias("term"),
     ).filter(F.col("term").isin(q))
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH dfreq and the scoring join; lens feeds BOTH the
+    # avgdl aggregate and the scoring join — persist each or the text
+    # scan executes four times (branches never share subplans)
+    tf = (
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
 
     lens = df.select(
         F.col(id_col),
@@ -444,7 +449,7 @@ def bm25_search(
                 lambda t: t != "",
             )
         ).cast("long").alias("dl"),
-    )
+    ).persist()
     stats = lens.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),

@@ -68,6 +68,9 @@ def test_bm25_filters_postings_at_the_scan(spark):
     assert "TakeOrderedAndProject" in plan
     # the df table and the corpus stats are broadcast, not shuffled
     assert _count(plan, r"BroadcastExchange") >= 2
+    # tf and lens are persisted: exactly two text scans (postings +
+    # lengths), not four — branches never share subplans
+    assert _count(plan, r"doc_id:bigint,text:string") <= 2
 
 
 def test_asof_join_single_shuffle_per_side(spark):
