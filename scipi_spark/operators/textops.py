@@ -328,7 +328,11 @@ def rarity_features(
     ln() rounding."""
     toks = tokens(text_col)
     words = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    vocab = words.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # vocab feeds BOTH the mean-frequency aggregate and the broadcast
+    # join; persist it or the full explode+count chain runs twice
+    vocab = (
+        words.groupBy("tok").agg(F.count(F.lit(1)).alias("freq")).persist()
+    )
     # below-mean-frequency threshold from exact integer totals
     stats = vocab.agg(
         (F.sum("freq") / F.count(F.lit(1))).alias("mean_freq")
