@@ -762,6 +762,14 @@ def _q_text_bm25(spark, sf_dir):
     return textops.bm25_search(docs, BM25_QUERY, topk=10)
 
 
+def _q_events_pivot_wide(spark, sf_dir):
+    """Per-user event-type counts pivoted wide with an explicit value
+    list (no distinct-discovery job, scale-stable schema)."""
+    from scipi_spark.plans.relational import events_pivot_wide
+
+    return events_pivot_wide(spark, sf_dir)
+
+
 def _q_events_cohort_retention(spark, sf_dir):
     """Weekly cohort retention triangle over the events stream — the
     standard product-analytics rollup (cohort = first-activity week)."""
@@ -1128,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "text_bm25": _q_text_bm25,
         "events_cohort_retention": _q_events_cohort_retention,
+        "events_pivot_wide": _q_events_pivot_wide,
         "p7_keyword_count_salted": _q_p7_salted,
         "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
@@ -2590,6 +2599,21 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
             GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC
             LIMIT 10
+        """,
+        # pivot = conditional aggregation over the fixed value list
+        "events_pivot_wide": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS view
+            FROM events GROUP BY user_id
         """,
         # Monday-truncated weeks in both engines; offsets are exact
         # multiples of 7 days so the division is integer-safe

@@ -996,3 +996,34 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+#: Explicit pivot value list: discovery-free plans (no extra collect
+#: job) and a schema that is identical at any scale.
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type counts via pivot with an EXPLICIT value
+    list — without it Spark runs a distinct-values job first and the
+    output schema depends on the data, which breaks both incremental
+    runs and plan caching. One shuffle (the groupBy); absent cells
+    coalesce to 0."""
+    ev = load_events(spark, sf_dir)
+    wide = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES],
+    )
+
+
+def events_unpivot(wide: DataFrame) -> DataFrame:
+    """Melt the wide pivot back to (user_id, event_type, n) long form —
+    `DataFrame.unpivot` is a narrow per-row explode, no shuffle. Zero
+    cells are dropped so the round trip reproduces the long table."""
+    return (
+        wide.unpivot("user_id", EVENT_TYPES, "event_type", "n")
+        .filter(F.col("n") > 0)
+    )

@@ -147,3 +147,24 @@ def test_pagerank_star_graph(spark):
     # fixed point: h = 0.15/5 + 0.85*4*leaf, leaf = 0.15/5 + 0.85*h/4
     # -> h ~ 0.421, leaf ~ 0.145 (hub ~2.9x a leaf)
     assert got["h"] > 2 * max(leaf_ranks)
+
+
+def test_pivot_unpivot_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from scipi_spark.plans.relational import events_pivot_wide, events_unpivot
+    from scipi_spark.sources.tables import load_events
+
+    wide = events_pivot_wide(spark, SF_SMOKE)
+    back = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in events_unpivot(wide).collect()
+    }
+    long = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in load_events(spark, SF_SMOKE)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert back == long  # unpivot(pivot(x)) == x
