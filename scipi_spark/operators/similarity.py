@@ -468,9 +468,14 @@ def cosine_neardup_pairs(
             hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)
         ]
         sigs_udf = make_signatures_udf(all_planes)
+        # both sides of the candidate self-join read sigs — materialize
+        # once or the Arrow signature UDF (the expensive stage) executes
+        # twice (self-join sides never share subplans)
         sigs = base.select(
             "vec_id", sigs_udf(F.col("e")).alias("sigs")
-        ).select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+        ).select("vec_id", F.posexplode("sigs").alias("t", "sig")).localCheckpoint(
+            eager=True
+        )
         b_side = sigs.select(
             F.col("vec_id").alias("id_b"), "t", "sig"
         )
