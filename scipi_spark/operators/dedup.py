@@ -406,6 +406,9 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    # both self-join sides read chunks — materialize once or the 64-sum
+    # signature aggregation executes twice
+    chunks = chunks.localCheckpoint(eager=True)
     a = chunks.alias("a")
     b = chunks.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
