@@ -144,6 +144,9 @@ def project_top(edges: DataFrame) -> DataFrame:
     author_b) edge per ordered pair per SHARED keyword (both directions,
     multiplicity = #shared keywords). This self-join on the bottom id IS
     the hash join of the system."""
+    # both self-join sides read the edge aggregate — materialize once or
+    # the upstream explode+groupBy executes twice
+    edges = edges.localCheckpoint(eager=True)
     a = edges.select(F.col("keyword"), F.col("author").alias("author_a"))
     b = edges.select(F.col("keyword"), F.col("author").alias("author_b"))
     return (
