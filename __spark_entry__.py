@@ -1036,6 +1036,59 @@ def _q_emb_neardup_planted(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # -- positions 1-49: entries needing a driver CORRECTNESS row this round
+        # (never evaluated in r1/r2, or code changed this round; the driver
+        # gate evaluates only the first 50 dict keys -- see VERDICT r2 #1).
+        "tpch_q2": relational.q2_min_cost_supplier,
+        "tpch_q7": relational.q7_volume_shipping,
+        "tpch_q8": relational.q8_market_share,
+        "tpch_q9": relational.q9_product_type_profit,
+        "tpch_q11": relational.q11_important_parts,
+        "tpch_q15": relational.q15_top_supplier,
+        "tpch_q16": relational.q16_supplier_count_by_part,
+        "tpch_q20": relational.q20_dominant_suppliers,
+        "tpch_q21": relational.q21_suppliers_kept_waiting,
+        "tpch_q22": relational.q22_global_sales_opportunity,
+        "window_rolling_revenue": relational.window_rolling_revenue,
+        "semi_anti_customers": relational.semi_anti_customers,
+        "setops_nations": relational.setops_nations,
+        "events_json_hourly": relational.events_json_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "events_percentiles": relational.events_percentiles,
+        "events_funnel": relational.events_funnel,
+        "events_approx_distinct": relational.events_approx_distinct,
+        "events_cohort_retention": _q_events_cohort_retention,
+        "events_pivot_wide": _q_events_pivot_wide,
+        "s5_latest_publications": _q_s5_latest_publications,
+        "stream_keyword_count": _q_stream_keyword_count,
+        "stream_dedup_exact": _q_stream_dedup,
+        "stream_interval_join": _q_stream_interval_join,
+        "grouped_topk_parts": _q_grouped_topk_parts,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
+        "pipeline_training_data": _q_pipeline_training_data,
+        "dedup_clusters": _q_dedup_clusters,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_events": _q_range_join_events,
+        "graph_triangles": _q_graph_triangles,
+        "graph_pagerank": _q_graph_pagerank,
+        "dataset_split": _q_dataset_split,
+        "stratified_sample": _q_stratified_sample,
+        "token_budget_cap": _q_token_budget_cap,
+        "text_tfidf": _q_text_tfidf,
+        "text_bm25": _q_text_bm25,
+        "p7_keyword_count_salted": _q_p7_salted,
+        "c14_decorated_subgraph": _q_c14_decorated_subgraph,
+        "c8_community_lpa": _q_community_lpa,
+        "c16_community_strength": _q_c16_strength,
+        "c8_lpa_planted": _q_c8_lpa_planted,
+        "c16_strength_planted": _q_c16_strength_planted,
+        "c2_community_vertices": _q_community_vertices,
+        "c4_community_edges": _q_community_edges,
+        "dedup_increment": _q_dedup_increment,
+        "text_rarity": _q_text_rarity,
+        # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence)
         "p7_keyword_count": _q_p7,
         "p8_fos_count": _q_p8,
         "p9_yrwise_dist": _q_p9,
@@ -1051,7 +1104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
-        "text_rarity": _q_text_rarity,
         "text_decontaminate": _q_text_decontaminate,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
@@ -1060,18 +1112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_increment": _q_dedup_increment,
         "dedup_simhash": _q_dedup_simhash,
         "a1_assoc_cosine": _q_assoc_cosine,
         "a4_assoc_usage_edges": _q_assoc_usage_edges,
         "a8_assoc_projection": _q_assoc_projection,
         "a11_assoc_collab_table": _q_assoc_collab_table,
-        "c2_community_vertices": _q_community_vertices,
-        "c4_community_edges": _q_community_edges,
-        "c8_community_lpa": _q_community_lpa,
-        "c16_community_strength": _q_c16_strength,
-        "c8_lpa_planted": _q_c8_lpa_planted,
-        "c16_strength_planted": _q_c16_strength_planted,
         "t3_top_topics": _q_t3_top_topics,
         "v2_yrwise_table": _q_v2_yrwise_table,
         "v3_aap_table": _q_v3_aap_table,
@@ -1093,52 +1138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": relational.q17_small_quantity_revenue,
         "tpch_q18": relational.q18_large_orders,
         "tpch_q19": relational.q19_discounted_revenue,
-        "tpch_q2": relational.q2_min_cost_supplier,
-        "tpch_q7": relational.q7_volume_shipping,
-        "tpch_q8": relational.q8_market_share,
-        "tpch_q9": relational.q9_product_type_profit,
-        "tpch_q11": relational.q11_important_parts,
-        "tpch_q15": relational.q15_top_supplier,
-        "tpch_q16": relational.q16_supplier_count_by_part,
-        "tpch_q20": relational.q20_dominant_suppliers,
-        "tpch_q21": relational.q21_suppliers_kept_waiting,
-        "tpch_q22": relational.q22_global_sales_opportunity,
         "cube_order_volume": relational.cube_order_volume,
         "window_top_orders": relational.window_top_orders_per_customer,
         "window_order_deltas": relational.window_order_deltas,
-        "window_rolling_revenue": relational.window_rolling_revenue,
         "rollup_order_volume": relational.rollup_order_volume,
         "distinct_agg_supplier": relational.distinct_agg_supplier_reach,
-        "semi_anti_customers": relational.semi_anti_customers,
-        "setops_nations": relational.setops_nations,
-        "events_json_hourly": relational.events_json_hourly,
-        "events_sessionize": relational.events_sessionize,
-        "events_percentiles": relational.events_percentiles,
-        "events_funnel": relational.events_funnel,
-        "events_approx_distinct": relational.events_approx_distinct,
-        "s5_latest_publications": _q_s5_latest_publications,
-        "stream_keyword_count": _q_stream_keyword_count,
-        "stream_dedup_exact": _q_stream_dedup,
-        "grouped_topk_parts": _q_grouped_topk_parts,
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_frames": _q_multimodal_frames,
-        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
-        "pipeline_training_data": _q_pipeline_training_data,
-        "dedup_clusters": _q_dedup_clusters,
-        "asof_join_events": _q_asof_join_events,
-        "range_join_events": _q_range_join_events,
-        "stream_interval_join": _q_stream_interval_join,
-        "graph_triangles": _q_graph_triangles,
-        "graph_pagerank": _q_graph_pagerank,
-        "dataset_split": _q_dataset_split,
-        "stratified_sample": _q_stratified_sample,
-        "token_budget_cap": _q_token_budget_cap,
-        "text_tfidf": _q_text_tfidf,
-        "text_bm25": _q_text_bm25,
-        "events_cohort_retention": _q_events_cohort_retention,
-        "events_pivot_wide": _q_events_pivot_wide,
-        "p7_keyword_count_salted": _q_p7_salted,
-        "c14_decorated_subgraph": _q_c14_decorated_subgraph,
     }
 
 
