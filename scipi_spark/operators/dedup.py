@@ -452,17 +452,22 @@ def minhash_lsh_increment(
     (band, bh)) and this becomes a pure probe join with no corpus-side
     recompute. Output pairs are canonical (doc_a < doc_b), verified with
     exact Jaccard like :func:`minhash_lsh_pairs`.
+
+    A doc_id present in BOTH inputs (a re-ingested doc) is taken from
+    the batch — keeping both copies would union two posting sets under
+    one id, inflating intersections and fanning out the sizes join. The
+    anti-join broadcasts only the batch's ids (an increment is small by
+    contract), so the corpus side stays narrow: no corpus shuffle.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
     coeffs, p = _minhash_coeffs(num_perm)
 
-    tagged = corpus.select(
-        F.col(id_col), F.col(text_col), F.lit(False).alias("is_new")
-    ).unionByName(
-        batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("is_new"))
+    batch_ids = batch.select(F.col(id_col)).distinct()
+    corpus_only = corpus.join(F.broadcast(batch_ids), id_col, "left_anti")
+    tagged = corpus_only.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
     )
-    flags = tagged.select(F.col(id_col).alias("doc"), "is_new")
     sizes, postings = _shingle_index(tagged, id_col, text_col, k, None)
     postings = postings.localCheckpoint(eager=True)
     sigs = _signatures_from_postings(
@@ -470,10 +475,15 @@ def minhash_lsh_increment(
         coeffs,
         p,
     )
-    # attach the new/old flag at signature granularity (one row per doc,
-    # BEFORE the xbands explosion) with a plain shuffle join — corpus-
-    # sized sides must never broadcast
-    band_rows = _band_rows(sigs.join(flags, "doc"), bands, r, extra=["is_new"])
+    # derive the new/old flag from the batch ids alone (broadcast left
+    # join + coalesce) instead of joining a projection of `tagged` back —
+    # `tagged` now feeds exactly one consumer (_shingle_index), so the
+    # corpus+batch base scan executes once, not twice.
+    flags = batch_ids.select(F.col(id_col).alias("doc"), F.lit(True).alias("is_new"))
+    flagged = sigs.join(F.broadcast(flags), "doc", "left").withColumn(
+        "is_new", F.coalesce(F.col("is_new"), F.lit(False))
+    )
+    band_rows = _band_rows(flagged, bands, r, extra=["is_new"])
     band_rows = band_rows.localCheckpoint(eager=True)
 
     candidates = _probe_candidates(
@@ -598,6 +608,18 @@ def minhash_lsh_increment_from_store(
         .unionByName(_probe_candidates(b_bands, b_bands))
         .distinct()
     )
-    postings = corpus_postings.unionByName(b_postings)
-    sizes = corpus_sizes.unionByName(b_sizes)
+    # A doc_id present in both the store and the batch (re-ingested doc)
+    # is taken from the batch: without the anti-join its postings rows
+    # would duplicate under one id (inflating intersection counts) and
+    # the sizes join would fan out. Broadcasting the batch's ids keeps
+    # the stored corpus side narrow. Stale band rows for such a doc may
+    # still surface extra candidates — harmless, the verify below is
+    # exact Jaccard over the de-duplicated postings.
+    batch_ids = b_sizes.select("doc")
+    postings = corpus_postings.join(
+        F.broadcast(batch_ids), "doc", "left_anti"
+    ).unionByName(b_postings)
+    sizes = corpus_sizes.join(
+        F.broadcast(batch_ids), "doc", "left_anti"
+    ).unionByName(b_sizes)
     return _jaccard_verify(candidates, postings, sizes, threshold)

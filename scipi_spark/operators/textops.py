@@ -329,9 +329,13 @@ def rarity_features(
     toks = tokens(text_col)
     words = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     # vocab feeds BOTH the mean-frequency aggregate and the broadcast
-    # join; persist it or the full explode+count chain runs twice
+    # join; materialize it or the full explode+count chain runs twice.
+    # localCheckpoint (not persist): blocks are freed when the DataFrame
+    # is GC'd, so repeated calls don't accumulate catalog cache entries.
     vocab = (
-        words.groupBy("tok").agg(F.count(F.lit(1)).alias("freq")).persist()
+        words.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
     )
     # below-mean-frequency threshold from exact integer totals
     stats = vocab.agg(
@@ -382,10 +386,15 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     # tf feeds BOTH the document-frequency aggregation and the scoring
-    # join; persist it or the scan+explode+agg chain executes twice
+    # join; materialize it or the scan+explode+agg chain executes twice
     # (plan-verified: without this the physical plan shows two full
-    # parquet scans of the text column)
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # parquet scans of the text column). localCheckpoint so long-lived
+    # sessions don't accumulate cached relations across calls.
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n"))
     scored = (
@@ -439,10 +448,13 @@ def bm25_search(
         ).alias("term"),
     ).filter(F.col("term").isin(q))
     # tf feeds BOTH dfreq and the scoring join; lens feeds BOTH the
-    # avgdl aggregate and the scoring join — persist each or the text
-    # scan executes four times (branches never share subplans)
+    # avgdl aggregate and the scoring join — materialize each or the
+    # text scan executes four times (branches never share subplans).
+    # localCheckpoint so repeated searches don't leak cache entries.
     tf = (
-        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
 
     lens = df.select(
@@ -453,7 +465,7 @@ def bm25_search(
                 lambda t: t != "",
             )
         ).cast("long").alias("dl"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     stats = lens.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),

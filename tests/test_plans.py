@@ -53,10 +53,11 @@ def test_tfidf_scans_text_once(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(textops.tfidf_top_terms(docs, k=3))
-    # one full text scan (tf, cached) + one zero-column count scan;
+    # tf is materialized (localCheckpoint), so the final plan holds at
+    # most one full text scan (the n_docs count prunes to zero columns);
     # the regression this guards: dfreq recomputing the explode chain
-    assert _count(plan, r"doc_id:bigint,text:string") == 1
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert _count(plan, r"doc_id:bigint,text:string") <= 1
+    assert _count(plan, r"Scan ExistingRDD") >= 1
 
 
 def test_bm25_filters_postings_at_the_scan(spark):
