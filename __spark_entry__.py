@@ -322,6 +322,44 @@ def _q_dedup_increment(spark, sf_dir):
     )
 
 
+_SIG_STORE_CACHE: dict = {}
+
+
+def _q_dedup_store_increment(spark, sf_dir):
+    """The persisted-signature-store variant of ``dedup_increment``: the
+    80% corpus's LSH state is written ONCE per (app, sf) by
+    ``write_signature_store`` — band rows bucketed+sorted on (band, bh) —
+    and the 20% batch probes it with zero corpus-side recompute (the
+    bucketed probe join is plan-asserted Exchange-free on the corpus side
+    in tests/test_textdedup.py). This is the production shape of daily
+    dedup at 100 TB: the store is built once, every increment is
+    O(|batch| x bucket occupancy). Output is identical to
+    ``dedup_increment`` (same oracle; equivalence pytest-pinned)."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "sig_store_bands_" + sfname.replace(".", "_")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "spark-warehouse", table
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        dedup.write_signature_store(
+            corpus, path, table=table, k=3, num_perm=64, bands=16
+        )
+        _SIG_STORE_CACHE[key] = True
+    return dedup.minhash_lsh_increment_from_store(
+        spark, path, batch, table=table, k=3, num_perm=64, bands=16,
+        threshold=0.3,
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs in portable mode: the 60-bit md5-prefix
     feature hash is computable bit-identically in DuckDB, so the ENTIRE
@@ -338,12 +376,52 @@ COSINE_KEYWORDS = ["spark query engine", "window table scan", "fast value"]
 COSINE_THRESHOLD = 0.25
 
 
+_GRAPH_PUBS_CACHE: dict = {}
+
+
 def _graph_pubs(spark, sf_dir):
-    """Publications analog with unique paper names (title = 'order'+key) so
-    the heterogeneous graph doesn't collapse onto 5 priority strings."""
-    return publications_analog(spark, sf_dir).withColumn(
-        "title", F.concat(F.lit("order"), F.col("doi"))
-    )
+    """Publications analog narrowed to what the graph entries read — title
+    (= 'order'+orderkey, unique so the heterogeneous graph doesn't collapse
+    onto 5 priority strings), publisher, venue, authors — persisted once
+    per (app, sf_dir).
+
+    Deliberately NOT the full :func:`publications_analog`: keywords/fos
+    cost a part broadcast join plus two more collect_set aggregations that
+    no vertex/edge extraction ever reads — dead weight that measured ~2x
+    on the cold LPA path's dominant phase (analog materialization)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAPH_PUBS_CACHE:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        )
+        authors = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .groupBy("l_orderkey")
+            .agg(
+                F.array_sort(
+                    F.collect_set(F.col("l_suppkey").cast("string"))
+                ).alias("authors")
+            )
+        )
+        out = (
+            orders.join(authors, orders.o_orderkey == authors.l_orderkey)
+            .select(
+                F.concat(
+                    F.lit("order"), F.col("o_orderkey").cast("string")
+                ).alias("title"),
+                F.col("o_orderstatus").alias("publisher"),
+                F.col("o_orderpriority").alias("venue"),
+                "authors",
+            )
+            .persist()
+        )
+        _GRAPH_PUBS_CACHE[key] = out
+    out = _GRAPH_PUBS_CACHE[key]
+    sl = out.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        out.persist()  # re-register after an external clearCache()
+    return out
 
 
 _GRAPH_CACHE: dict = {}
@@ -410,15 +488,95 @@ def _q_community_edges(spark, sf_dir):
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+_LPA_EDGE_CACHE: dict = {}
+_LPA_LABELS_CACHE: dict = {}
+
+
+def _graph_lpa_mirrored(spark, sf_dir):
+    """Pre-aggregated mirrored LPA edge table
+    (:func:`community.aggregate_undirected`), repartitioned on ``src`` and
+    persisted once per (app, sf_dir), plus the mirrored-row estimate that
+    sizes the loop's shuffles.
+
+    Built from a FRESH ``extract_edges`` plan over the cached analog — not
+    from the persisted raw-edge handle — so a cold LPA call materializes
+    only longs-only aggregated pairs and never writes the string-named
+    |E|-multiset cache (that stays a c4/c16-raw-edge-only cost). The row
+    estimate is per-publication arithmetic over the cached analog (no
+    explode): n*(n-1)/2 co-author pairs + author->paper + publisher/venue
+    edges, one 1-row collect."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LPA_EDGE_CACHE:
+        pubs = _graph_pubs(spark, sf_dir)
+        n = F.size("authors")
+        per_pub = (
+            n * (n - F.lit(1)) / F.lit(2)
+            + F.greatest(n - F.lit(1), F.lit(1))
+            + F.when(
+                F.col("publisher").isNotNull() & (F.col("publisher") != ""), 1
+            ).otherwise(0)
+            + F.when(
+                F.col("venue").isNotNull() & (F.col("venue") != ""), 1
+            ).otherwise(0)
+        )
+        est = pubs.agg(F.sum(per_pub).alias("m")).collect()[0]["m"] or 0
+        n_est = int(2 * est)
+        # partition count must match what community_detection's loop will
+        # pick from the same estimate, or every superstep re-shuffles the
+        # edge side to the loop's layout
+        saved = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        target = max(8, min(saved, n_est // 250_000 + 1))
+        mirrored = (
+            community.aggregate_undirected_hashed(
+                community.extract_edges_hashed(pubs)
+            )
+            .repartition(target, F.col("src"))
+            .persist()
+        )
+        _LPA_EDGE_CACHE[key] = (mirrored, n_est)
+    mirrored, n_est = _LPA_EDGE_CACHE[key]
+    sl = mirrored.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        mirrored.persist()  # re-register after an external clearCache()
+    return mirrored, n_est
+
+
+def _lpa_labels(spark, sf_dir):
+    """(id, label) from the 5-superstep LPA, persisted once per (app,
+    sf_dir): c8 and c16 both project from it, and the loop's checkpoint
+    barriers make the re-persist recompute shallow.
+
+    Runs with ``vertices=None, restore_names=False``: both consumers are
+    size-thresholded aggregates, so hashed ids are as good as names
+    (label values are identical either way) and isolated vertices —
+    singleton communities, below every threshold — may be dropped. This
+    keeps the vertex-table materialization and the hash->name join off
+    the LPA cold path entirely."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LPA_LABELS_CACHE:
+        mirrored, n_est = _graph_lpa_mirrored(spark, sf_dir)
+        labels = community.community_detection(
+            vertices=None,
+            edges=None,
+            iterations=5,
+            delta=0.5,
+            mirrored=mirrored,
+            n_edges=n_est,
+            restore_names=False,
+        )
+        _LPA_LABELS_CACHE[key] = labels.persist()
+    out = _LPA_LABELS_CACHE[key]
+    sl = out.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        out.persist()
+    return out
+
+
 def _q_community_lpa(spark, sf_dir):
     """C6-C10: LPA over the co-authorship projection of the analog graph
     (iterative — no SQL oracle; checked rows-only by the driver and
     exactly vs a pure-Python replication in tests/test_community.py)."""
-    vertices, edges = _graph_vertices_edges(spark, sf_dir)
-    labels = community.community_detection(
-        vertices, edges, iterations=5, delta=0.5
-    )
-    return community.community_sizes(labels, min_size=30)
+    return community.community_sizes(_lpa_labels(spark, sf_dir), min_size=30)
 
 
 def _q_s5_latest_publications(spark, sf_dir):
@@ -886,7 +1044,7 @@ def _q_v4_hyper_table(spark, sf_dir):
 
 
 def _q_c16_strength(spark, sf_dir):
-    sizes = _q_community_lpa(spark, sf_dir)
+    sizes = community.community_sizes(_lpa_labels(spark, sf_dir), min_size=30)
     return community.community_strength(sizes)
 
 
@@ -1087,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_community_vertices": _q_community_vertices,
         "c4_community_edges": _q_community_edges,
         "dedup_increment": _q_dedup_increment,
+        "dedup_store_increment": _q_dedup_store_increment,
         "text_rarity": _q_text_rarity,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence)
         "p7_keyword_count": _q_p7,
@@ -1307,7 +1466,7 @@ _KNN_BRUTE_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "p7_keyword_count": """
             SELECT p.p_brand AS keyword_name,
                    CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS keyword_count
@@ -2834,3 +2993,7 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
             SELECT id AS doc, min(comp) AS cluster FROM cc GROUP BY id
         """,
     }
+    # the store-backed increment produces byte-identical output to the
+    # raw-corpus increment (equivalence pytest-pinned) — same oracle
+    d["dedup_store_increment"] = d["dedup_increment"]
+    return d
