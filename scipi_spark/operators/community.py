@@ -167,43 +167,58 @@ def initial_labels(vertices: DataFrame) -> DataFrame:
     )
 
 
-def community_detection(
-    vertices: DataFrame,
-    edges: DataFrame,
-    iterations: int = 10,
-    delta: float = 0.5,
-    checkpoint: bool = True,
-) -> DataFrame:
-    """C8: Flink-CommunityDetection-equivalent LPA; returns (id, label).
+def extract_edges_hashed(pubs: DataFrame, hash_fn=F.xxhash64) -> DataFrame:
+    """(src, dst, weight=1.0) multiset of :func:`extract_edges` with vertex
+    names hashed BEFORE the pair explosion: one hash per
+    author/title/publisher/venue instead of one per emitted edge side
+    (~6x fewer hash calls on a co-author multigraph), and the explode
+    emits fixed-width longs, never strings. Equivalence with
+    ``extract_edges >> xxhash64`` is pytest-pinned.
 
-    Each superstep is one hash aggregation (messages by dst,label) + one
-    window argmax + one join — shuffles on vertex id throughout, so the
-    same partitioning is reused stage to stage."""
-    state = initial_labels(vertices)
-    # undirected multigraph: both directions of every edge occurrence.
-    # Repartitioned on the message-join key and persisted once: every
-    # superstep joins against it, and the cached hash partitioning means
-    # only the (small) label state shuffles per iteration — without this
-    # the whole upstream extraction would replay 10 times, and a raw
-    # union-persist would freeze an AQE-unfriendly partition layout.
-    # Parallel edges collapse into (w_sum, w_max): a vertex's per-label SUM
-    # of incoming (score*weight) messages equals score*w_sum, and the MAX
-    # single message equals score*w_max — exactly Flink's semantics with
-    # ~Nx less message traffic on multigraphs (the co-author multiset).
-    # Canonicalize to unordered pairs BEFORE aggregating: grouping the raw
-    # doubled union shuffles 2|E| rows, grouping (least, greatest) shuffles
-    # |E| and the mirror emission afterwards is a narrow map (both
-    # directions of an undirected pair share w_sum/w_max). Self-loops keep
-    # the doubled-union semantics (both mirror copies land in one group).
-    # Hash vertex names to 64-bit ids AT THE SCAN, before any shuffle:
-    # every exchange from here on carries fixed-width longs, never
-    # variable-length name strings. Canonical pairs order by hash (not
-    # name) — any total order works for unordered-pair grouping. The
-    # same xxhash64 seeds labels, so (hash -> name) restores ids with
-    # one join at the end.
-    hedges = edges.select(
-        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst"), "weight"
+    ``hash_fn``: Column -> long Column; default xxhash64 (fastest). Pass
+    a portable hash (e.g. the md5-prefix hash in ``dedup``) when the
+    downstream labels must be replicable outside the JVM — LPA labels ARE
+    vertex hashes, so a portable hash makes the whole fixpoint
+    SQL-checkable."""
+    n = F.size("authors")
+    ah = F.transform("authors", lambda a: hash_fn(a))
+    th = hash_fn(F.col("title"))
+
+    def pair(s, d):
+        return F.struct(s.alias("s"), d.alias("d"))
+
+    co = F.flatten(
+        F.transform(
+            ah,
+            lambda a, i: F.filter(
+                F.transform(ah, lambda b, j: F.when(i < j, pair(a, b))),
+                lambda x: x.isNotNull(),
+            ),
+        )
     )
+    ap_auth = F.when(n == 1, ah).otherwise(
+        F.slice(ah, 1, F.greatest(n - 1, F.lit(1)))
+    )
+    ap = F.transform(ap_auth, lambda a: pair(a, th))
+    empty = F.array().cast("array<struct<s:bigint,d:bigint>>")
+    pub = F.when(
+        F.col("publisher").isNotNull() & (F.col("publisher") != ""),
+        F.array(pair(th, hash_fn(F.col("publisher")))),
+    ).otherwise(empty)
+    ven = F.when(
+        F.col("venue").isNotNull() & (F.col("venue") != ""),
+        F.array(pair(th, hash_fn(F.col("venue")))),
+    ).otherwise(empty)
+    return pubs.select(F.explode(F.concat(co, ap, pub, ven)).alias("e")).select(
+        F.col("e.s").alias("src"),
+        F.col("e.d").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def aggregate_undirected_hashed(hedges: DataFrame) -> DataFrame:
+    """:func:`aggregate_undirected` over an already-hashed (src: long,
+    dst: long, weight) multiset — see that docstring for the plan shape."""
     canon = (
         hedges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -223,9 +238,6 @@ def community_detection(
         )
         .select("a", F.col("a").alias("b"), "w_sum", "w_max")
     )
-    # Mirror via explode, NOT a union of two references to `canon` — union
-    # branches don't share subplans, so that would run the aggregation twice
-    # (measured 2x on the build; pitfall #2 in SCALE.md).
     mirrored = canon.select(
         F.explode(
             F.array(
@@ -236,27 +248,104 @@ def community_detection(
         "w_sum",
         "w_max",
     ).select("e.src", "e.dst", "w_sum", "w_max")
-    bidir0 = mirrored.unionByName(
+    return mirrored.unionByName(
         self_loops.select(
             F.col("a").alias("src"), F.col("b").alias("dst"), "w_sum", "w_max"
         )
     )
 
+
+def aggregate_undirected(edges: DataFrame) -> DataFrame:
+    """Hashed, canonicalized, aggregated, mirrored edge table — the exact
+    message-fan-out relation the LPA loop joins every superstep.
+
+    - Hash vertex names to 64-bit ids AT THE SCAN, before any shuffle:
+      every exchange from here on carries fixed-width longs, never
+      variable-length name strings. The same xxhash64 seeds labels, so
+      (hash -> name) restores ids with one join at the end.
+    - Parallel edges collapse into (w_sum, w_max): a vertex's per-label
+      SUM of incoming (score*weight) messages equals score*w_sum, and the
+      MAX single message equals score*w_max — exactly Flink's semantics
+      with ~Nx less message traffic on multigraphs (the co-author
+      multiset).
+    - Canonicalize to unordered pairs BEFORE aggregating: grouping the
+      raw doubled union shuffles 2|E| rows, grouping (least, greatest)
+      shuffles |E| and the mirror emission afterwards is a narrow map
+      (both directions of an undirected pair share w_sum/w_max).
+      Self-loops keep the doubled-union semantics (both mirror copies
+      land in one group).
+    - Mirror via explode, NOT a union of two references to the aggregate
+      — union branches don't share subplans, so that would run the
+      aggregation twice (measured 2x on the build; pitfall #2 in
+      SCALE.md)."""
+    return aggregate_undirected_hashed(
+        edges.select(
+            F.xxhash64("src").alias("src"),
+            F.xxhash64("dst").alias("dst"),
+            "weight",
+        )
+    )
+
+
+def community_detection(
+    vertices: DataFrame | None,
+    edges: DataFrame | None,
+    iterations: int = 10,
+    delta: float = 0.5,
+    checkpoint: bool = True,
+    mirrored: DataFrame | None = None,
+    n_edges: int | None = None,
+    restore_names: bool = True,
+) -> DataFrame:
+    """C8: Flink-CommunityDetection-equivalent LPA; returns (id, label).
+
+    Each superstep is one hash aggregation (messages by dst,label) + one
+    fused argmax aggregation — shuffles on vertex id throughout, so the
+    same partitioning is reused stage to stage.
+
+    ``mirrored``: a pre-built :func:`aggregate_undirected` table, already
+    repartitioned on ``src`` and persisted (caller-owned lifecycle — it is
+    NOT unpersisted here). Passing it lets callers cache the aggregated
+    table across invocations so a cold call never materializes the raw
+    string-named edge multiset at all. ``n_edges`` (the mirrored-message
+    row-count estimate used only for shuffle-partition sizing) must
+    accompany it; magnitude, not precision, is what sizing needs.
+
+    ``vertices=None`` (requires ``mirrored`` + ``restore_names=False``):
+    seed the label state from the mirrored edge endpoints instead of a
+    vertex table — a no-exchange distinct over the src-partitioned edge
+    cache, replacing the name-union + groupBy materialization. Isolated
+    vertices (no edges) are then absent from the output; they are
+    singleton communities, so any size-thresholded consumer is
+    unaffected.
+
+    ``restore_names=False`` skips the final hash->name mapping join and
+    returns hashed 64-bit ids as ``id``. Because the initial label of a
+    vertex IS its hashed id, label values are identical either way —
+    only the ``id`` column differs (hash vs original name)."""
+    if vertices is None:
+        assert mirrored is not None and not restore_names, (
+            "vertices=None requires a pre-built mirrored edge table and "
+            "restore_names=False (names cannot be restored without a "
+            "vertex table)"
+        )
+        spark = mirrored.sparkSession
+    else:
+        spark = vertices.sparkSession
     # Size the per-iteration shuffles to the graph, not the session: on a
     # small graph 64-way stages are pure scheduling overhead (measured 1.7x
     # end-to-end at sf0.1), while a 100TB graph keeps the session setting.
     # The mirrored-edge count is estimated as 2x the raw multiset (exact
-    # only without parallel edges) — partition sizing needs magnitude, not
-    # precision, and the estimate avoids materializing the edge pipeline
-    # twice (once to count, once to persist).
+    # only without parallel edges) — the estimate avoids materializing the
+    # edge pipeline twice (once to count, once to persist).
     # NOTE: the tuned confs are session-level — a concurrent query on the
     # same SparkSession would inherit them for the duration of the loop.
-    n_edges = 2 * edges.count()
-    spark = vertices.sparkSession
+    if n_edges is None:
+        n_edges = 2 * edges.count()
     saved_partitions = spark.conf.get("spark.sql.shuffle.partitions")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     target = max(8, min(int(saved_partitions), n_edges // 250_000 + 1))
-    bidir = None
+    own_bidir = mirrored is None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
         # AQE replans every superstep's jobs from scratch; the loop's
@@ -264,21 +353,45 @@ def community_detection(
         # is pure per-iteration latency (measured ~10% of the loop at sf0.1).
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-        bidir = bidir0.repartition(F.col("src")).persist()
-        bidir.count()
+        if own_bidir:
+            # Repartitioned on the message-join key and persisted once:
+            # every superstep joins against it, and the cached hash
+            # partitioning means only the (small) label state shuffles per
+            # iteration — without this the whole upstream extraction would
+            # replay `iterations` times.
+            bidir = (
+                aggregate_undirected(edges).repartition(F.col("src")).persist()
+            )
+            bidir.count()
+        else:
+            bidir = mirrored
 
-        state_h = state.select(
-            F.xxhash64("id").alias("id"), "label", "score"
-        )
+        if vertices is None:
+            # endpoint distinct over the src-partitioned edge cache (no
+            # exchange); a vertex's initial label IS its hashed id, so the
+            # seed state needs nothing but the id column
+            state_h = (
+                bidir.select(F.col("src").alias("id"))
+                .distinct()
+                .select("id", F.col("id").alias("label"), F.lit(1.0).alias("score"))
+            )
+        else:
+            state_h = initial_labels(vertices).select(
+                F.xxhash64("id").alias("id"), "label", "score"
+            )
         state_h = _lpa_loop(state_h, bidir, iterations, delta, checkpoint)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_partitions)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-    mapping = vertices.select("id", F.xxhash64("id").alias("h"))
-    result = state_h.join(
-        mapping.hint("shuffle_hash"), state_h.id == mapping.h
-    ).select(mapping.id, "label")
-    bidir.unpersist()
+    if restore_names:
+        mapping = vertices.select("id", F.xxhash64("id").alias("h"))
+        result = state_h.join(
+            mapping.hint("shuffle_hash"), state_h.id == mapping.h
+        ).select(mapping.id, "label")
+    else:
+        result = state_h.select("id", "label")
+    if own_bidir:
+        bidir.unpersist()
     return result
 
 

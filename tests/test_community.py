@@ -164,3 +164,62 @@ def test_community_strength(spark):
     got = comm.community_strength(sizes).collect()[0]["strength"]
     # total=40; sum(10*10/40 + 30*30/40)/100 = (2.5+22.5)/100 = 0.25
     assert got == 0.25
+
+
+def test_extract_edges_hashed_equivalence(spark):
+    """extract_edges_hashed must equal extract_edges followed by
+    xxhash64 on both endpoints — same multiset, weights included."""
+    pubs = _pubs(spark)
+    via_strings = sorted(
+        map(
+            tuple,
+            comm.extract_edges(pubs)
+            .select(
+                F.xxhash64("src").alias("src"),
+                F.xxhash64("dst").alias("dst"),
+                "weight",
+            )
+            .collect(),
+        )
+    )
+    direct = sorted(map(tuple, comm.extract_edges_hashed(pubs).collect()))
+    assert direct == via_strings
+
+
+def test_lpa_endpoint_seed_matches_vertex_seed(spark):
+    """vertices=None + restore_names=False must produce the same
+    community-size histogram as the named path (every vertex here has an
+    edge, so no isolated-vertex divergence)."""
+    pubs = _pubs(spark)
+    vertices = comm.extract_vertices(pubs)
+    edges = comm.extract_edges(pubs)
+    named = comm.community_detection(vertices, edges, iterations=3, delta=0.5)
+    mirrored = (
+        comm.aggregate_undirected_hashed(comm.extract_edges_hashed(pubs))
+        .repartition(2, F.col("src"))
+        .persist()
+    )
+    hashed = comm.community_detection(
+        vertices=None,
+        edges=None,
+        iterations=3,
+        delta=0.5,
+        mirrored=mirrored,
+        n_edges=edges.count() * 2,
+        restore_names=False,
+    )
+    hist = lambda df: sorted(
+        r["count"]
+        for r in df.groupBy("label").agg(F.count(F.lit(1)).alias("count")).collect()
+    )
+    # labels are xxhash64(name) in both paths, so full (label, size)
+    # equality holds, not just the histogram
+    named_sizes = sorted(
+        map(tuple, comm.community_sizes(named, min_size=1).collect())
+    )
+    hashed_sizes = sorted(
+        map(tuple, comm.community_sizes(hashed, min_size=1).collect())
+    )
+    assert named_sizes == hashed_sizes
+    assert hist(named) == hist(hashed)
+    mirrored.unpersist()
