@@ -526,9 +526,17 @@ def _graph_lpa_mirrored(spark, sf_dir):
         # edge side to the loop's layout
         saved = int(spark.conf.get("spark.sql.shuffle.partitions"))
         target = max(8, min(saved, n_est // 250_000 + 1))
+        # portable md5-prefix hash (not xxhash64): LPA labels ARE vertex
+        # hashes, so a cross-engine-replicable hash makes the organic
+        # 5-superstep fixpoint checkable by the DuckDB oracle (the same
+        # unrolled supersteps in SQL) instead of rows-only
+        from scipi_spark.operators.dedup import _portable_feature_hash
+
         mirrored = (
             community.aggregate_undirected_hashed(
-                community.extract_edges_hashed(pubs)
+                community.extract_edges_hashed(
+                    pubs, hash_fn=_portable_feature_hash
+                )
             )
             .repartition(target, F.col("src"))
             .persist()
@@ -563,6 +571,7 @@ def _lpa_labels(spark, sf_dir):
             mirrored=mirrored,
             n_edges=n_est,
             restore_names=False,
+            portable_rounding=True,
         )
         _LPA_LABELS_CACHE[key] = labels.persist()
     out = _LPA_LABELS_CACHE[key]
@@ -573,9 +582,14 @@ def _lpa_labels(spark, sf_dir):
 
 
 def _q_community_lpa(spark, sf_dir):
-    """C6-C10: LPA over the co-authorship projection of the analog graph
-    (iterative — no SQL oracle; checked rows-only by the driver and
-    exactly vs a pure-Python replication in tests/test_community.py)."""
+    """C6-C10: LPA over the co-authorship projection of the analog graph.
+
+    Hash-matched against a full SQL replication of the 5-superstep
+    fixpoint (see :func:`_lpa_oracle_sql`): vertex labels are portable
+    md5-prefix hashes and message sums round to 9 decimals in both
+    engines, so the iterative computation itself — not just a projection
+    of it — is oracle-checked. Also tested exactly vs a pure-Python
+    replication in tests/test_community.py."""
     return community.community_sizes(_lpa_labels(spark, sf_dir), min_size=30)
 
 
@@ -1463,6 +1477,82 @@ _KNN_BRUTE_SQL = f"""
       FROM scored)
     SELECT query_id, vec_id, cosine FROM r WHERE rn <= {KNN_K}
 """
+
+
+def _lpa_oracle_sql(final_select: str, iterations: int = 5, delta: float = 0.5) -> str:
+    """DuckDB replication of the ENTIRE organic LPA fixpoint: the same
+    graph (c4's alledges), the same portable md5-prefix vertex hashes, the
+    same (w_sum, w_max) canonical aggregation, and the 5 supersteps
+    UNROLLED as CTE pairs (message aggregation + argmax + state update)
+    with exactly community_detection's semantics — argmax by (sum DESC,
+    label ASC), score = max message decayed by delta/step only on label
+    change, state kept as-is when no messages arrive. Message sums are
+    rounded to 9 decimals in BOTH engines (portable_rounding=True on the
+    Spark side), collapsing the order-dependent last-ulp of double
+    summation that would otherwise make an argmax flip possible."""
+    h = lambda c: f"('0x'||substr(md5({c}),1,15))::BIGINT"
+    sql = (
+        _GRAPH_CTE
+        + """
+, alledges AS (
+  SELECT paper AS src, publisher AS dst FROM pubv
+  UNION ALL SELECT paper, venue FROM pubv
+  UNION ALL
+    SELECT r.a, p.paper
+    FROM ranked r JOIN pubv p ON r.l_orderkey = p.o_orderkey
+    WHERE r.rn <= greatest(r.n - 1, 1)
+  UNION ALL
+    SELECT r1.a, r2.a
+    FROM ranked r1 JOIN ranked r2
+      ON r1.l_orderkey = r2.l_orderkey AND r1.a < r2.a
+), hedges AS (
+  SELECT """
+        + h("src")
+        + " AS hsrc, "
+        + h("dst")
+        + """ AS hdst, 1.0::DOUBLE AS weight
+  FROM alledges
+), canon AS MATERIALIZED (
+  SELECT least(hsrc, hdst) AS a, greatest(hsrc, hdst) AS b,
+         sum(weight) AS w_sum, max(weight) AS w_max
+  FROM hedges WHERE hsrc <> hdst GROUP BY 1, 2
+), selfl AS (
+  SELECT hsrc AS a, hsrc AS b, 2 * sum(weight) AS w_sum, max(weight) AS w_max
+  FROM hedges WHERE hsrc = hdst GROUP BY 1
+), medges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w_sum, w_max FROM canon
+  UNION ALL SELECT b, a, w_sum, w_max FROM canon
+  UNION ALL SELECT a, b, w_sum, w_max FROM selfl
+), lab0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS label, 1.0::DOUBLE AS score FROM medges
+)"""
+    )
+    prev = "lab0"
+    for s in range(1, iterations + 1):
+        sql += f"""
+, msg{s} AS (
+  SELECT e.dst AS id, l.label,
+         round(sum(l.score * e.w_sum), 9) AS s_sum,
+         max(l.score * e.w_max) AS s_max
+  FROM medges e JOIN {prev} l ON e.src = l.id
+  GROUP BY 1, 2
+), win{s} AS (
+  SELECT id, label, s_max
+  FROM (SELECT id, label, s_max,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY s_sum DESC, label ASC) AS rn
+        FROM msg{s})
+  WHERE rn = 1
+), lab{s} AS MATERIALIZED (
+  SELECT p.id,
+         coalesce(w.label, p.label) AS label,
+         CASE WHEN w.label IS NULL THEN p.score
+              WHEN w.label <> p.label THEN w.s_max - {delta}/{s}.0
+              ELSE w.s_max END AS score
+  FROM {prev} p LEFT JOIN win{s} w ON p.id = w.id
+)"""
+        prev = f"lab{s}"
+    return sql + final_select.replace("__LAB__", prev)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2996,4 +3086,22 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the store-backed increment produces byte-identical output to the
     # raw-corpus increment (equivalence pytest-pinned) — same oracle
     d["dedup_store_increment"] = d["dedup_increment"]
+    # organic LPA entries: the full 5-superstep fixpoint unrolled in SQL
+    # over portable vertex hashes (no longer rows-only)
+    d["c8_community_lpa"] = _lpa_oracle_sql(
+        """
+SELECT label, CAST(count(*) AS BIGINT) AS count
+FROM __LAB__ GROUP BY 1 HAVING count(*) >= 30
+"""
+    )
+    d["c16_community_strength"] = _lpa_oracle_sql(
+        """
+, csizes AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt
+  FROM __LAB__ GROUP BY label HAVING count(*) >= 30
+), tot AS (SELECT sum(cnt) AS t FROM csizes)
+SELECT round(sum(cnt * (CAST(cnt AS DOUBLE) / t)) / 100.0, 6) AS strength
+FROM csizes, tot
+"""
+    )
     return d

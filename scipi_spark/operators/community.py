@@ -296,6 +296,7 @@ def community_detection(
     mirrored: DataFrame | None = None,
     n_edges: int | None = None,
     restore_names: bool = True,
+    portable_rounding: bool = False,
 ) -> DataFrame:
     """C8: Flink-CommunityDetection-equivalent LPA; returns (id, label).
 
@@ -322,7 +323,15 @@ def community_detection(
     ``restore_names=False`` skips the final hash->name mapping join and
     returns hashed 64-bit ids as ``id``. Because the initial label of a
     vertex IS its hashed id, label values are identical either way —
-    only the ``id`` column differs (hash vs original name)."""
+    only the ``id`` column differs (hash vs original name).
+
+    ``portable_rounding=True`` rounds each per-label message sum to 9
+    decimals before the argmax. Message sums are order-dependent in the
+    last ulp once score decay introduces non-dyadic values (0.5/3 at
+    superstep 3); rounding collapses that, making the fixpoint
+    bit-replicable by any engine that sums the same messages in any
+    order — the property the portable-label SQL oracle needs. Default
+    off: the Flink-exact semantics keep the raw double sums."""
     if vertices is None:
         assert mirrored is not None and not restore_names, (
             "vertices=None requires a pre-built mirrored edge table and "
@@ -379,7 +388,9 @@ def community_detection(
             state_h = initial_labels(vertices).select(
                 F.xxhash64("id").alias("id"), "label", "score"
             )
-        state_h = _lpa_loop(state_h, bidir, iterations, delta, checkpoint)
+        state_h = _lpa_loop(
+            state_h, bidir, iterations, delta, checkpoint, portable_rounding
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_partitions)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
@@ -401,6 +412,7 @@ def _lpa_loop(
     iterations: int,
     delta: float,
     checkpoint: bool,
+    portable_rounding: bool = False,
 ) -> DataFrame:
     neg_inf = float("-inf")
     for step in range(1, iterations + 1):
@@ -419,7 +431,11 @@ def _lpa_loop(
             (F.col("score") * F.col("w_max")).alias("mscore_max"),
         )
         per_label = msgs.groupBy("id", "label").agg(
-            F.sum("mscore_sum").alias("sum_score"),
+            (
+                F.round(F.sum("mscore_sum"), 9)
+                if portable_rounding
+                else F.sum("mscore_sum")
+            ).alias("sum_score"),
             F.max("mscore_max").alias("max_single"),
         )
         # Fuse the winner argmax AND the state join into one aggregation:
