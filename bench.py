@@ -33,6 +33,7 @@ HEADLINERS = [
     "text_quality",
     "dedup_minhash_lsh",
     "dedup_increment",
+    "dedup_store_increment",
     "dedup_ngram_jaccard",
     "text_bm25",
     "knn_cosine_brute",

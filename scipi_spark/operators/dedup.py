@@ -92,6 +92,7 @@ def _shingle_index(
     k: int,
     max_doc_freq: int | None,
     hash_ids: bool = True,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(doc shingle-set sizes, exploded shingle postings) — postings
     optionally truncated at a document-frequency cap.
@@ -102,14 +103,32 @@ def _shingle_index(
     k-word strings. A collision (which would slightly overcount one
     pair's intersection) needs ~2^32 DISTINCT shingles by the birthday
     bound — at that corpus size flip to ``hash_ids=False`` or a 128-bit
-    hash."""
+    hash.
+
+    ``materialize=True`` localCheckpoints the (pre-cap) postings ONCE and
+    derives sizes from them (word_shingles is distinct, so a doc's
+    postings row-count IS its set size — hash collisions preserve row
+    count). Every downstream consumer of either output then reads the
+    one materialized table instead of replaying the scan+shingle+explode
+    chain: _jaccard_verify alone consumes postings twice and sizes
+    twice, which un-materialized means FOUR shingle computations per
+    call. Caveat: docs with an empty shingle set have no postings row
+    and thus no sizes row — harmless for every inner-join consumer
+    (empty sets can't pair), so callers that need a row per input doc
+    must keep ``materialize=False``."""
     sh = _spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
     )
-    sizes = sh.select("doc", F.size("shingles").cast("long").alias("n_sh"))
     postings = sh.select("doc", F.explode("shingles").alias("sh"))
     if hash_ids:
         postings = postings.select("doc", F.xxhash64("sh").alias("sh"))
+    if materialize:
+        postings = postings.localCheckpoint(eager=True)
+        sizes = postings.groupBy("doc").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh")
+        )
+    else:
+        sizes = sh.select("doc", F.size("shingles").cast("long").alias("n_sh"))
     if max_doc_freq is not None:
         df_counts = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         postings = postings.join(
@@ -135,7 +154,12 @@ def ngram_jaccard_pairs(
     that many documents before pairing — at corpus scale the exact variant
     is reserved for candidate verification, not all-pairs discovery.
     """
-    sizes, postings = _shingle_index(df, id_col, text_col, k, max_doc_freq)
+    # materialized: the self-join reads postings twice and the size join
+    # reads sizes twice — without the checkpoint the shingle chain would
+    # execute four times (measured ~2x end-to-end on the bench entry)
+    sizes, postings = _shingle_index(
+        df, id_col, text_col, k, max_doc_freq, materialize=True
+    )
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (
@@ -286,12 +310,13 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     coeffs, p = _minhash_coeffs(num_perm)
-    sizes, postings = _shingle_index(df, id_col, text_col, k, None)
-    if verify:
-        # both the signature agg and the verify self-join read postings;
-        # materialize once (at real scale: a parquet temp or .persist —
-        # localCheckpoint keeps the local path allocation-cheap)
-        postings = postings.localCheckpoint(eager=True)
+    # materialized: the signature agg, the verify self-join (2x) and the
+    # size join (2x) all read the one checkpointed postings table (at
+    # real scale: a parquet temp or .persist — localCheckpoint keeps the
+    # local path allocation-cheap)
+    sizes, postings = _shingle_index(
+        df, id_col, text_col, k, None, materialize=verify
+    )
     sigs = _signatures_from_postings(
         postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
         coeffs,
@@ -468,8 +493,9 @@ def minhash_lsh_increment(
     tagged = corpus_only.select(id_col, text_col).unionByName(
         batch.select(id_col, text_col)
     )
-    sizes, postings = _shingle_index(tagged, id_col, text_col, k, None)
-    postings = postings.localCheckpoint(eager=True)
+    sizes, postings = _shingle_index(
+        tagged, id_col, text_col, k, None, materialize=True
+    )
     sigs = _signatures_from_postings(
         postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
         coeffs,
@@ -544,7 +570,11 @@ def write_signature_store(
     r = num_perm // bands
     coeffs, p = _minhash_coeffs(num_perm)
     spark = df.sparkSession
-    sizes, postings = _shingle_index(df, id_col, text_col, k, None)
+    # materialized: both parquet writes drain the one checkpointed table
+    # instead of each replaying the scan+shingle+explode chain
+    sizes, postings = _shingle_index(
+        df, id_col, text_col, k, None, materialize=True
+    )
     postings.write.mode("overwrite").parquet(path.rstrip("/") + "/postings")
     sizes.write.mode("overwrite").parquet(path.rstrip("/") + "/sizes")
     # signatures from the COMPACT stored postings, not the raw text scan
@@ -590,8 +620,9 @@ def minhash_lsh_increment_from_store(
     corpus_postings = spark.read.parquet(base + "/postings")
     corpus_sizes = spark.read.parquet(base + "/sizes")
 
-    b_sizes, b_postings = _shingle_index(batch, id_col, text_col, k, None)
-    b_postings = b_postings.localCheckpoint(eager=True)
+    b_sizes, b_postings = _shingle_index(
+        batch, id_col, text_col, k, None, materialize=True
+    )
     b_sigs = _signatures_from_postings(
         b_postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
         coeffs,
@@ -614,8 +645,10 @@ def minhash_lsh_increment_from_store(
     # the sizes join would fan out. Broadcasting the batch's ids keeps
     # the stored corpus side narrow. Stale band rows for such a doc may
     # still surface extra candidates — harmless, the verify below is
-    # exact Jaccard over the de-duplicated postings.
-    batch_ids = b_sizes.select("doc")
+    # exact Jaccard over the de-duplicated postings. Ids come from the
+    # batch input itself (NOT b_sizes, which omits empty-shingle docs) so
+    # even a doc re-ingested with empty text supersedes its stored copy.
+    batch_ids = batch.select(F.col(id_col).alias("doc")).distinct()
     postings = corpus_postings.join(
         F.broadcast(batch_ids), "doc", "left_anti"
     ).unionByName(b_postings)
