@@ -360,6 +360,21 @@ def _q_dedup_store_increment(spark, sf_dir):
     )
 
 
+def _q_dedup_paragraph(spark, sf_dir):
+    """Cross-document paragraph (8-word-segment) exact dedup stats: one
+    explode, one first-occurrence window on segment content, one per-doc
+    rollup — the boilerplate-paragraph cleaning pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_stats(docs, words=8)
+
+
+def _q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column; output pins
+    every element via exact integer aggregates + reconstruction error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings_stats(emb)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs in portable mode: the 60-bit md5-prefix
     feature hash is computable bit-identically in DuckDB, so the ENTIRE
@@ -1256,12 +1271,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c16_community_strength": _q_c16_strength,
         "c8_lpa_planted": _q_c8_lpa_planted,
         "c16_strength_planted": _q_c16_strength_planted,
-        "c2_community_vertices": _q_community_vertices,
-        "c4_community_edges": _q_community_edges,
+        "dedup_paragraph": _q_dedup_paragraph,
+        "quantize_embeddings": _q_quantize_embeddings,
         "dedup_increment": _q_dedup_increment,
         "dedup_store_increment": _q_dedup_store_increment,
         "text_rarity": _q_text_rarity,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence)
+        "c2_community_vertices": _q_community_vertices,
+        "c4_community_edges": _q_community_edges,
         "p7_keyword_count": _q_p7,
         "p8_fos_count": _q_p8,
         "p9_yrwise_dist": _q_p9,
@@ -3086,6 +3103,56 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the store-backed increment produces byte-identical output to the
     # raw-corpus increment (equivalence pytest-pinned) — same oracle
     d["dedup_store_increment"] = d["dedup_increment"]
+    d["dedup_paragraph"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), idxd AS (
+          SELECT doc_id, t,
+                 unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx
+          FROM toks WHERE len(t) > 0
+        ), seg AS (
+          SELECT doc_id, idx,
+                 array_to_string(t[(idx * 8 + 1):(idx * 8 + 8)], ' ') AS chunk
+          FROM idxd
+        ), flagged AS (
+          SELECT doc_id,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY chunk ORDER BY doc_id, idx) > 1
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM seg
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup,
+               round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_frac
+        FROM flagged GROUP BY 1
+    """
+    d["quantize_embeddings"] = """
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), scaled AS (
+          SELECT vec_id, e,
+                 CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                      THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+                      ELSE 1.0 END AS scale
+          FROM base
+        ), qd AS (
+          SELECT vec_id, e, scale,
+                 list_transform(e, x -> round(x / scale)) AS q
+          FROM scaled
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(list_min(q) AS BIGINT) AS q_min,
+               CAST(list_max(q) AS BIGINT) AS q_max,
+               round(list_max(list_transform(list_zip(e, q),
+                     p -> abs(p[1] - p[2] * scale))), 6) AS max_err
+        FROM qd
+    """
     # organic LPA entries: the full 5-superstep fixpoint unrolled in SQL
     # over portable vertex hashes (no longer rows-only)
     d["c8_community_lpa"] = _lpa_oracle_sql(

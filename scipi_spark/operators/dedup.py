@@ -656,3 +656,56 @@ def minhash_lsh_increment_from_store(
         F.broadcast(batch_ids), "doc", "left_anti"
     ).unionByName(b_sizes)
     return _jaccard_verify(candidates, postings, sizes, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level cross-document dedup
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words: int = 8,
+) -> DataFrame:
+    """Cross-document segment-level exact dedup — the paragraph-dedup
+    pattern of web-scale corpus cleaning (boilerplate paragraphs repeat
+    across millions of pages): explode segments, first occurrence wins,
+    later occurrences are flagged.
+
+    The test corpus is unpunctuated, so a "paragraph" here is a
+    fixed-``words`` non-overlapping token chunk; real deployments swap
+    the splitter for blank-line or sentence segmentation — the plan
+    shape is identical and is what matters at 100 TB: one narrow
+    explode, ONE shuffle (the first-occurrence window partitions by the
+    segment content), one per-doc rollup reusing nothing wider than
+    (doc, idx, flag). Occurrence order is (doc_id, idx) — deterministic,
+    so the oracle can state it.
+
+    Output: (doc_id, n_paras, n_dup, dup_frac) — a segment is ``dup``
+    iff an identical segment exists at a strictly earlier (doc_id, idx).
+    Docs whose text yields zero segments produce no row (nothing to
+    dedup)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(words)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * words + 1, words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    flagged = seg.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+    )

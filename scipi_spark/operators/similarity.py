@@ -519,3 +519,60 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving shape
+    of every large vector store (4x smaller than float32, SIMD-friendly
+    dot products): scale = max|x| / 127, q_i = round(x_i / scale).
+
+    Pure Column expressions (transform/aggregate/array_max) — a narrow
+    map over the embedding column, no shuffle at all; at 100 TB this
+    fuses into the scan and writes back columnar.
+
+    Output pins every quantized element through exact integer aggregates
+    (sum, L1, min, max — integers stay exact in doubles, so the values
+    are order-independent) plus the round-6 scale and max reconstruction
+    error, instead of shipping arrays through the value-hash gate."""
+    e = F.transform(vec_col, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    base = df.select(
+        F.col(id_col).alias("vec_id"), e.alias("e"), scale.alias("scale")
+    )
+    q = F.transform("e", lambda x: F.round(x / F.col("scale"), 0))
+    qsum = lambda expr: F.aggregate(
+        expr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    err = F.zip_with("e", "q", lambda x, qi: F.abs(x - qi * F.col("scale")))
+    # metrics first, rounding in a SECOND projection: putting
+    # round(scale,6) AS scale in the same select would shadow the child's
+    # scale for the sibling err expression via lateral column alias
+    # resolution (observed: max_err silently computed against the rounded
+    # scale)
+    metrics = base.withColumn("q", q).select(
+        "vec_id",
+        "scale",
+        qsum(F.col("q")).cast("long").alias("q_sum"),
+        qsum(F.transform("q", lambda x: F.abs(x))).cast("long").alias("q_l1"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        F.array_max(err).alias("raw_err"),
+    )
+    return metrics.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_sum",
+        "q_l1",
+        "q_min",
+        "q_max",
+        F.round("raw_err", 6).alias("max_err"),
+    )

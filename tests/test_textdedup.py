@@ -454,3 +454,39 @@ def test_signature_store_probe_is_corpus_shuffle_free(spark, tmp_path):
     # only difference, and it must remove exactly the corpus-side shuffle
     assert "Bucketed: true" in plan_b
     assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+
+
+def test_paragraph_dedup_stats(spark):
+    from scipi_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),     # chunks: "a..h", "i j"
+        (2, "a b c d e f g h x y"),     # first chunk duplicates doc 1's
+        (3, ""),                         # no segments -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup"], r["dup_frac"])
+        for r in dedup.paragraph_dedup_stats(df, words=8).collect()
+    }
+    assert got[1] == (2, 0, 0.0)
+    assert got[2] == (2, 1, 0.5)
+    assert 3 not in got
+
+
+def test_quantize_embeddings_stats(spark):
+    from scipi_spark.operators import similarity
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r.asDict() for r in
+           similarity.quantize_embeddings_stats(df).collect()}
+    # amax=1.0 -> scale=1/127; q = round(x*127) = [127, -64, 32, 0]
+    r1 = got[1]
+    assert (r1["q_max"], r1["q_min"]) == (127, -64)
+    assert r1["q_sum"] == 127 - 64 + 32 + 0
+    assert r1["q_l1"] == 127 + 64 + 32
+    # all-zero vector: guarded scale=1.0, q all zero, zero error
+    r2 = got[2]
+    assert (r2["q_sum"], r2["q_l1"], r2["max_err"]) == (0, 0, 0.0)
+    assert r2["scale"] == 1.0
