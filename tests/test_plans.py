@@ -93,3 +93,23 @@ def test_cohort_retention_reuses_user_partitioning(spark):
     # distinct (shuffle 1, on user+week), window min reuses... then the
     # rollup (shuffle 2, on cohort/offset): never more than 3 exchanges
     assert _count(plan, r"\(\d+\) Exchange\b") <= 3
+
+
+def test_quantize_embeddings_no_exchange(spark):
+    from scipi_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(similarity.quantize_embeddings_stats(emb))
+    # a narrow per-row map: must fuse into the scan with zero shuffles
+    assert _count(plan, r"\bExchange\b") == 0
+
+
+def test_paragraph_dedup_single_content_shuffle(spark):
+    from scipi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.paragraph_dedup_stats(docs, words=8))
+    # first-occurrence window on chunk + per-doc rollup: the rollup agg
+    # may add one doc-keyed exchange; anything more means the explode or
+    # window shuffled twice
+    assert _count(plan, r"\(\d+\) Exchange\b") <= 2
