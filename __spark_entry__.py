@@ -360,6 +360,13 @@ def _q_dedup_store_increment(spark, sf_dir):
     )
 
 
+def _q_text_perplexity(spark, sf_dir):
+    """Bigram cross-entropy quality scores (Laplace-smoothed, corpus-
+    trained) — the count-based KenLM-perplexity filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_cross_entropy(docs)
+
+
 def _q_dedup_paragraph(spark, sf_dir):
     """Cross-document paragraph (8-word-segment) exact dedup stats: one
     explode, one first-occurrence window on segment content, one per-doc
@@ -1273,10 +1280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c16_strength_planted": _q_c16_strength_planted,
         "dedup_paragraph": _q_dedup_paragraph,
         "quantize_embeddings": _q_quantize_embeddings,
+        "text_perplexity": _q_text_perplexity,
         "dedup_increment": _q_dedup_increment,
         "dedup_store_increment": _q_dedup_store_increment,
-        "text_rarity": _q_text_rarity,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence)
+        "text_rarity": _q_text_rarity,
         "c2_community_vertices": _q_community_vertices,
         "c4_community_edges": _q_community_edges,
         "p7_keyword_count": _q_p7,
@@ -3128,6 +3136,30 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                CAST(sum(is_dup) AS BIGINT) AS n_dup,
                round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_frac
         FROM flagged GROUP BY 1
+    """
+    d["text_perplexity"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), idxd AS (
+          SELECT doc_id, t, unnest(range(1, len(t))) AS i
+          FROM toks WHERE len(t) >= 2
+        ), bi AS MATERIALIZED (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idxd
+        ), bc AS (
+          SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+        ), uc AS (
+          SELECT w1, count(*) AS c1 FROM bi GROUP BY 1
+        ), vv AS (
+          SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT unnest(t) AS w FROM toks)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-sum(ln((c2 + 1.0) / (c1 + v))) / count(*), 6) AS xent
+        FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1), vv
+        GROUP BY 1
     """
     d["quantize_embeddings"] = """
         WITH base AS (

@@ -493,3 +493,60 @@ def bm25_search(
         .limit(topk)
         .select(id_col, "bm25")
     )
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under a Laplace-smoothed bigram model
+    trained on the corpus itself — the count-based ancestor of the
+    KenLM-perplexity quality filter every large corpus pipeline runs
+    (gibberish scores high, boilerplate scores low).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), with c() taken over bigram
+    occurrences and V the corpus vocabulary size; xent(doc) =
+    -mean(ln P) over the doc's bigrams.
+
+    Scale shape: bigrams explode once (narrow); the model is two count
+    aggregations shuffled on the bigram/context key; scoring joins the
+    doc's bigrams back to the counts on the same keys (bigram-keyed
+    shuffle joins — at web scale the count tables exceed broadcast range,
+    so the join IS the right plan; AQE will broadcast them when small)
+    and rolls up per doc. Every count is an exact integer, so the only
+    floats are one division and one ln — cross-engine ln parity at
+    round-6 is the same (empirically held) contract tfidf/bm25 use.
+
+    Docs with fewer than 2 tokens have no bigrams and produce no row."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # bi feeds the two model aggregations AND the scoring join
+    bi = bi.localCheckpoint(eager=True)
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vrow = df.select(F.explode(toks).alias("w")).agg(
+        F.count_distinct(F.col("w")).cast("double").alias("v")
+    )
+    logp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vrow))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(logp) / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )

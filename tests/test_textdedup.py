@@ -490,3 +490,24 @@ def test_quantize_embeddings_stats(spark):
     r2 = got[2]
     assert (r2["q_sum"], r2["q_l1"], r2["max_err"]) == (0, 0, 0.0)
     assert r2["scale"] == 1.0
+
+
+def test_bigram_cross_entropy(spark):
+    import math
+
+    from scipi_spark.operators import textops
+
+    rows = [(1, "a b a b"), (2, "a a a a"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           textops.bigram_cross_entropy(df).collect()}
+    # corpus bigrams: doc1 {ab, ba, ab}, doc2 {aa x3}; V = 3 (a, b, x)
+    # c(a,b)=2 c(b,a)=1 c(a,a)=3; c1(a)=5 c1(b)=1
+    p_ab = (2 + 1) / (5 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    p_aa = (3 + 1) / (5 + 3)
+    want1 = round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    want2 = round(-(3 * math.log(p_aa)) / 3, 6)
+    assert got[1]["n_bigrams"] == 3 and abs(got[1]["xent"] - want1) < 1e-9
+    assert got[2]["n_bigrams"] == 3 and abs(got[2]["xent"] - want2) < 1e-9
+    assert 3 not in got  # single-token doc has no bigrams
