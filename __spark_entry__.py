@@ -382,6 +382,62 @@ def _q_quantize_embeddings(spark, sf_dir):
     return similarity.quantize_embeddings_stats(emb)
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup over embeddings with planted
+    duplicates (same deterministic perturbation as emb_neardup_planted:
+    e'_i = e_i + 0.1 * e_{(i+1) mod d}, cosine ~0.99 vs original).
+    Spark clusters with spherical k-means and prunes within cells
+    (nprobe=2 catches boundary-straddling pairs); the oracle is the
+    EXACT all-pairs rule -- kept iff no lower-id vector has cosine >=
+    0.95 -- so the hash-match proves the clustered path loses nothing
+    on this corpus (random 64-dim pairs sit far below threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 64
+    ed = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pert = ed.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "e",
+            lambda x, i: x
+            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
+        ).alias("e"),
+    )
+    both = ed.unionByName(pert)
+    return similarity.semantic_dedup(
+        both, threshold=0.95, n_centroids=16, nprobe=2, vec_col="e"
+    )
+
+
+def _q_text_c4_filter(spark, sf_dir):
+    """C4 + Gopher heuristic document gate with per-rule evidence
+    columns (word-count bounds, mean-word-length band, symbol ratio,
+    alpha-word ratio, stopword presence, boilerplate/brace drops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.c4_gopher_filter(docs)
+
+
+def _q_train_shards(spark, sf_dir):
+    """Deterministic training-shard assignment (the exact bucket logic of
+    sources.io.write_training_shards), verified as per-shard aggregates:
+    doc count, char mass, and id range per shard."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.shard_assignment(docs, key="doc_id", n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs in portable mode: the 60-bit md5-prefix
     feature hash is computable bit-identically in DuckDB, so the ENTIRE
@@ -1276,14 +1332,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c14_decorated_subgraph": _q_c14_decorated_subgraph,
         "c8_community_lpa": _q_community_lpa,
         "c16_community_strength": _q_c16_strength,
-        "c8_lpa_planted": _q_c8_lpa_planted,
-        "c16_strength_planted": _q_c16_strength_planted,
+        "dedup_semantic": _q_dedup_semantic,
+        "text_c4_filter": _q_text_c4_filter,
         "dedup_paragraph": _q_dedup_paragraph,
         "quantize_embeddings": _q_quantize_embeddings,
         "text_perplexity": _q_text_perplexity,
-        "dedup_increment": _q_dedup_increment,
+        "train_shards": _q_train_shards,
         "dedup_store_increment": _q_dedup_store_increment,
-        # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence)
+        # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
+        # c8/c16 planted twins and dedup_increment rotated out this round to
+        # admit the three new ops: their r2 rows are the archived evidence,
+        # and the code paths they exercise stay in-window via the organic
+        # c8/c16 entries (now fully oracled) and dedup_store_increment.
+        "c8_lpa_planted": _q_c8_lpa_planted,
+        "c16_strength_planted": _q_c16_strength_planted,
+        "dedup_increment": _q_dedup_increment,
         "text_rarity": _q_text_rarity,
         "c2_community_vertices": _q_community_vertices,
         "c4_community_edges": _q_community_edges,
@@ -2137,6 +2200,83 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         # exact all-pairs over originals + deterministically perturbed
         # copies; the LSH entry must find every planted pair (recall 1.0
         # by the 16-table margin at p~0.95)
+        # exact all-pairs rule; the Spark side finds pairs via k-means
+        # cells (nprobe=2), so the hash-match proves cell-blocking loses
+        # no qualifying pair on this corpus
+        "dedup_semantic": """
+            WITH ed AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), pert AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     [e[i] + 0.1 * e[(i % 64) + 1] for i in range(1, 65)] AS e
+              FROM ed
+            ), allv AS (
+              SELECT * FROM ed UNION ALL SELECT * FROM pert
+            ), dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+              WHERE round(list_inner_product(a.e, b.e)
+                          / (sqrt(list_inner_product(a.e, a.e))
+                             * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.95
+            )
+            SELECT v.vec_id, (d.vec_id IS NULL) AS kept
+            FROM allv v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+        """,
+        "text_c4_filter": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ), feat AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     greatest(len(toks), 1) AS nw,
+                     coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                       AS sum_len,
+                     (length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '...', ''))) / 3
+                       AS n_sym,
+                     len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                       AS n_alpha,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(list_transform(toks, t -> lower(t)), s)))
+                       AS stop_hits_i,
+                     (contains(lower(text), 'lorem ipsum')
+                      OR contains(lower(text), 'terms of use')
+                      OR contains(lower(text), 'privacy policy')
+                      OR contains(lower(text), 'all rights reserved'))
+                       AS has_bad_phrase,
+                     (contains(text, '{') OR contains(text, '}')) AS has_brace
+              FROM w
+            )
+            SELECT doc_id,
+                   n_words,
+                   round(sum_len / nw, 6) AS mean_word_len,
+                   round(n_sym / nw, 6) AS symbol_ratio,
+                   round(n_alpha / nw, 6) AS alpha_word_ratio,
+                   CAST(stop_hits_i AS BIGINT) AS stop_hits,
+                   has_bad_phrase,
+                   has_brace,
+                   (n_words BETWEEN 50 AND 100000
+                    AND sum_len / nw BETWEEN 3.0 AND 10.0
+                    AND n_sym / nw <= 0.1
+                    AND n_alpha / nw >= 0.8
+                    AND stop_hits_i >= 2
+                    AND NOT has_bad_phrase
+                    AND NOT has_brace) AS keep
+            FROM feat
+        """,
+        "train_shards": """
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 8000 % 8 AS shard,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS n_chars,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM documents
+            GROUP BY 1
+        """,
         "emb_neardup_planted": """
             WITH ed AS (
               SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

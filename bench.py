@@ -41,6 +41,8 @@ HEADLINERS = [
     "knn_cosine_lsh",
     "emb_neardup_pairs",
     "emb_neardup_planted",
+    "dedup_semantic",
+    "text_c4_filter",
     "a8_assoc_projection",
     "events_json_hourly",
     "window_top_orders",

@@ -125,3 +125,16 @@ def token_budget_cap(
         .filter(F.col("_cum_tokens") <= budget)
         .drop("_cum_tokens")
     )
+
+
+def shard_assignment(
+    df: DataFrame, key: str = "doc_id", n_shards: int = 8
+) -> DataFrame:
+    """The deterministic shard id used by
+    :func:`scipi_spark.sources.io.write_training_shards`: portable
+    md5-bucket of ``key`` folded onto ``n_shards`` — a document's shard
+    never changes across runs, corpus growth, or cluster layouts.  Pure
+    Column expression fused into the scan; the writer adds one
+    ``repartition(n_shards, shard)`` exchange on top."""
+    shard = (hash_bucket(key, n_shards * 1000) % n_shards).alias("shard")
+    return df.withColumn("shard", shard)

@@ -576,3 +576,74 @@ def quantize_embeddings_stats(
         "q_max",
         F.round("raw_err", 6).alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup-style: cluster, then prune within cluster)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    train_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, the
+    published recipe for embedding-space dedup of web-scale corpora):
+    cluster the embeddings with a spherical k-means coarse quantizer,
+    then WITHIN each cluster drop every vector whose cosine to some
+    lower-id vector clears ``threshold``. Returns ``(vec_id, kept)``
+    for every input vector — keep-policy is deterministic (the lowest
+    id in a duplicate neighborhood survives; removal of ``v`` depends
+    only on the existence of a more-senior near-duplicate, never on
+    whether that senior was itself removed, exactly the non-chaining
+    SemDeDup semantics).
+
+    Scale shape: this is the regime where near-dup pairs are a sparse
+    planted structure (true copies at cosine ~0.99), so clustering makes
+    the quadratic term local — cost is sum of |cell|^2 over cells, not
+    n^2, and the corpus shuffles once on the cell id. At 100 TB,
+    ``n_centroids`` grows ~sqrt(n) (SemDeDup used 11k clusters for
+    LAION) so cells stay bounded; the k-means update aggregates only
+    k x dim values to the driver per iteration. Duplicates straddling a
+    cell boundary are caught by assigning each vector to its ``nprobe``
+    nearest cells (near-identical vectors have near-identical centroid
+    score vectors, so their top-``nprobe`` sets overlap) — candidate
+    pairs are deduped before scoring, and scoring reuses the exact
+    JVM-side cosine, so precision is exact.
+    """
+    C = spherical_kmeans(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    # argmax-dot ordering is scale-invariant (centroids are unit), so the
+    # raw doubles assign identically to their normalized form — and pair
+    # scores on the raw doubles keep the arithmetic identical to the
+    # exact-cosine oracle formula.
+    probe = assign_centroid_udf(C, nprobe=nprobe)
+    cells = base.select(
+        "vec_id", "e", F.explode(probe(F.col("e"))).alias("cell")
+    ).localCheckpoint(eager=True)  # both self-join sides read this
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("ea"), F.col("eb")), 6) >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return base.join(
+        dropped.withColumn("_dropped", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", (~F.coalesce("_dropped", F.lit(False))).alias("kept"))

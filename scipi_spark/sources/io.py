@@ -176,10 +176,9 @@ def write_training_shards(
     shards."""
     from pyspark.sql import functions as F
 
-    from scipi_spark.operators.sampling import hash_bucket
+    from scipi_spark.operators.sampling import hash_bucket, shard_assignment
 
-    shard = (hash_bucket(key, n_shards * 1000) % n_shards).alias("shard")
-    out = df.withColumn("shard", shard)
+    out = shard_assignment(df, key=key, n_shards=n_shards)
     order = order_col or "_order"
     if order_col is None:
         out = out.withColumn("_order", hash_bucket(key))

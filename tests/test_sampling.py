@@ -113,3 +113,23 @@ def test_token_budget_cap_admits_prefix_not_head(spark):
     n = len(kept)
     assert 0 < n < 400
     assert kept != set(range(n))
+
+
+def test_shard_assignment_stable_and_matches_writer(spark, tmp_path):
+    """A document's shard is partitioning-invariant and identical to the
+    shard directory write_training_shards puts it in."""
+    from scipi_spark.sources.io import write_training_shards
+
+    df = _sourced(spark, 300)
+    one = {r["doc_id"]: r["shard"] for r in sampling.shard_assignment(
+        df.coalesce(1), n_shards=8).collect()}
+    many = {r["doc_id"]: r["shard"] for r in sampling.shard_assignment(
+        df.repartition(16), n_shards=8).collect()}
+    assert one == many
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=8)
+    written = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(path).select("doc_id", "shard").collect()
+    }
+    assert written == one

@@ -112,3 +112,50 @@ def test_allpairs_blocked_equals_exact(spark):
             ).collect()
         }
         assert blocked == exact
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """Every planted near-copy (higher id) is dropped; every original is
+    kept (no original-original pair clears 0.95 on this corpus)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    d = 64
+    ed = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    pert = ed.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "e",
+            lambda x, i: x
+            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
+        ).alias("e"),
+    )
+    out = sim.semantic_dedup(
+        ed.unionByName(pert), threshold=0.95, n_centroids=8, nprobe=2, vec_col="e"
+    )
+    rows = {r["vec_id"]: r["kept"] for r in out.collect()}
+    originals = {k for k in rows if k < 1_000_000}
+    assert originals and all(rows[k] for k in originals)
+    assert all(not rows[k + 1_000_000] for k in originals)
+
+
+def test_semantic_dedup_keep_policy_not_chaining(spark):
+    """Removal is non-chaining SemDeDup semantics: v drops iff SOME
+    lower-id vector is near it, independent of that vector's own fate —
+    a 3-chain a~b~c (a<b<c) keeps only a, even though b (c's witness)
+    is itself dropped."""
+    base = [1.0] + [0.0] * 63
+
+    def bump(eps):
+        v = list(base)
+        v[1] = eps
+        return v
+
+    df = spark.createDataFrame(
+        [(1, base), (2, bump(0.01)), (3, bump(0.02))], ["vec_id", "e"]
+    )
+    out = {r["vec_id"]: r["kept"] for r in sim.semantic_dedup(
+        df, threshold=0.95, n_centroids=1, nprobe=1, vec_col="e").collect()}
+    assert out == {1: True, 2: False, 3: False}

@@ -511,3 +511,24 @@ def test_bigram_cross_entropy(spark):
     assert got[1]["n_bigrams"] == 3 and abs(got[1]["xent"] - want1) < 1e-9
     assert got[2]["n_bigrams"] == 3 and abs(got[2]["xent"] - want2) < 1e-9
     assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_c4_gopher_filter_rules(spark):
+    good = (
+        "the quick brown fox jumps over that lazy dog with great energy "
+        "and calm today " * 5
+    )
+    rows = [
+        (1, good),
+        (2, "too short to pass"),
+        (3, good + " {code}"),
+        (4, good + " Lorem Ipsum dolor"),
+        (5, good + " " + "### " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textops.c4_gopher_filter(df).collect()}
+    assert got[1]["keep"] and got[1]["stop_hits"] >= 2
+    assert not got[2]["keep"] and got[2]["n_words"] < 50
+    assert not got[3]["keep"] and got[3]["has_brace"]
+    assert not got[4]["keep"] and got[4]["has_bad_phrase"]
+    assert not got[5]["keep"] and got[5]["symbol_ratio"] > 0.1
