@@ -113,3 +113,27 @@ def test_paragraph_dedup_single_content_shuffle(spark):
     # may add one doc-keyed exchange; anything more means the explode or
     # window shuffled twice
     assert _count(plan, r"\(\d+\) Exchange\b") <= 2
+
+
+def test_c4_filter_is_pure_scan_map(spark):
+    from scipi_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textops.c4_gopher_filter(docs))
+    assert _count(plan, r"\bExchange\b") == 0          # narrow map, no shuffle
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan  # pruned
+
+
+def test_train_shards_single_agg_exchange(spark):
+    from scipi_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = (
+        sampling.shard_assignment(docs, n_shards=8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    plan = _plan(out)
+    # one partial/final hash-agg pair around exactly one exchange on shard
+    assert _count(plan, r"\(\d+\) Exchange\b") == 1
+    assert _count(plan, r"\(\d+\) HashAggregate") == 2
