@@ -104,6 +104,15 @@ def main() -> None:
         # at the tail of a pass). Within a headliner's own repeats the
         # cache stays, so best-of-N still reports the warm cost.
         spark.catalog.clearCache()
+        # Settle AFTER the cache drop, BEFORE the timer: freeing the
+        # previous headliner's localCheckpoint RDDs is asynchronous
+        # (Python GC -> py4j -> ContextCleaner), and when it fires
+        # mid-measurement it steals scheduler/executor time from the
+        # query being timed (measured: dedup_increment 12.5s in-sequence
+        # vs 5.0s with this 2s settle — solo steady-state is 5.7s).
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(2.0)
         best, n = None, 0
         # With a single repeat, the one timed execution would be fully
         # cold (the clearCache above drops every operator-internal

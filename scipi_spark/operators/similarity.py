@@ -587,7 +587,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_centroids: int = 16,
     nprobe: int = 2,
-    train_iters: int = 5,
+    train_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -613,7 +613,11 @@ def semantic_dedup(
     nearest cells (near-identical vectors have near-identical centroid
     score vectors, so their top-``nprobe`` sets overlap) — candidate
     pairs are deduped before scoring, and scoring reuses the exact
-    JVM-side cosine, so precision is exact.
+    JVM-side cosine, so precision is exact. ``train_iters`` defaults
+    low: the centroids are only a partitioner — correctness never
+    depends on their quality (near-dups co-locate at any centroid
+    placement via nprobe), so extra Lloyd rounds buy balance, not
+    accuracy.
     """
     C = spherical_kmeans(
         embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
