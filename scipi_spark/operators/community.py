@@ -287,6 +287,63 @@ def aggregate_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def write_graph_store(
+    edges: DataFrame,
+    path: str,
+    table: str = "graph_edges_mirrored",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the aggregated mirrored LPA message relation bucketed AND
+    sorted on ``src`` — the production shape of iterative graph analytics
+    at 100 TB (the graph twin of :func:`dedup.write_signature_store`):
+    the canonicalize + aggregate + mirror shuffle is paid ONCE at graph
+    build, and every subsequent LPA run — and every superstep inside it —
+    joins label state against the bucketed scan with ZERO edge-side
+    Exchange (only the small per-superstep state shuffles, into the
+    bucket partitioning). At real scale ``n_buckets`` is sized so each
+    bucket is a few hundred MB of edges; re-bucketing only happens when
+    the graph outgrows it, not per job."""
+    (
+        aggregate_undirected(edges)
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .saveAsTable(table)
+    )
+
+
+def community_detection_from_store(
+    spark,
+    table: str = "graph_edges_mirrored",
+    iterations: int = 10,
+    delta: float = 0.5,
+    checkpoint: bool = True,
+    portable_rounding: bool = False,
+    n_edges: int | None = None,
+) -> DataFrame:
+    """LPA over a persisted bucketed edge store: no extraction, no edge
+    aggregation, no edge-side repartition — the loop's message join reads
+    the store's bucket partitioning directly. Returns hashed ids
+    (``restore_names=False``; a vertex's initial label IS its hashed id,
+    so labels are identical to the name-restored variant). ``n_edges``
+    defaults to the store's metadata row count (a footer read, no scan)."""
+    mirrored = spark.table(table)
+    if n_edges is None:
+        n_edges = mirrored.count()
+    return community_detection(
+        None,
+        None,
+        iterations=iterations,
+        delta=delta,
+        checkpoint=checkpoint,
+        mirrored=mirrored,
+        n_edges=n_edges,
+        restore_names=False,
+        portable_rounding=portable_rounding,
+    )
+
+
 def community_detection(
     vertices: DataFrame | None,
     edges: DataFrame | None,

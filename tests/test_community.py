@@ -223,3 +223,62 @@ def test_lpa_endpoint_seed_matches_vertex_seed(spark):
     assert named_sizes == hashed_sizes
     assert hist(named) == hist(hashed)
     mirrored.unpersist()
+
+
+def test_graph_store_lpa_matches_direct(spark, tmp_path):
+    """LPA over the persisted bucketed edge store equals LPA over the
+    directly-built mirrored table (labels are identical, not just
+    histogram-equal), and the store's message join consumes the bucket
+    partitioning with NO edge-side Exchange."""
+    import re
+
+    pubs = _pubs(spark)
+    edges = comm.extract_edges(pubs)
+    comm.write_graph_store(
+        edges, str(tmp_path / "graph_store"), table="t_graph_store", n_buckets=4
+    )
+    try:
+        store_lpa = comm.community_detection_from_store(
+            spark, table="t_graph_store", iterations=3, delta=0.5
+        )
+        mirrored = (
+            comm.aggregate_undirected_hashed(comm.extract_edges_hashed(pubs))
+            .repartition(2, F.col("src"))
+            .persist()
+        )
+        direct = comm.community_detection(
+            vertices=None,
+            edges=None,
+            iterations=3,
+            delta=0.5,
+            mirrored=mirrored,
+            n_edges=edges.count() * 2,
+            restore_names=False,
+        )
+        assert sorted(map(tuple, store_lpa.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        mirrored.unpersist()
+
+        # plan evidence: the message join runs with ZERO Exchange — the
+        # store scan carries the bucket partitioning, and the state seed
+        # (derived from the store's endpoints) inherits it, so neither
+        # side shuffles at all
+        stored = spark.table("t_graph_store")
+        state = stored.select(F.col("src").alias("id")).distinct().select(
+            "id", F.col("id").alias("label"), F.lit(1.0).alias("score")
+        )
+        msgs = stored.join(
+            state.select(
+                F.col("id").alias("src"), F.col("label"), F.col("score")
+            ).hint("shuffle_hash"),
+            "src",
+        )
+        jvm = msgs.sparkSession._jvm
+        plan = msgs._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_graph_store")
