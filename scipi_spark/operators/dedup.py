@@ -594,6 +594,54 @@ def write_signature_store(
     )
 
 
+def append_signature_store(
+    batch: DataFrame,
+    path: str,
+    table: str = "minhash_store_bands",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_buckets: int = 16,
+) -> None:
+    """Fold a new batch into an existing signature store: postings/sizes
+    append to their parquet tables, band rows append to the bucketed
+    table (same bucket spec, so the probe's shuffle-free scan property
+    is preserved — each append adds per-bucket files, it never
+    re-shuffles the store).
+
+    Append-only contract: callers should feed NEW doc_ids. A re-ingested
+    id leaves stale rows; the probe stays correct against them (its
+    batch-side anti-join takes the in-flight batch as authoritative, and
+    verification is exact Jaccard), but stale rows accumulate until the
+    store is compacted with :func:`write_signature_store`. This is the
+    standard LSM-ish trade: cheap monotone appends daily, one compaction
+    when bloat warrants it."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    coeffs, p = _minhash_coeffs(num_perm)
+    sizes, postings = _shingle_index(
+        batch, id_col, text_col, k, None, materialize=True
+    )
+    base = path.rstrip("/")
+    postings.write.mode("append").parquet(base + "/postings")
+    sizes.write.mode("append").parquet(base + "/sizes")
+    sigs = _signatures_from_postings(
+        postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
+    )
+    (
+        _band_rows(sigs, bands, r)
+        .write.mode("append")
+        .bucketBy(n_buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .option("path", base + "/bands")
+        .saveAsTable(table)
+    )
+
+
 def minhash_lsh_increment_from_store(
     spark,
     path: str,

@@ -164,6 +164,79 @@ def run_aggregation_upsert(
     )
 
 
+def run_streaming_dedup_against_store(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    table: str = "minhash_store_bands",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """Continuous near-dup detection against a persisted corpus: each
+    micro-batch (1) probes the bucketed signature store for its near-dup
+    pairs — batch-vs-corpus plus batch-vs-batch, corpus side
+    shuffle-free — (2) appends the pairs to the parquet sink, and (3)
+    folds its own signatures into the store, so every later batch sees
+    it as corpus. This is the always-on production shape of dedup: the
+    expensive corpus state is an external bucketed index maintained
+    incrementally, never recomputed.
+
+    ``foreachBatch`` rather than a stream-stream join BECAUSE the corpus
+    side is a mutable external index, not a stream: stream-stream joins
+    buffer both sides in the state store, which is exactly the
+    unbounded-state shape this design avoids. Exactly-once: the pair
+    sink appends with ``batch_id``, so replays after a crash overwrite
+    deterministically identifiable rows (dedup on read by batch_id if
+    the sink must be idempotent; a MERGE-capable table makes it exact).
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from scipi_spark.operators import dedup as dedup_ops
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # probe + append reuse
+        pairs = dedup_ops.minhash_lsh_increment_from_store(
+            spark,
+            store_path,
+            batch_df,
+            table=table,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        dedup_ops.append_signature_store(
+            batch_df,
+            store_path,
+            table=table,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_perm=num_perm,
+            bands=bands,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def run_aggregation_to_memory(
     spark: SparkSession, pubs_stream: DataFrame, which: str, name: str, **agg_kwargs
 ):

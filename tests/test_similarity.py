@@ -159,3 +159,62 @@ def test_semantic_dedup_keep_policy_not_chaining(spark):
     out = {r["vec_id"]: r["kept"] for r in sim.semantic_dedup(
         df, threshold=0.95, n_centroids=1, nprobe=1, vec_col="e").collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    C = sim.pq_codebooks(emb, m=8, ksub=16, iters=2)
+    assert C.shape == (8, 16, 8)
+    C2 = sim.pq_codebooks(emb, m=8, ksub=16, iters=2)
+    assert np.allclose(C, C2)
+    codes = {r["vec_id"]: list(r["codes"]) for r in sim.pq_encode(emb, C).collect()}
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    codes2 = {r["vec_id"]: list(r["codes"]) for r in sim.pq_encode(emb, C).collect()}
+    assert codes == codes2
+
+
+def test_knn_pq_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    brute = sim.knn_brute(emb, qids, k=5)
+    pq = sim.knn_cosine_pq(emb, qids, k=5, m=8, ksub=16, rerank=25)
+    want = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+    # random near-orthogonal vectors are PQ's worst case (true neighbors
+    # sit barely above quantization noise); a 25-of-49 exact-reranked
+    # candidate list still recovers the majority
+    assert len(got & want) / len(want) >= 0.5
+    # re-ranked scores are EXACT cosines: every overlapping pair matches brute
+    bs = {(r["query_id"], r["vec_id"]): r["cosine"] for r in brute.collect()}
+    ps = {(r["query_id"], r["vec_id"]): r["cosine"] for r in pq.collect()}
+    for pair in got & want:
+        assert abs(bs[pair] - ps[pair]) < 1e-9
+
+
+
+def test_knn_pq_finds_planted_neighbors(spark):
+    """PQ's operating regime: when the true neighbors are planted near-copies
+    (cosine ~0.99 vs noise ~0), ADC + exact re-rank returns the planted
+    twin as the top-1 for every query."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    d = 64
+    ed = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    pert = ed.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "e",
+            lambda x, i: x
+            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
+        ).alias("e"),
+    )
+    both = ed.unionByName(pert)
+    qids = [r["vec_id"] for r in ed.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    pq = sim.knn_cosine_pq(both, qids, k=1, m=8, ksub=16, rerank=10, vec_col="e")
+    top1 = {r["query_id"]: r["vec_id"] for r in pq.collect()}
+    assert top1 == {q: q + 1_000_000 for q in qids}

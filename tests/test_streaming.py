@@ -240,3 +240,64 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         q.stop()
     got = sorted(map(tuple, spark.table("mem_interval_join").collect()))
     assert got == batch
+
+
+def test_streaming_dedup_against_store_folds_batches(spark, tmp_path):
+    """Two-micro-batch replay of the store-backed streaming dedup: batch 1
+    pairs against the persisted corpus; batch 2 pairs against corpus AND
+    batch 1 (proving each batch's signatures were folded into the store);
+    the union of streamed pairs equals the one-shot batch increment over
+    batch1 ∪ batch2."""
+    from scipi_spark.operators import dedup as dedup_ops
+    from scipi_spark.streaming.pipelines import run_streaming_dedup_against_store
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(30)
+        .localCheckpoint(eager=True)
+    )
+    corpus = docs.limit(20)
+    base5 = docs.orderBy("doc_id").limit(5)
+    b1 = base5.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    b2 = base5.select((F.col("doc_id") + 20_000).alias("doc_id"), "text")
+
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "stream_src")
+    dedup_ops.write_signature_store(corpus, store, table="t_stream_store")
+    try:
+        b1.coalesce(1).write.parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_streaming_dedup_against_store(
+            stream, store, out, ckpt, table="t_stream_store", threshold=0.5
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = spark.read.parquet(out)
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+        # exact copies: every planted id pairs with its source (corpus-b1,
+        # corpus-b2) AND b1-b2 pairs exist only if batch1 was folded in
+        assert all((d, d + 10_000) in pairs for d in
+                   [r["doc_id"] for r in base5.collect()])
+        assert all((d + 10_000, d + 20_000) in pairs for d in
+                   [r["doc_id"] for r in base5.collect()])
+
+        oneshot = dedup_ops.minhash_lsh_increment(
+            corpus, b1.unionByName(b2), threshold=0.5
+        )
+        want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in oneshot.collect()}
+        got3 = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got.collect()}
+        assert got3 == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_store")
