@@ -392,20 +392,11 @@ def _q_dedup_semantic(spark, sf_dir):
     0.95 -- so the hash-match proves the clustered path loses nothing
     on this corpus (random 64-dim pairs sit far below threshold)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = 64
     ed = emb.select(
         F.col("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    pert = ed.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "e",
-            lambda x, i: x
-            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
-        ).alias("e"),
-    )
-    both = ed.unionByName(pert)
+    both = ed.unionByName(similarity.perturbed_copies(ed))
     return similarity.semantic_dedup(
         both, threshold=0.95, n_centroids=16, nprobe=2, vec_col="e"
     )
@@ -1260,20 +1251,11 @@ def _q_emb_neardup_planted(spark, sf_dir):
     entry, where the corpus has no planted structure and ANY method
     degrades toward all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = 64
     ed = emb.select(
         F.col("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    pert = ed.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "e",
-            lambda x, i: x
-            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
-        ).alias("e"),
-    )
-    both = ed.unionByName(pert)
+    both = ed.unionByName(similarity.perturbed_copies(ed))
     return similarity.cosine_neardup_pairs(
         both,
         threshold=0.95,
@@ -2197,9 +2179,6 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
               FROM base a, base b WHERE a.vec_id < b.vec_id)
             WHERE cosine >= {NEARDUP_COS_THRESHOLD}
         """,
-        # exact all-pairs over originals + deterministically perturbed
-        # copies; the LSH entry must find every planted pair (recall 1.0
-        # by the 16-table margin at p~0.95)
         # exact all-pairs rule; the Spark side finds pairs via k-means
         # cells (nprobe=2), so the hash-match proves cell-blocking loses
         # no qualifying pair on this corpus
@@ -2269,7 +2248,7 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         """,
         "train_shards": """
             SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) % 8000 % 8 AS shard,
+                        AS BIGINT) % 8 AS shard,
                    count(*) AS n_docs,
                    sum(n_chars) AS n_chars,
                    min(doc_id) AS min_doc,
@@ -2277,6 +2256,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
             FROM documents
             GROUP BY 1
         """,
+        # exact all-pairs over originals + deterministically perturbed
+        # copies; the LSH entry must find every planted pair (recall 1.0
+        # by the 16-table margin at p~0.95)
         "emb_neardup_planted": """
             WITH ed AS (
               SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

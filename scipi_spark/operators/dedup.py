@@ -594,6 +594,36 @@ def write_signature_store(
     )
 
 
+def batch_lsh_state(
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sizes, postings, band_rows) for a batch — the complete LSH state
+    the store probe AND the store append both need. Computed once here
+    so a caller doing both (the streaming dedup sink) shingles, hashes,
+    and bands the batch a single time instead of twice; postings are
+    materialized (localCheckpoint), band_rows are materialized, and both
+    returned handles can feed any number of downstream consumers without
+    replaying the text scan."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    coeffs, p = _minhash_coeffs(num_perm)
+    sizes, postings = _shingle_index(
+        batch, id_col, text_col, k, None, materialize=True
+    )
+    sigs = _signatures_from_postings(
+        postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
+    )
+    band_rows = _band_rows(sigs, bands, r).localCheckpoint(eager=True)
+    return sizes, postings, band_rows
+
+
 def append_signature_store(
     batch: DataFrame,
     path: str,
@@ -604,6 +634,7 @@ def append_signature_store(
     num_perm: int = 64,
     bands: int = 16,
     n_buckets: int = 16,
+    batch_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> None:
     """Fold a new batch into an existing signature store: postings/sizes
     append to their parquet tables, band rows append to the bucketed
@@ -611,30 +642,32 @@ def append_signature_store(
     is preserved — each append adds per-bucket files, it never
     re-shuffles the store).
 
-    Append-only contract: callers should feed NEW doc_ids. A re-ingested
-    id leaves stale rows; the probe stays correct against them (its
-    batch-side anti-join takes the in-flight batch as authoritative, and
-    verification is exact Jaccard), but stale rows accumulate until the
-    store is compacted with :func:`write_signature_store`. This is the
-    standard LSM-ish trade: cheap monotone appends daily, one compaction
-    when bloat warrants it."""
-    assert num_perm % bands == 0
-    r = num_perm // bands
-    coeffs, p = _minhash_coeffs(num_perm)
-    sizes, postings = _shingle_index(
-        batch, id_col, text_col, k, None, materialize=True
-    )
+    Append-only contract: callers MUST feed doc_ids not already in the
+    store. A duplicated id (re-ingestion, or a crash-replayed append)
+    leaves its postings/sizes rows in the store TWICE, and only probes
+    whose in-flight batch contains that same id are protected (their
+    anti-join supersedes the stored copy); any OTHER probe that pairs
+    against the duplicated doc double-counts shingle intersections and
+    fans out the sizes join — inflated (up to divide-by-zero) Jaccard —
+    until the store is compacted with :func:`write_signature_store`.
+    This is the LSM trade: cheap monotone appends daily, one compaction
+    when a duplicate slips in or bloat warrants it. The streaming sink
+    (``run_streaming_dedup_against_store``) guards this path with a
+    per-batch fold marker so micro-batch replays skip the second append.
+
+    ``batch_state``: a precomputed :func:`batch_lsh_state` triple — pass
+    it when the caller already probed with the same batch so the
+    shingle/minhash/band work is not repeated."""
     base = path.rstrip("/")
+    if batch_state is None:
+        batch_state = batch_lsh_state(
+            batch, id_col, text_col, k, num_perm, bands
+        )
+    sizes, postings, band_rows = batch_state
     postings.write.mode("append").parquet(base + "/postings")
     sizes.write.mode("append").parquet(base + "/sizes")
-    sigs = _signatures_from_postings(
-        postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
-        coeffs,
-        p,
-    )
     (
-        _band_rows(sigs, bands, r)
-        .write.mode("append")
+        band_rows.write.mode("append")
         .bucketBy(n_buckets, "band", "bh")
         .sortBy("band", "bh")
         .option("path", base + "/bands")
@@ -653,6 +686,7 @@ def minhash_lsh_increment_from_store(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    batch_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The probe side of :func:`write_signature_store`: near-dup pairs
     between ``batch`` and the stored corpus (plus batch-batch pairs),
@@ -661,22 +695,16 @@ def minhash_lsh_increment_from_store(
     candidates probe the bucketed band table shuffle-free on the corpus
     side, and the verify reads only the stored postings."""
     assert num_perm % bands == 0
-    r = num_perm // bands
-    coeffs, p = _minhash_coeffs(num_perm)
     base = path.rstrip("/")
     corpus_bands = spark.table(table)
     corpus_postings = spark.read.parquet(base + "/postings")
     corpus_sizes = spark.read.parquet(base + "/sizes")
 
-    b_sizes, b_postings = _shingle_index(
-        batch, id_col, text_col, k, None, materialize=True
-    )
-    b_sigs = _signatures_from_postings(
-        b_postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
-        coeffs,
-        p,
-    )
-    b_bands = _band_rows(b_sigs, bands, r).localCheckpoint(eager=True)
+    if batch_state is None:
+        batch_state = batch_lsh_state(
+            batch, id_col, text_col, k, num_perm, bands
+        )
+    b_sizes, b_postings, b_bands = batch_state
 
     # TWO probe joins, not one join against a union — a union of the
     # bucketed table with anything loses its bucketing and would shuffle

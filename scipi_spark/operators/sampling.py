@@ -132,9 +132,8 @@ def shard_assignment(
 ) -> DataFrame:
     """The deterministic shard id used by
     :func:`scipi_spark.sources.io.write_training_shards`: portable
-    md5-bucket of ``key`` folded onto ``n_shards`` — a document's shard
+    md5-bucket of ``key`` directly onto ``n_shards`` — a document's shard
     never changes across runs, corpus growth, or cluster layouts.  Pure
     Column expression fused into the scan; the writer adds one
     ``repartition(n_shards, shard)`` exchange on top."""
-    shard = (hash_bucket(key, n_shards * 1000) % n_shards).alias("shard")
-    return df.withColumn("shard", shard)
+    return df.withColumn("shard", hash_bucket(key, n_shards))

@@ -654,6 +654,35 @@ def semantic_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Planted near-duplicate fixture (shared by entries, oracles, and tests)
+# ---------------------------------------------------------------------------
+
+def perturbed_copies(
+    df: DataFrame,
+    dim: int = 64,
+    factor: float = 0.1,
+    id_offset: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Deterministic planted near-copies: e'_i = e_i + factor * e_{(i+1)
+    mod dim}, ids shifted by ``id_offset`` (cosine vs the original ~0.99
+    at factor=0.1 on random vectors). The SINGLE source of the planted
+    construction — the DuckDB oracle comprehension
+    ``[e[i] + 0.1 * e[(i % 64) + 1] for i in range(1, 65)]`` must stay
+    bit-identical to this expression; keep them in lockstep."""
+    return df.select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.transform(
+            vec_col,
+            lambda x, i: x
+            + factor
+            * F.element_at(F.col(vec_col), ((i + 1) % dim + 1).cast("int")),
+        ).alias(vec_col),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the compressed-corpus regime
 # ---------------------------------------------------------------------------
 
@@ -812,33 +841,59 @@ def knn_cosine_pq(
     lut_arr = np.stack([luts[q] for q in qids])  # (Q, m, ksub)
     qn_arr = np.array([qnorm[q] for q in qids])
 
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
-    @pandas_udf("array<double>")
-    def adc_scores(codes: pd.Series) -> pd.Series:
-        Cd = np.stack(codes.to_numpy())  # (n, m)
-        n = len(Cd)
-        sub = np.arange(m)
-        # gather: dots[q, i] = sum_s lut[q, s, codes[i, s]]
-        dots = lut_arr[:, sub, Cd].sum(axis=2)  # (Q, n)
-        cn = np.sqrt(c_sq[sub, Cd].sum(axis=1))  # (n,) reconstructed norms
-        cos = dots / (qn_arr[:, None] * np.maximum(cn, 1e-12)[None, :])
-        return pd.Series(list(cos.T))  # row i -> per-query scores
-    scored = coded.select(
-        "vec_id", adc_scores(F.col("codes")).alias("s")
-    ).select(
-        "vec_id",
-        F.posexplode("s").alias("qi", "adc"),
-    ).select(
-        F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("qi") + 1).alias(
-            "query_id"
-        ),
-        "vec_id",
-        "adc",
-    ).filter(F.col("query_id") != F.col("vec_id"))
+    top_r = rerank or k
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc", DoubleType()),
+        ]
+    )
+    qid_arr = np.array(qids, dtype="int64")
+    sub = np.arange(m)
+
+    def adc_topk(batches):
+        # Per-Arrow-batch ADC + top-R fold: only Q x R rows leave each
+        # batch — the full Q x n score matrix never materializes outside
+        # the kernel and never shuffles (the narrow-map claim in the
+        # docstring, made true by construction). Tie-break (adc desc,
+        # vec_id asc) matches the final window's ordering exactly.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            vids = pdf["vec_id"].to_numpy()
+            dots = lut_arr[:, sub, Cd].sum(axis=2)  # (Q, n)
+            cn = np.sqrt(c_sq[sub, Cd].sum(axis=1))  # (n,)
+            cos = dots / (qn_arr[:, None] * np.maximum(cn, 1e-12)[None, :])
+            frames = []
+            for qi in range(len(qid_arr)):
+                mask = vids != qid_arr[qi]
+                idx = np.nonzero(mask)[0]
+                order = np.lexsort((vids[idx], -cos[qi, idx]))[:top_r]
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_arr[qi],
+                            "vec_id": vids[sel],
+                            "adc": cos[qi, sel],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    pre = coded.select("vec_id", "codes").mapInPandas(adc_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
-    cand = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= (rerank or k)
+    cand = pre.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= top_r
     )
     if rerank is None:
         return cand.select(

@@ -176,6 +176,7 @@ def run_streaming_dedup_against_store(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    n_buckets: int = 16,
 ):
     """Continuous near-dup detection against a persisted corpus: each
     micro-batch (1) probes the bucketed signature store for its near-dup
@@ -189,11 +190,23 @@ def run_streaming_dedup_against_store(
     ``foreachBatch`` rather than a stream-stream join BECAUSE the corpus
     side is a mutable external index, not a stream: stream-stream joins
     buffer both sides in the state store, which is exactly the
-    unbounded-state shape this design avoids. Exactly-once: the pair
-    sink appends with ``batch_id``, so replays after a crash overwrite
-    deterministically identifiable rows (dedup on read by batch_id if
-    the sink must be idempotent; a MERGE-capable table makes it exact).
-    Returns the StreamingQuery (caller awaits/stops)."""
+    unbounded-state shape this design avoids.
+
+    Replay semantics (foreachBatch is at-least-once): the pair sink is
+    idempotent — each batch OVERWRITES its own ``batch_id=N`` partition
+    directory, so a replay rewrites identical rows instead of appending
+    duplicates. The store fold is guarded by a per-batch marker dir
+    (``<store>/_folded/batch_N``) written AFTER the append: a replay
+    that sees the marker skips the fold, so the batch's signatures enter
+    the store once. Residual window: a crash between the append and the
+    marker write replays the append, duplicating that batch's rows in
+    the store (same class as parquet_upsert's documented non-atomicity)
+    — a :func:`scipi_spark.operators.dedup.write_signature_store`
+    compaction repairs it; a MERGE-capable table format makes the fold
+    exact. The batch's shingle/minhash/band state is computed ONCE
+    (:func:`~scipi_spark.operators.dedup.batch_lsh_state`) and shared by
+    the probe and the append. Returns the StreamingQuery (caller
+    awaits/stops)."""
     from scipi_spark.operators import dedup as dedup_ops
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -201,6 +214,9 @@ def run_streaming_dedup_against_store(
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # probe + append reuse
+        state = dedup_ops.batch_lsh_state(
+            batch_df, id_col, text_col, k, num_perm, bands
+        )
         pairs = dedup_ops.minhash_lsh_increment_from_store(
             spark,
             store_path,
@@ -212,22 +228,26 @@ def run_streaming_dedup_against_store(
             num_perm=num_perm,
             bands=bands,
             threshold=threshold,
+            batch_state=state,
         )
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_path)
+        pairs.write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch_id={batch_id}"
         )
-        dedup_ops.append_signature_store(
-            batch_df,
-            store_path,
-            table=table,
-            id_col=id_col,
-            text_col=text_col,
-            k=k,
-            num_perm=num_perm,
-            bands=bands,
-        )
+        marker = os.path.join(store_path, "_folded", f"batch_{batch_id}")
+        if not os.path.exists(marker):
+            dedup_ops.append_signature_store(
+                batch_df,
+                store_path,
+                table=table,
+                id_col=id_col,
+                text_col=text_col,
+                k=k,
+                num_perm=num_perm,
+                bands=bands,
+                n_buckets=n_buckets,
+                batch_state=state,
+            )
+            os.makedirs(marker, exist_ok=True)
 
     return (
         stream.writeStream.outputMode("append")

@@ -120,20 +120,12 @@ def test_semantic_dedup_drops_planted_copies(spark):
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    d = 64
     ed = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    pert = ed.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "e",
-            lambda x, i: x
-            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
-        ).alias("e"),
-    )
     out = sim.semantic_dedup(
-        ed.unionByName(pert), threshold=0.95, n_centroids=8, nprobe=2, vec_col="e"
+        ed.unionByName(sim.perturbed_copies(ed)),
+        threshold=0.95, n_centroids=8, nprobe=2, vec_col="e"
     )
     rows = {r["vec_id"]: r["kept"] for r in out.collect()}
     originals = {k for k in rows if k < 1_000_000}
@@ -201,19 +193,10 @@ def test_knn_pq_finds_planted_neighbors(spark):
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    d = 64
     ed = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    pert = ed.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "e",
-            lambda x, i: x
-            + 0.1 * F.element_at(F.col("e"), ((i + 1) % d + 1).cast("int")),
-        ).alias("e"),
-    )
-    both = ed.unionByName(pert)
+    both = ed.unionByName(sim.perturbed_copies(ed))
     qids = [r["vec_id"] for r in ed.select("vec_id").orderBy("vec_id").limit(5).collect()]
     pq = sim.knn_cosine_pq(both, qids, k=1, m=8, ksub=16, rerank=10, vec_col="e")
     top1 = {r["query_id"]: r["vec_id"] for r in pq.collect()}
