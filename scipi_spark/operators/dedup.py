@@ -675,6 +675,57 @@ def append_signature_store(
     )
 
 
+def compact_signature_store(
+    spark,
+    path: str,
+    table: str = "minhash_store_bands",
+    num_perm: int = 64,
+    bands: int = 16,
+    n_buckets: int = 16,
+) -> None:
+    """Rebuild the signature store from its own postings with duplicate
+    rows dropped — the repair for a crash-replayed append or a
+    re-ingested doc_id (see :func:`append_signature_store`): postings
+    are the authoritative state (sizes and band rows are pure functions
+    of them), so one ``distinct()`` over (doc, sh) and a rewrite of the
+    three derived artifacts restores exact probe semantics. The original
+    text is never touched — compaction cost is proportional to the
+    store's hashed postings, not the corpus.
+
+    The deduped postings are materialized (localCheckpoint) BEFORE the
+    overwrite so the write never reads the files it replaces. Fold
+    markers under ``<path>/_folded`` stay valid: compaction preserves
+    which batches are incorporated, it only removes row-level
+    duplication."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    coeffs, p = _minhash_coeffs(num_perm)
+    base = path.rstrip("/")
+    postings = (
+        spark.read.parquet(base + "/postings")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    postings.write.mode("overwrite").parquet(base + "/postings")
+    sizes = postings.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    sizes.write.mode("overwrite").parquet(base + "/sizes")
+    sigs = _signatures_from_postings(
+        postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
+    )
+    (
+        _band_rows(sigs, bands, r)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .option("path", base + "/bands")
+        .saveAsTable(table)
+    )
+
+
 def minhash_lsh_increment_from_store(
     spark,
     path: str,

@@ -532,3 +532,63 @@ def test_c4_gopher_filter_rules(spark):
     assert not got[3]["keep"] and got[3]["has_brace"]
     assert not got[4]["keep"] and got[4]["has_bad_phrase"]
     assert not got[5]["keep"] and got[5]["symbol_ratio"] > 0.1
+
+
+def test_compact_signature_store_repairs_duplicate_append(spark, tmp_path):
+    """A replayed append (same batch folded twice) inflates Jaccard for
+    later probes that don't contain the duplicated ids; compaction
+    restores probe results to exactly those of a cleanly-built store."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(25)
+        .localCheckpoint(eager=True)
+    )
+    corpus = docs.limit(20)
+    batch = docs.limit(5).select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    probe = docs.limit(5).select((F.col("doc_id") + 20_000).alias("doc_id"), "text")
+
+    broken = str(tmp_path / "broken")
+    clean = str(tmp_path / "clean")
+    dedup.write_signature_store(corpus, broken, table="t_cmp_broken")
+    dedup.write_signature_store(corpus, clean, table="t_cmp_clean")
+    try:
+        # crash-replay: the SAME batch appended twice into one store,
+        # appended once into the reference store
+        dedup.append_signature_store(batch, broken, table="t_cmp_broken")
+        dedup.append_signature_store(batch, broken, table="t_cmp_broken")
+        dedup.append_signature_store(batch, clean, table="t_cmp_clean")
+
+        want = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.minhash_lsh_increment_from_store(
+                spark, clean, probe, table="t_cmp_clean", threshold=0.5
+            ).collect()
+        }
+        # the probe pairs against the doubled batch docs: for exact
+        # copies the doubled intersection drives the union denominator to
+        # zero, so the hazard manifests as inflated scores OR an ANSI
+        # divide-by-zero — either way, wrong
+        try:
+            got_broken = {
+                (r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in dedup.minhash_lsh_increment_from_store(
+                    spark, broken, probe, table="t_cmp_broken", threshold=0.5
+                ).collect()
+            }
+            assert got_broken != want
+        except Exception:
+            pass  # DIVIDE_BY_ZERO from the doubled store
+
+        dedup.compact_signature_store(spark, broken, table="t_cmp_broken")
+        got_fixed = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.minhash_lsh_increment_from_store(
+                spark, broken, probe, table="t_cmp_broken", threshold=0.5
+            ).collect()
+        }
+        assert got_fixed == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cmp_broken")
+        spark.sql("DROP TABLE IF EXISTS t_cmp_clean")
