@@ -137,3 +137,27 @@ def test_train_shards_single_agg_exchange(spark):
     # one partial/final hash-agg pair around exactly one exchange on shard
     assert _count(plan, r"\(\d+\) Exchange\b") == 1
     assert _count(plan, r"\(\d+\) HashAggregate") == 2
+
+
+def test_pq_adc_scan_is_narrow_until_final_topk(spark):
+    """knn_cosine_pq's candidate generation must stay a narrow map over
+    the coded corpus: the only Exchange in the whole plan is the final
+    per-query top-k window over the per-batch-folded Q x R candidate
+    rows — the Q x N score relation itself never shuffles."""
+    from scipi_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(2).collect()]
+    out = sim.knn_cosine_pq(emb, qids, k=3, rerank=None)
+    plan = _plan(out)
+    # ops are numbered bottom-up: Exchanges numbered BELOW the MapInPandas
+    # kernel belong to _spread's one-time cached corpus repartition, not
+    # the scoring path. Downstream of the kernel there must be exactly
+    # one Exchange — the final per-query top-k window.
+    ops = re.findall(r"\((\d+)\) (\w+)", plan)
+    kernel = min(int(n) for n, op in ops if op == "MapInPandas")
+    downstream_exchanges = [
+        n for n, op in ops if op == "Exchange" and int(n) > kernel
+    ]
+    assert len(downstream_exchanges) == 1
+    assert _count(plan, r"\(\d+\) Window\b") == 1
