@@ -137,3 +137,40 @@ def shard_assignment(
     Column expression fused into the scan; the writer adds one
     ``repartition(n_shards, shard)`` exchange on top."""
     return df.withColumn("shard", hash_bucket(key, n_shards))
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    group_col: str | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets the key ``ln(u) / w`` with ``u`` a
+    stable uniform derived from the md5 of ``key`` — the top-``n`` rows
+    by that key (per ``group_col`` if given) are a weighted sample, and
+    the SAME rows win on every run, partitioning, and engine. The
+    weighted analog of :func:`deterministic_sample`: up-weight curated
+    documents inside a fixed-size budget, reproducibly.
+
+    One window shuffle on the group column (or one global top-n when
+    ungrouped). Cross-engine caveat: ordering parity relies on ``ln``
+    agreeing between engines, which holds beyond 1-ulp ties — the same
+    contract the bigram cross-entropy oracle already uses."""
+    from pyspark.sql import Window
+
+    c = F.col(key).cast("string")
+    h = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    # u in (0, 1]: (h + 1) / 2^32 over the full 8-hex-char range
+    u = (h + F.lit(1).cast("double")) / F.lit(float(2**32))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(F.desc("_es"), F.col(key))
+    return (
+        df.withColumn("_es", es_key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_es", "_rn")
+    )

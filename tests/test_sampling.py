@@ -133,3 +133,52 @@ def test_shard_assignment_stable_and_matches_writer(spark, tmp_path):
         for r in spark.read.parquet(path).select("doc_id", "shard").collect()
     }
     assert written == one
+
+
+def test_weighted_sample_matches_duckdb_and_is_stable(spark):
+    """A-ES weighted sample: identical rows across partitionings, and the
+    exact same winners as the identical formula computed in DuckDB."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = sampling.weighted_sample(
+        docs, n=10, weight_col="n_chars", group_col="source"
+    ).select("doc_id", "source")
+    got = sorted(map(tuple, out.collect()))
+    got_repart = sorted(
+        map(
+            tuple,
+            sampling.weighted_sample(
+                docs.repartition(16), n=10, weight_col="n_chars", group_col="source"
+            ).select("doc_id", "source").collect(),
+        )
+    )
+    assert got == got_repart
+    want = duckdb.sql(f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 1.0) / 4294967296.0)
+                            / CAST(n_chars AS DOUBLE) DESC,
+                            doc_id
+                 ) AS rn
+          FROM read_parquet('{sf}/documents.parquet'))
+        WHERE rn <= 10
+    """).fetchall()
+    assert got == sorted(map(tuple, want))
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With one group and extreme weights, heavy rows dominate the
+    sample far beyond their count share."""
+    rows = [(i, "g", 1000.0 if i < 20 else 0.001) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    kept = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, n=15, weight_col="w").collect()
+    }
+    assert len(kept) == 15
+    assert len([k for k in kept if k < 20]) >= 12  # heavy ids win
