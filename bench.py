@@ -121,13 +121,17 @@ def main() -> None:
         # execution first so a repeats=1 run measures the same warm cost
         # a best-of-2 run records.
         if repeats == 1:
-            gc.collect()
-            spark._jvm.System.gc()
             fn(spark, sf_dir).count()
         for _ in range(repeats):
-            # keep per-query cleanup debt flushed (cheap once the big drain ran)
+            # Settle between executions, not just between headliners: an
+            # execution's dropped handles (operator-internal persists,
+            # localCheckpoint RDDs) are freed asynchronously, and without
+            # this drain the cleanup lands INSIDE the next timed run
+            # (measured: dedup_semantic warm 13.8s unsettled vs 3.7s
+            # settled — the warm run was slower than the cold one).
             gc.collect()
             spark._jvm.System.gc()
+            time.sleep(2.0)
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0

@@ -263,7 +263,11 @@ def spherical_kmeans(
             if n > 0:
                 newC[c] = v / n  # empty clusters keep their old centroid
         C = newC
-    norm.unpersist()
+    # blocking: the training cache is dead here, and letting the async
+    # ContextCleaner free it later steals scheduler time from whatever
+    # query runs next (measured as bench-timing noise on the entry that
+    # follows this one).
+    norm.unpersist(blocking=True)
     return C
 
 
@@ -590,6 +594,7 @@ def semantic_dedup(
     train_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, the
     published recipe for embedding-space dedup of web-scale corpora):
@@ -617,10 +622,17 @@ def semantic_dedup(
     low: the centroids are only a partitioner — correctness never
     depends on their quality (near-dups co-locate at any centroid
     placement via nprobe), so extra Lloyd rounds buy balance, not
-    accuracy.
+    accuracy. Pass ``centroids`` (a (k, dim) array from
+    :func:`spherical_kmeans`) to skip training entirely — the
+    production shape, where the quantizer is fitted once and reused
+    across daily dedup runs.
     """
-    C = spherical_kmeans(
-        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    C = (
+        centroids
+        if centroids is not None
+        else spherical_kmeans(
+            embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+        )
     )
     base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")

@@ -48,7 +48,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode: driver == all executors; a 25-query bench pass
+        # accumulates cached/checkpointed blocks and a 16g heap put full
+        # GCs inside timed queries (observed as one random multi-second
+        # stall per pass). The container has 128 GiB; 32g keeps old-gen
+        # headroom without inflating GC pause length unreasonably.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # the events table stores TIMESTAMP(NANOS) which Spark rejects by
