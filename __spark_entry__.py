@@ -382,6 +382,14 @@ def _q_quantize_embeddings(spark, sf_dir):
     return similarity.quantize_embeddings_stats(emb)
 
 
+# Entries registered AFTER the driver's 50-entry correctness window
+# filled for the current round. They sit immediately after position 50
+# (so the guard test can verify nothing else hides beyond the window)
+# and MUST rotate to the front of queries() at the start of the next
+# round, where the driver will evaluate them.
+PENDING_NEXT_WINDOW = {"source_mixture", "text_boilerplate"}
+
+
 # Deterministically-trained k-means quantizers, keyed by (purpose,
 # sf_dir, k, iters). numpy arrays on the driver (k x dim doubles), so
 # unlike the DataFrame caches they survive clearCache() for free.
@@ -1000,6 +1008,72 @@ def _q_token_budget_cap(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens")
 
 
+# Mixture constants shared by the Spark entry and its oracle string so
+# the two can never drift: 5 weighted sources (the other 15 get rate 0),
+# budget sized so small SFs cap some sources at full admission while
+# larger SFs downsample all of them — both regimes exercised.
+MIX_WEIGHTS = {
+    "src0": 0.30,
+    "src1": 0.25,
+    "src2": 0.20,
+    "src3": 0.15,
+    "src4": 0.10,
+}
+MIX_BUDGET = 40_000
+
+
+def _mix_target_case(col: str) -> str:
+    """The oracle-side twin of source_mixture_plan's target expression,
+    generated from the SAME constants so Spark and SQL cannot drift."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(MIX_BUDGET * w)}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+def _q_source_mixture(spark, sf_dir):
+    """Budgeted source-mixture admission (the domain-reweighting step of
+    published training-data pipelines): per-source available tokens vs
+    the mixture's target (integer arithmetic throughout), the basis-point
+    hash-admission rate that delivers it, and what was actually admitted.
+    The corpus is never shuffled — the plan is a |sources|-row broadcast
+    and admission is a scan-fused predicate."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = sampling.source_mixture_plan(
+        docs, MIX_WEIGHTS, MIX_BUDGET, tokens_col="n_chars"
+    )
+    admitted = (
+        sampling.source_mixture_cap(
+            docs, MIX_WEIGHTS, MIX_BUDGET, tokens_col="n_chars"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("admitted_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("admitted_tokens"),
+        )
+    )
+    return plan.join(admitted, "source", "left").select(
+        "source",
+        "available_tokens",
+        "target_tokens",
+        F.col("rate_bps").cast("long").alias("rate_bps"),
+        F.coalesce("admitted_docs", F.lit(0)).cast("long").alias("admitted_docs"),
+        F.coalesce("admitted_tokens", F.lit(0)).cast("long").alias("admitted_tokens"),
+    )
+
+
+def _q_text_boilerplate(spark, sf_dir):
+    """CCNet-style cross-document boilerplate removal: segments present
+    in >= 3 distinct documents are dropped everywhere and each doc's
+    text is reassembled from the survivors in order. One explode, one
+    distinct-doc count per segment, one join back, one per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.remove_boilerplate(docs, min_docs=3, words=8)
+
+
 def _q_text_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (keyword extraction / scored
     inverted-index postings): explode -> (doc,term) agg -> broadcast
@@ -1343,6 +1417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity": _q_text_perplexity,
         "train_shards": _q_train_shards,
         "dedup_store_increment": _q_dedup_store_increment,
+        # -- positions 51+ first block: NEW entries added after the
+        # 50-entry window filled this round (see PENDING_NEXT_WINDOW —
+        # they rotate to the front of the dict next round; the guard
+        # test pins both the set and the position).
+        "source_mixture": _q_source_mixture,
+        "text_boilerplate": _q_text_boilerplate,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -2956,6 +3036,82 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM t)
             WHERE cum <= 1000
+        """,
+        # integer-exact mixture plan (targets precomputed from
+        # MIX_WEIGHTS x MIX_BUDGET in Python — same ints both engines;
+        # truncating integer division // == Spark DIV on non-negatives)
+        # + the same md5-bucket admission as dataset_split
+        "source_mixture": f"""
+            WITH plan AS (
+              SELECT source,
+                     CAST(SUM(n_chars) AS BIGINT) AS available_tokens,
+                     CAST({_mix_target_case("source")} AS BIGINT)
+                       AS target_tokens
+              FROM documents GROUP BY source
+            ), plan2 AS (
+              SELECT *,
+                     LEAST(10000, (target_tokens * 10000) // available_tokens)
+                       AS rate_bps
+              FROM plan
+            ), adm AS (
+              SELECT d.source,
+                     CAST(count(*) AS BIGINT) AS admitted_docs,
+                     CAST(SUM(d.n_chars) AS BIGINT) AS admitted_tokens
+              FROM documents d JOIN plan2 p USING (source)
+              WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10000 < p.rate_bps
+              GROUP BY 1
+            )
+            SELECT p.source, p.available_tokens, p.target_tokens,
+                   CAST(p.rate_bps AS BIGINT) AS rate_bps,
+                   CAST(COALESCE(a.admitted_docs, 0) AS BIGINT)
+                     AS admitted_docs,
+                   CAST(COALESCE(a.admitted_tokens, 0) AS BIGINT)
+                     AS admitted_tokens
+            FROM plan2 p LEFT JOIN adm a USING (source)
+        """,
+        # same fixed-8-word segmenter as dedup_paragraph; boilerplate =
+        # segment in >= 3 distinct docs, removed everywhere; text
+        # reassembled in idx order (string_agg skips the NULLed-out
+        # boilerplate rows)
+        "text_boilerplate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), idxd AS (
+              SELECT doc_id, t,
+                     unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)))
+                       AS idx
+              FROM toks WHERE len(t) > 0
+            ), seg AS (
+              SELECT doc_id, idx,
+                     array_to_string(t[(idx * 8 + 1):(idx * 8 + 8)], ' ')
+                       AS chunk
+              FROM idxd
+            ), freq AS (
+              SELECT chunk FROM seg
+              GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3
+            ), kept AS (
+              SELECT s.doc_id, s.idx, s.chunk,
+                     (f.chunk IS NOT NULL) AS is_b
+              FROM seg s LEFT JOIN freq f USING (chunk)
+            ), per_doc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_segments,
+                     CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                     COALESCE(string_agg(
+                       CASE WHEN NOT is_b THEN chunk END, ' '
+                       ORDER BY idx), '') AS text_clean
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+                   CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
+                   COALESCE(p.text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         # tf * ln(N/df) over exact integer counts; rank on the rounded
         # score with term-asc ties in both engines

@@ -139,6 +139,81 @@ def shard_assignment(
     return df.withColumn("shard", hash_bucket(key, n_shards))
 
 
+def source_mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    tokens_col: str = "n_tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Compute the admission plan for a budgeted source mixture — the
+    domain-reweighting step of published training-data pipelines (a
+    target mixture like {web: 0.6, code: 0.2, books: 0.2} over a total
+    token budget): per source, how many tokens are available, how many
+    the mixture wants (``floor(budget * weight)``), and the admission
+    rate in basis points of the hash-bucket space that delivers it.
+
+    A source with fewer tokens than its target admits everything
+    (rate = N_BUCKETS); the mixture is then under-filled rather than
+    silently rebalanced — the caller sees the shortfall in the plan and
+    decides (published pipelines re-normalize across epochs, not within
+    one pass). All arithmetic is integer (truncating division), so the
+    plan replicates bit-exactly in any engine.
+
+    One tiny aggregation (|sources| rows); the plan broadcasts into
+    :func:`source_mixture_cap`'s filter, so the corpus itself is never
+    shuffled — the admission decision is a scan-fused predicate."""
+    avail = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("available_tokens")
+    )
+    target = None
+    for s, w in sorted(weights.items()):
+        t = int(budget * w)
+        target = (
+            F.when(F.col(group_col) == s, F.lit(t))
+            if target is None
+            else target.when(F.col(group_col) == s, F.lit(t))
+        )
+    target = target.otherwise(F.lit(0)) if target is not None else F.lit(0)
+    return avail.select(
+        group_col,
+        "available_tokens",
+        target.cast("long").alias("target_tokens"),
+    ).withColumn(
+        "rate_bps",
+        F.least(
+            F.lit(N_BUCKETS).cast("long"),
+            F.expr(f"(target_tokens * {N_BUCKETS}) DIV available_tokens"),
+        ),
+    )
+
+
+def source_mixture_cap(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    tokens_col: str = "n_tokens",
+    group_col: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`source_mixture_plan`: keep each source's stable
+    hash-bucket fraction so the admitted corpus approximates the target
+    mixture under the token budget. The kept set is reproducible (same
+    documents on every run, partitioning, and engine) and unbiased per
+    source (hash order, not head-of-file order).
+
+    The plan side is |sources| rows — broadcast by size — so the only
+    work on the corpus is one scan with a fused comparison; no shuffle,
+    no window. Rate quantization note: admission is per-document by
+    bucket, so realized tokens track ``rate * available`` with
+    O(1/N_BUCKETS) relative granularity plus per-document variance —
+    the same tolerance every bucket-sampling step of a pipeline has."""
+    plan = source_mixture_plan(df, weights, budget, tokens_col, group_col)
+    return df.join(
+        F.broadcast(plan.select(group_col, "rate_bps")), group_col
+    ).filter(hash_bucket(key) < F.col("rate_bps")).drop("rate_bps")
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,

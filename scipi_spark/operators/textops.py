@@ -273,6 +273,87 @@ def chunk_documents(
     )
 
 
+def remove_boilerplate(
+    df: DataFrame,
+    min_docs: int = 3,
+    words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/web-cleaning step
+    that strips navigation bars, cookie banners, license footers):
+    a segment that appears in ``min_docs`` or more DISTINCT documents is
+    boilerplate; every occurrence is dropped and the document's text is
+    reassembled from the surviving segments in order.
+
+    Differs from :func:`scipi_spark.operators.dedup.paragraph_dedup_stats`
+    in both rule and output: there, later OCCURRENCES of a segment are
+    flagged (first stays); here, segments frequent across the corpus are
+    removed EVERYWHERE (including their first occurrence), and the
+    cleaned text comes back, not just counts.
+
+    The segmenter is the same fixed-``words`` non-overlapping token
+    chunk as paragraph dedup (the test corpus has no newlines; real
+    deployments swap in blank-line splitting — plan shape identical).
+
+    Scale shape: one explode, one (chunk -> distinct-doc-count)
+    aggregation (map-side partial, so shuffle traffic is bounded by
+    distinct chunks per partition), one join back on the chunk, and one
+    per-doc rollup. The frequent-chunk set after the ``>= min_docs``
+    filter is the heavy tail of the chunk distribution — orders of
+    magnitude smaller than the corpus — and AQE broadcasts it at
+    runtime; the explicit plan keeps the big explode on the probe side
+    either way. Docs whose every segment is boilerplate return with
+    empty ``text_clean``; empty docs return zero counts."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(words)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * words + 1, words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("idx", "chunk")
+    )
+    boiler = (
+        seg.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk")
+    )
+    kept = seg.join(boiler.withColumn("_b", F.lit(True)), "chunk", "left")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("_b").isNotNull().cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_b").isNull(),
+                            F.struct(F.col("idx"), F.col("chunk")),
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

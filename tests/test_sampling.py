@@ -182,3 +182,40 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     }
     assert len(kept) == 15
     assert len([k for k in kept if k < 20]) >= 12  # heavy ids win
+
+
+def test_source_mixture_plan_and_cap(spark):
+    """Budgeted mixture: a source with fewer tokens than its target is
+    fully admitted (rate = N_BUCKETS); a downsampled source's admitted
+    tokens track its target within bucket-quantization + per-doc slack;
+    unweighted sources admit nothing."""
+    rows = [
+        (i, "small" if i < 50 else ("big" if i < 1050 else "other"), 10)
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    weights = {"small": 0.5, "big": 0.5}
+    budget = 2_000  # small: target 1000 > avail 500 -> full; big: 1000 of 10000
+    plan = {r["source"]: r for r in
+            sampling.source_mixture_plan(df, weights, budget).collect()}
+    assert plan["small"]["rate_bps"] == sampling.N_BUCKETS
+    assert plan["big"]["rate_bps"] == 1000  # (1000*10000) DIV 10000
+    admitted = sampling.source_mixture_cap(df, weights, budget).collect()
+    by_src = {}
+    for r in admitted:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert "other" not in by_src
+    assert len(by_src["small"]) == 50  # fully admitted
+    big_tokens = len(by_src["big"]) * 10
+    assert 500 <= big_tokens <= 1500  # ~target 1000, bucket variance
+
+
+def test_source_mixture_stable_under_partitioning(spark):
+    rows = [(i, f"s{i % 3}", i % 11 + 1) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    w = {"s0": 0.4, "s1": 0.4, "s2": 0.2}
+    one = sorted(map(tuple, sampling.source_mixture_cap(
+        df.coalesce(1), w, 1_000).collect()))
+    many = sorted(map(tuple, sampling.source_mixture_cap(
+        df.repartition(16), w, 1_000).collect()))
+    assert one == many

@@ -592,3 +592,54 @@ def test_compact_signature_store_repairs_duplicate_append(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cmp_broken")
         spark.sql("DROP TABLE IF EXISTS t_cmp_clean")
+
+
+def test_remove_boilerplate(spark):
+    from scipi_spark.operators import textops
+
+    boiler = "nav home about contact legal cookie accept privacy"  # 8 words
+    rows = [
+        (1, boiler + " alpha beta gamma delta one two three four"),
+        (2, boiler + " epsilon zeta eta theta five six seven eight"),
+        (3, boiler),                         # doc that is ALL boilerplate
+        (4, "iota kappa lambda mu nine ten eleven twelve"),  # unique only
+        (5, ""),                             # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           textops.remove_boilerplate(df, min_docs=3, words=8).collect()}
+    assert len(got) == 5                     # every doc comes back
+    # boilerplate removed EVERYWHERE, incl. its first occurrence
+    assert got[1]["n_removed"] == 1
+    assert got[1]["text_clean"] == "alpha beta gamma delta one two three four"
+    assert got[2]["n_removed"] == 1
+    assert got[2]["text_clean"] == "epsilon zeta eta theta five six seven eight"
+    assert got[3] == {"doc_id": 3, "n_segments": 1, "n_removed": 1,
+                      "text_clean": ""}
+    # a segment in only ONE doc stays
+    assert got[4]["n_removed"] == 0
+    assert got[4]["text_clean"] == rows[3][1]
+    assert got[5] == {"doc_id": 5, "n_segments": 0, "n_removed": 0,
+                      "text_clean": ""}
+
+
+def test_remove_boilerplate_reassembles_in_order(spark):
+    from scipi_spark.operators import textops
+
+    # 3 segments; the MIDDLE one is boilerplate across 3 docs — the
+    # cleaned text must keep segments 0 and 2 in original order
+    common = "c1 c2 c3 c4 c5 c6 c7 c8"
+    texts = {
+        i: f"a{i}1 a{i}2 a{i}3 a{i}4 a{i}5 a{i}6 a{i}7 a{i}8 "
+           + common
+           + f" z{i}1 z{i}2 z{i}3 z{i}4 z{i}5 z{i}6 z{i}7 z{i}8"
+        for i in range(3)
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textops.remove_boilerplate(df, min_docs=3, words=8).collect()}
+    for i in range(3):
+        head, _, tail = texts[i].partition(" " + common + " ")
+        assert got[i]["text_clean"] == head + " " + tail
+        assert got[i]["n_removed"] == 1
+        assert got[i]["n_segments"] == 3
