@@ -387,7 +387,11 @@ def _q_quantize_embeddings(spark, sf_dir):
 # (so the guard test can verify nothing else hides beyond the window)
 # and MUST rotate to the front of queries() at the start of the next
 # round, where the driver will evaluate them.
-PENDING_NEXT_WINDOW = {"source_mixture", "text_boilerplate"}
+PENDING_NEXT_WINDOW = {
+    "source_mixture",
+    "text_boilerplate",
+    "text_quality_classifier",
+}
 
 
 # Deterministically-trained k-means quantizers, keyed by (purpose,
@@ -1074,6 +1078,26 @@ def _q_text_boilerplate(spark, sf_dir):
     return textops.remove_boilerplate(docs, min_docs=3, words=8)
 
 
+# "Curated" sources for the classifier entry: deterministic pseudo-labels
+# (the real pipeline labels curated-vs-crawl; the test corpus has no
+# curation flag, so membership in these sources stands in for it).
+NB_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _q_text_quality_classifier(spark, sf_dir):
+    """Classifier-based quality filtering (the curated-vs-crawl filter of
+    published corpus pipelines): multinomial Naive Bayes trained on the
+    even-doc_id half (positive = curated-source membership), scoring the
+    odd-doc_id half with per-doc log-odds. Integer-exact counts; ln terms
+    under the round-6 parity contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_pos", F.col("source").isin(*NB_POS_SOURCES)
+    )
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return textops.nb_quality_scores(train, score)
+
+
 def _q_text_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (keyword extraction / scored
     inverted-index postings): explode -> (doc,term) agg -> broadcast
@@ -1423,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test pins both the set and the position).
         "source_mixture": _q_source_mixture,
         "text_boilerplate": _q_text_boilerplate,
+        "text_quality_classifier": _q_text_quality_classifier,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -3112,6 +3137,63 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                    CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
                    COALESCE(p.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # multinomial NB: integer class/term counts, ln-parity log-odds
+        # at round-6; train = even doc_ids, score = odd; positive =
+        # curated-source membership (NB_POS_SOURCES)
+        "text_quality_classifier": f"""
+            WITH train AS (
+              SELECT doc_id, text,
+                     source IN {NB_POS_SOURCES!r} AS pos
+              FROM documents WHERE doc_id % 2 = 0
+            ), tr_toks AS (
+              SELECT pos,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS w
+              FROM train
+            ), counts AS (
+              SELECT w,
+                     SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                     SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+              FROM tr_toks GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(cp) AS DOUBLE) AS tp,
+                     CAST(SUM(cn) AS DOUBLE) AS tn,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+              FROM counts
+            ), prior AS (
+              SELECT ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                        / SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS prior
+              FROM train
+            ), sc AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            ), sc_toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS w
+              FROM sc
+            ), term_lr AS (
+              SELECT s.doc_id,
+                     ln((COALESCE(c.cp, 0) + 1.0)
+                        / (COALESCE(c.cn, 0) + 1.0)) AS lt
+              FROM sc_toks s LEFT JOIN counts c USING (w)
+            ), per_doc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     SUM(lt) AS s
+              FROM term_lr GROUP BY 1
+            ), scored AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     round(pr.prior
+                           + COALESCE(p.n_tokens, 0)
+                             * ln((t.tn + t.v) / (t.tp + t.v))
+                           + COALESCE(p.s, 0.0), 6) AS log_odds
+              FROM sc d
+              LEFT JOIN per_doc p USING (doc_id)
+              CROSS JOIN tot t CROSS JOIN prior pr
+            )
+            SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS pred_pos
+            FROM scored
         """,
         # tf * ln(N/df) over exact integer counts; rank on the rounded
         # score with term-asc ties in both engines

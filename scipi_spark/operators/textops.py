@@ -633,6 +633,88 @@ def bigram_cross_entropy(
     )
 
 
+def nb_quality_scores(
+    train: DataFrame,
+    score: DataFrame,
+    pos_col: str = "is_pos",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classifier-based quality filtering (the curated-vs-crawl linear
+    classifier step of published LLM corpus pipelines, in its count-based
+    form): a multinomial Naive Bayes model with Laplace smoothing is
+    trained on ``train`` (boolean ``pos_col`` = curated/high-quality)
+    and every ``score`` document gets its log-odds of being positive.
+
+    log_odds(d) = ln(Np/Nn) + |d| * ln((Tn + V) / (Tp + V))
+                  + sum_t ln((c_pos(t) + 1) / (c_neg(t) + 1))
+
+    with c_*(t) the class token counts, T_* the class totals, V the
+    train vocabulary, Np/Nn the class document counts. Every count is an
+    exact integer; the only floats are ln terms summed per document —
+    the same empirically-held round-6 cross-engine parity contract the
+    bigram cross-entropy / tfidf / bm25 oracles use.
+
+    Scale shape: training is one explode + one (term -> class counts)
+    aggregation with map-side partials (shuffle bounded by distinct
+    terms per partition); the class totals / priors are 1-row broadcast
+    aggregates; scoring joins the score-side tokens to the count table
+    on the term key (AQE broadcasts it when small; at web scale the
+    term-keyed shuffle join IS the right plan) and rolls up per doc.
+    Nothing ever reaches the driver. Docs with zero tokens score the
+    prior alone."""
+    tr_toks = train.select(
+        F.col(pos_col).alias("pos"), F.explode(tokens(text_col)).alias("w")
+    )
+    counts = tr_toks.groupBy("w").agg(
+        F.sum(F.col("pos").cast("long")).alias("cp"),
+        F.sum((~F.col("pos")).cast("long")).alias("cn"),
+    )
+    # 1-row scalars: class token totals + vocabulary size + doc priors
+    tot = counts.agg(
+        F.sum("cp").cast("double").alias("tp"),
+        F.sum("cn").cast("double").alias("tn"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    prior = train.agg(
+        F.log(
+            F.sum(F.col(pos_col).cast("double"))
+            / F.sum((~F.col(pos_col)).cast("double"))
+        ).alias("prior")
+    )
+    sc_toks = score.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("w")
+    )
+    term_lr = sc_toks.join(counts, "w", "left").select(
+        "doc_id",
+        F.log(
+            (F.coalesce("cp", F.lit(0)) + F.lit(1.0))
+            / (F.coalesce("cn", F.lit(0)) + F.lit(1.0))
+        ).alias("lt"),
+    )
+    per_doc = term_lr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lt").alias("s")
+    )
+    out = (
+        score.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.col("prior")
+                + F.coalesce("n_tokens", F.lit(0))
+                * F.log((F.col("tn") + F.col("v")) / (F.col("tp") + F.col("v")))
+                + F.coalesce("s", F.lit(0.0)),
+                6,
+            ).alias("log_odds"),
+        )
+    )
+    return out.withColumn("pred_pos", F.col("log_odds") > 0)
+
+
 # ---------------------------------------------------------------------------
 # C4 / Gopher heuristic document gate
 # ---------------------------------------------------------------------------

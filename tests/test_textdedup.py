@@ -643,3 +643,35 @@ def test_remove_boilerplate_reassembles_in_order(spark):
         assert got[i]["text_clean"] == head + " " + tail
         assert got[i]["n_removed"] == 1
         assert got[i]["n_segments"] == 3
+
+
+def test_nb_quality_classifier_separates_and_scores_prior_only(spark):
+    import math
+
+    from scipi_spark.operators import textops
+
+    train_rows = [
+        (0, "good clean prose text", True),
+        (2, "good curated clean text", True),
+        (4, "spam junk click buy", False),
+        (6, "junk spam noise buy", False),
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, is_pos boolean"
+    )
+    score_rows = [
+        (1, "good clean text"),     # positive-looking
+        (3, "spam junk buy"),       # negative-looking
+        (5, ""),                    # empty -> prior only
+        (7, "zzz qqq"),             # fully unseen tokens
+    ]
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           textops.nb_quality_scores(train, score).collect()}
+    assert got[1]["log_odds"] > 0 and got[1]["pred_pos"]
+    assert got[3]["log_odds"] < 0 and not got[3]["pred_pos"]
+    # balanced classes: prior = ln(2/2) = 0 -> empty doc scores 0
+    assert got[5]["n_tokens"] == 0 and got[5]["log_odds"] == 0.0
+    # unseen tokens: per-token ln(1/1)=0, so only the length term
+    # n * ln((Tn+V)/(Tp+V)) remains (Tp=Tn=8, V=12 distinct train terms)
+    assert got[7]["log_odds"] == round(2 * math.log((8 + 12) / (8 + 12)), 6)
