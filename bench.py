@@ -43,6 +43,8 @@ HEADLINERS = [
     "emb_neardup_planted",
     "dedup_semantic",
     "text_c4_filter",
+    "text_boilerplate",
+    "text_quality_classifier",
     "a8_assoc_projection",
     "events_json_hourly",
     "window_top_orders",
@@ -113,16 +115,7 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
         time.sleep(2.0)
-        best, n = None, 0
-        # With a single repeat, the one timed execution would be fully
-        # cold (the clearCache above drops every operator-internal
-        # persist) — extraction-dominated, not the steady-state
-        # throughput this bench reports under best-of-N. Run one untimed
-        # execution first so a repeats=1 run measures the same warm cost
-        # a best-of-2 run records.
-        if repeats == 1:
-            fn(spark, sf_dir).count()
-        for _ in range(repeats):
+        def settle() -> None:
             # Settle between executions, not just between headliners: an
             # execution's dropped handles (operator-internal persists,
             # localCheckpoint RDDs) are freed asynchronously, and without
@@ -132,13 +125,46 @@ def main() -> None:
             gc.collect()
             spark._jvm.System.gc()
             time.sleep(2.0)
+
+        # One untimed execution first: the clearCache above dropped every
+        # operator-internal persist, so the first execution pays cold
+        # extraction — not the steady-state throughput this bench
+        # reports. The timed runs that follow all measure warm cost.
+        fn(spark, sf_dir).count()
+
+        # Steady-state cost = the MINIMUM over timed warm runs. This host
+        # is shared and external load bursts land on random queries
+        # (observed: the same entry at 2.3s and 17.6s across runs with
+        # identical plans); a single sample is a lottery draw. Always
+        # take >= 2 timed samples, and while the two fastest disagree by
+        # >50% (+0.5s floor for sub-second jitter) the distribution is
+        # stall-contaminated — take up to 2 extra samples so min()
+        # estimates the query's cost, not the host's mood.
+        times: list[float] = []
+        n = 0
+        for _ in range(max(repeats, 2)):
+            settle()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
+            times.append(time.perf_counter() - t0)
+        extra = 0
+        while extra < 2:
+            s = sorted(times)
+            if s[1] <= 1.5 * s[0] + 0.5:
+                break
+            settle()
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+            extra += 1
+        best = min(times)
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s ({n} rows; samples "
+            f"{[round(t, 2) for t in sorted(times)]})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
