@@ -1048,10 +1048,11 @@ def _q_source_mixture(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = sampling.source_mixture_plan(
         docs, MIX_WEIGHTS, MIX_BUDGET, tokens_col="n_chars"
-    )
+    ).localCheckpoint(eager=True)  # feeds the admission filter AND the
+    # report join — the availability agg must not run twice
     admitted = (
         sampling.source_mixture_cap(
-            docs, MIX_WEIGHTS, MIX_BUDGET, tokens_col="n_chars"
+            docs, MIX_WEIGHTS, MIX_BUDGET, tokens_col="n_chars", plan=plan
         )
         .groupBy("source")
         .agg(

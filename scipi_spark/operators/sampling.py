@@ -195,6 +195,7 @@ def source_mixture_cap(
     tokens_col: str = "n_tokens",
     group_col: str = "source",
     key: str = "doc_id",
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """Apply :func:`source_mixture_plan`: keep each source's stable
     hash-bucket fraction so the admitted corpus approximates the target
@@ -204,11 +205,15 @@ def source_mixture_cap(
 
     The plan side is |sources| rows — broadcast by size — so the only
     work on the corpus is one scan with a fused comparison; no shuffle,
-    no window. Rate quantization note: admission is per-document by
-    bucket, so realized tokens track ``rate * available`` with
-    O(1/N_BUCKETS) relative granularity plus per-document variance —
-    the same tolerance every bucket-sampling step of a pipeline has."""
-    plan = source_mixture_plan(df, weights, budget, tokens_col, group_col)
+    no window. Pass ``plan`` if :func:`source_mixture_plan` was already
+    computed (a caller reporting plan + admission would otherwise run
+    the availability aggregation twice). Rate quantization note:
+    admission is per-document by bucket, so realized tokens track
+    ``rate * available`` with O(1/N_BUCKETS) relative granularity plus
+    per-document variance — the same tolerance every bucket-sampling
+    step of a pipeline has."""
+    if plan is None:
+        plan = source_mixture_plan(df, weights, budget, tokens_col, group_col)
     return df.join(
         F.broadcast(plan.select(group_col, "rate_bps")), group_col
     ).filter(hash_bucket(key) < F.col("rate_bps")).drop("rate_bps")

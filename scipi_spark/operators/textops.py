@@ -669,7 +669,8 @@ def nb_quality_scores(
     counts = tr_toks.groupBy("w").agg(
         F.sum(F.col("pos").cast("long")).alias("cp"),
         F.sum((~F.col("pos")).cast("long")).alias("cn"),
-    )
+    ).localCheckpoint(eager=True)  # feeds the totals agg AND the scoring
+    # join — without a barrier the training explode executes twice
     # 1-row scalars: class token totals + vocabulary size + doc priors
     tot = counts.agg(
         F.sum("cp").cast("double").alias("tp"),

@@ -161,3 +161,37 @@ def test_pq_adc_scan_is_narrow_until_final_topk(spark):
     ]
     assert len(downstream_exchanges) == 1
     assert _count(plan, r"\(\d+\) Window\b") == 1
+
+
+def test_source_mixture_cap_no_corpus_shuffle(spark):
+    from scipi_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tokens")
+    )
+    plan_df = sampling.source_mixture_plan(docs, {"src0": 0.6, "src1": 0.4}, 10_000)
+    out = sampling.source_mixture_cap(
+        docs, {"src0": 0.6, "src1": 0.4}, 10_000, plan=plan_df
+    )
+    plan = _plan(out)
+    # the corpus side must reach the admission filter shuffle-free: the
+    # only exchanges belong to the tiny plan aggregation / its broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert _count(plan, r"\bSortMergeJoin\b") == 0
+
+
+def test_nb_classifier_trains_once(spark):
+    from scipi_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_pos", F.col("source").isin("src0", "src1")
+    )
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = _plan(textops.nb_quality_scores(train, score))
+    # counts is checkpoint-materialized: the final plan may scan text for
+    # the score side and the prior, but the TRAIN explode->agg chain must
+    # not appear twice (it would without the barrier, feeding both the
+    # totals aggregate and the scoring join)
+    assert _count(plan, r"Scan ExistingRDD") >= 1
+    assert _count(plan, r"\bGenerate explode") <= 1  # score-side only
