@@ -207,6 +207,89 @@ def knn_lsh(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 3,
+    bits: int | None = None,
+    tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN GRAPH construction — every corpus vector gets its top-``k``
+    cosine neighbors (the primitive under clustering-based curation,
+    agglomerative dedup, and diversity analysis of embedding corpora).
+    Output: (vec_id, neighbor_id, cosine, rank).
+
+    The self-join twin of :func:`knn_lsh`: one signature table (L
+    b-bit hyperplane tables per vector, Arrow-batched matmul,
+    materialized ONCE — both self-join sides read it), candidates from
+    an equi-join on (table, signature) with 1-bit multiprobe flips on
+    the probe side (capped at 4 so fan-out stays constant as ``bits``
+    grows with log2(n)), candidate ids deduped BEFORE the vectors are
+    fetched (the wide embedding arrays move through two equi-joins, not
+    the dedup shuffle), exact cosine scoring, one per-vector top-k
+    window. ``bits`` defaults to max(4, log2(n/64)) so expected bucket
+    occupancy — and with it candidate count per vector — stays constant
+    as the corpus grows; recall lost to wider signatures is bought back
+    with ``tables``. Everything after the signature kernel is JVM-side.
+
+    The gate entry's settings reach measured recall 1.0 on the test
+    corpus (deterministic seed-derived hyperplanes: verified-equal means
+    always-equal), which lets the brute-force SQL oracle verify the
+    full LSH machinery end-to-end — the same evidence style as
+    knn_cosine_lsh/ivf."""
+    import math
+
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    if bits is None:
+        n = base.count()
+        bits = max(4, int(math.ceil(math.log2(max(n, 128) / 64.0))))
+    all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    sigs_udf = make_signatures_udf(all_planes)
+    sigs = (
+        base.select("vec_id", sigs_udf(F.col("e")).alias("sigs"))
+        .select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+        .localCheckpoint(eager=True)  # both self-join sides read this
+    )
+    b_side = sigs.select(F.col("vec_id").alias("id_b"), "t", "sig")
+    a_side = sigs.select(F.col("vec_id").alias("id_a"), "t", "sig")
+    if multiprobe:
+        probes = F.array(
+            F.col("sig"),
+            *[
+                F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(min(bits, 4))
+            ],
+        )
+        a_side = a_side.select("id_a", "t", F.explode(probes).alias("sig"))
+    cand = (
+        a_side.join(b_side, ["t", "sig"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    eb = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    scored = cand.join(ea, "id_a").join(eb, "id_b").select(
+        F.col("id_a").alias("vec_id"),
+        F.col("id_b").alias("neighbor_id"),
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
 def spherical_kmeans(
     embeddings: DataFrame,
     n_centroids: int = 16,

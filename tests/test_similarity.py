@@ -201,3 +201,40 @@ def test_knn_pq_finds_planted_neighbors(spark):
     pq = sim.knn_cosine_pq(both, qids, k=1, m=8, ksub=16, rerank=10, vec_col="e")
     top1 = {r["query_id"]: r["vec_id"] for r in pq.collect()}
     assert top1 == {q: q + 1_000_000 for q in qids}
+
+
+def test_knn_join_matches_exact_and_is_symmetric_input(spark):
+    """The kNN-graph self-join equals the exact per-vector top-k (recall
+    1.0 at gate settings on this corpus), and partitioning never changes
+    the result."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = sorted(map(tuple, sim.knn_join(emb, k=3).collect()))
+    rep = sorted(map(tuple, sim.knn_join(
+        emb.repartition(16), k=3).collect()))
+    assert got == rep
+    want = duckdb.sql(f"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                    FROM read_parquet('{sf}/embeddings.parquet')),
+      scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               round(list_inner_product(a.e, b.e)
+                     / (sqrt(list_inner_product(a.e, a.e))
+                        * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+        FROM base a, base b WHERE a.vec_id <> b.vec_id
+      ), r AS (
+        SELECT vec_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 3
+    """).fetchall()
+    assert got == sorted(map(tuple, want))
+    # every vector has exactly k neighbors
+    from collections import Counter
+
+    c = Counter(v for v, *_ in got)
+    assert set(c.values()) == {3}
