@@ -392,6 +392,7 @@ PENDING_NEXT_WINDOW = {
     "text_boilerplate",
     "text_quality_classifier",
     "knn_join",
+    "source_mixture_epochs",
 }
 
 
@@ -1027,14 +1028,45 @@ MIX_WEIGHTS = {
 MIX_BUDGET = 40_000
 
 
-def _mix_target_case(col: str) -> str:
+def _mix_target_case(
+    col: str, weights: dict | None = None, budget: int | None = None
+) -> str:
     """The oracle-side twin of source_mixture_plan's target expression,
     generated from the SAME constants so Spark and SQL cannot drift."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    budget = MIX_BUDGET if budget is None else budget
     whens = " ".join(
-        f"WHEN '{s}' THEN {int(MIX_BUDGET * w)}"
-        for s, w in sorted(MIX_WEIGHTS.items())
+        f"WHEN '{s}' THEN {int(budget * w)}" for s, w in sorted(weights.items())
     )
     return f"CASE {col} {whens} ELSE 0 END"
+
+
+# Up-sampling mixture constants: src0's target is ~12x its sf0.01
+# availability (multi-epoch regime) and ~1.4x at sf0.1 (fractional
+# top-up regime) — both arms of the epoch arithmetic exercised.
+EPOCH_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+EPOCH_BUDGET = 200_000
+
+
+def _q_source_mixture_epochs(spark, sf_dir):
+    """Up-sampling mixture plan (multi-epoch repetition of curated
+    sources): per-source document count, total planned repeats, and
+    planned token volume under integer-exact epoch arithmetic — full
+    epochs = rate DIV bucket-space, fractional top-up by stable hash
+    bucket."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = sampling.source_mixture_epochs(
+        docs, EPOCH_WEIGHTS, EPOCH_BUDGET, tokens_col="n_chars"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("repeats").cast("long").alias("total_repeats"),
+        F.sum(F.col("repeats") * F.col("n_chars")).cast("long").alias(
+            "planned_tokens"
+        ),
+    )
 
 
 def _q_source_mixture(spark, sf_dir):
@@ -1462,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": _q_text_boilerplate,
         "text_quality_classifier": _q_text_quality_classifier,
         "knn_join": _q_knn_join,
+        "source_mixture_epochs": _q_source_mixture_epochs,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -3151,6 +3184,36 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                    CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed,
                    COALESCE(p.text_clean, '') AS text_clean
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # epoch arithmetic: full epochs = rate DIV 10000, fractional
+        # top-up by md5 bucket; all integers (targets precomputed from
+        # EPOCH_WEIGHTS x EPOCH_BUDGET), max_epochs cap 16
+        "source_mixture_epochs": f"""
+            WITH avail AS (
+              SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a
+              FROM documents GROUP BY 1
+            ), plan AS (
+              SELECT source, a,
+                     CAST({_mix_target_case("source", EPOCH_WEIGHTS, EPOCH_BUDGET)}
+                          AS BIGINT) AS tt
+              FROM avail
+            ), plan2 AS (
+              SELECT source, LEAST(160000, (tt * 10000) // a) AS r
+              FROM plan
+            ), per_doc AS (
+              SELECT d.source, d.n_chars,
+                     (p.r // 10000)
+                     + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id
+                                  AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                                < p.r % 10000
+                            THEN 1 ELSE 0 END AS repeats
+              FROM documents d JOIN plan2 p USING (source)
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(repeats) AS BIGINT) AS total_repeats,
+                   CAST(SUM(repeats * n_chars) AS BIGINT) AS planned_tokens
+            FROM per_doc GROUP BY source
         """,
         # brute-force kNN graph: every ordered pair scored exactly,
         # top-3 per vector with (cosine desc, neighbor asc) ties

@@ -188,6 +188,48 @@ def source_mixture_plan(
     )
 
 
+def source_mixture_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    tokens_col: str = "n_tokens",
+    group_col: str = "source",
+    key: str = "doc_id",
+    max_epochs: int = 16,
+) -> DataFrame:
+    """The UP-sampling mixture: when a source's target exceeds its
+    available tokens, published mixes repeat the source for multiple
+    epochs (small curated corpora trained 2-5x against one web epoch)
+    rather than under-fill. Per document: ``repeats`` = full epochs
+    (``rate DIV N_BUCKETS``) + 1 if the document's stable hash bucket
+    falls under the fractional remainder — so the planned token total
+    tracks ``target`` exactly in expectation, every document appears
+    either ``floor(rate)`` or ``ceil(rate)`` times, and the assignment
+    is reproducible in any engine (all integer arithmetic + the md5
+    bucket). ``max_epochs`` caps runaway weights (a 1000x repeat is a
+    config bug, not a mixture).
+
+    Output: one row per input document with ``repeats`` (possibly 0) —
+    the loader materializes repeats at read time (or a trivial
+    ``explode(sequence(1, repeats))`` does, at the cost of actually
+    duplicating rows). Same shuffle story as the cap variant: the plan
+    broadcasts, the corpus is never shuffled."""
+    plan = source_mixture_plan(df, weights, budget, tokens_col, group_col)
+    rate_uncapped = F.least(
+        F.lit(max_epochs * N_BUCKETS).cast("long"),
+        F.expr(f"(target_tokens * {N_BUCKETS}) DIV available_tokens"),
+    )
+    plan = plan.select(group_col, rate_uncapped.alias("rate_bps_raw"))
+    b = hash_bucket(key)
+    return df.join(F.broadcast(plan), group_col).select(
+        "*",
+        (
+            F.expr(f"rate_bps_raw DIV {N_BUCKETS}")
+            + (b < F.col("rate_bps_raw") % N_BUCKETS).cast("long")
+        ).alias("repeats"),
+    ).drop("rate_bps_raw")
+
+
 def source_mixture_cap(
     df: DataFrame,
     weights: dict[str, float],

@@ -219,3 +219,30 @@ def test_source_mixture_stable_under_partitioning(spark):
     many = sorted(map(tuple, sampling.source_mixture_cap(
         df.repartition(16), w, 1_000).collect()))
     assert one == many
+
+
+def test_source_mixture_epochs_upsamples(spark):
+    """Up-sampling regime: a source whose target is ~2.5x its available
+    tokens gets every doc 2 or 3 times (floor/ceil of the rate), with
+    the planned total tracking the target; an unweighted source plans
+    zero repeats but still reports its docs."""
+    rows = [(i, "cur" if i < 100 else "web", 10) for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sampling.source_mixture_epochs(
+        df, {"cur": 1.0}, budget=2_500  # cur avail 1000 -> rate 2.5 epochs
+    ).collect()
+    cur = [r for r in out if r["source"] == "cur"]
+    web = [r for r in out if r["source"] == "web"]
+    assert {r["repeats"] for r in cur} == {2, 3}
+    planned = sum(r["repeats"] * 10 for r in cur)
+    assert 2_000 <= planned <= 3_000  # tracks 2500 within bucket variance
+    assert len(web) == 1000 and all(r["repeats"] == 0 for r in web)
+
+
+def test_source_mixture_epochs_cap(spark):
+    rows = [(i, "tiny", 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sampling.source_mixture_epochs(
+        df, {"tiny": 1.0}, budget=10_000_000, max_epochs=16
+    ).collect()
+    assert all(r["repeats"] == 16 for r in out)  # runaway weight capped
