@@ -394,6 +394,9 @@ PENDING_NEXT_WINDOW = {
     "text_quality_classifier",
     "knn_join",
     "source_mixture_epochs",
+    "dedup_containment",
+    "snapshot_diff",
+    "knn_hard_negatives",
 }
 
 
@@ -1144,6 +1147,41 @@ def _q_knn_join(spark, sf_dir):
     return similarity.knn_join(emb, k=3)
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment dedup (|A∩B| / |A|): catches the
+    quote/excerpt case symmetric Jaccard scores near zero — a short doc
+    wholly contained in a long one. Directed pairs over the same
+    materialized shingle index as the Jaccard entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, k=3, threshold=0.5)
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """CDC diff of two corpus snapshots (added/removed/changed/unchanged
+    per doc id) — the incremental re-ingestion primitive. Snapshots are
+    carved deterministically from `documents`: ids ≡2 (mod 13) are new
+    in the second snapshot, ids ≡5 dropped from it, ids ≡7 textually
+    revised. Fingerprints computed narrow pre-join; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 2)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 7, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.snapshot_diff(old, new)
+
+
+def _q_knn_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
+    Broadcast queries, JVM aggregate(zip_with) dots, label filter fused
+    before the top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_hard_negatives(emb, query_ids=[0, 1, 2], k=10)
+
+
 def _q_text_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (keyword extraction / scored
     inverted-index postings): explode -> (doc,term) agg -> broadcast
@@ -1529,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": _q_text_quality_classifier,
         "knn_join": _q_knn_join,
         "source_mixture_epochs": _q_source_mixture_epochs,
+        "dedup_containment": _q_dedup_containment,
+        "snapshot_diff": _q_snapshot_diff,
+        "knn_hard_negatives": _q_knn_hard_negatives,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -2192,6 +2233,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # directed containment pairs: |A∩B| / |A| >= 0.5, a != b
+        "dedup_containment": _SHINGLE_CTE + """
+            , inter AS (
+              SELECT a.doc_id AS contained, b.doc_id AS container,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM post a JOIN post b
+                ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT contained, container,
+                   round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+            FROM inter
+            JOIN sizes sa ON inter.contained = sa.doc_id
+            WHERE round(CAST(i AS DOUBLE) / sa.n, 6) >= 0.5
+        """,
+        "snapshot_diff": r"""
+            WITH oldsnap AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 2
+            ), newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 7 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 5
+            ), fo AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM oldsnap
+            ), fn AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM newsnap
+            )
+            SELECT COALESCE(fo.doc_id, fn.doc_id) AS doc_id,
+                   CASE WHEN fo.doc_id IS NULL THEN 'added'
+                        WHEN fn.doc_id IS NULL THEN 'removed'
+                        WHEN fo.fp = fn.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id
+        """,
+        "knn_hard_negatives": """
+            WITH base AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, label AS qlab, e AS qe FROM base
+              WHERE vec_id IN (0, 1, 2)
+            ), scored AS (
+              SELECT q.query_id, b.vec_id, b.label AS neg_label,
+                     round(list_inner_product(q.qe, b.e)
+                           / (sqrt(list_inner_product(q.qe, q.qe))
+                              * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+              FROM q, base b WHERE b.label <> q.qlab
+            ), r AS (
+              SELECT query_id, vec_id, neg_label, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored)
+            SELECT query_id, vec_id, neg_label, cosine FROM r WHERE rn <= 10
+        """,
         # full SimHash replication: 60-bit md5-prefix feature hash ->
         # per-bit majority -> packed signature -> exact Hamming<=3 pairs
         # (the chunk blocking on the Spark side is recall-complete for

@@ -182,6 +182,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed near-dup pairs by shingle-set CONTAINMENT: |A∩B| / |A| >=
+    threshold, A != B — the asymmetric complement of Jaccard dedup.
+
+    Jaccard misses the quote/subset case: a short document wholly
+    contained in a much longer one scores inter/(|A|+|B|-inter) ≈
+    |A|/|B| → 0, yet for training-data curation the small doc IS a
+    duplicate (excerpts, mirrored article fragments, quoted posts).
+    Containment normalizes by the contained side only, so a verbatim
+    excerpt scores 1.0 regardless of the container's length.
+
+    Same plan as :func:`ngram_jaccard_pairs` minus the a<b restriction
+    (containment is directional, both orientations matter): one
+    materialized shingle index feeding a posting self-join [shuffle on
+    the 64-bit shingle hash] and one size join back. Output rows are
+    (contained, container); at corpus scale the ``max_doc_freq`` posting
+    cap bounds the self-join exactly as in the Jaccard variant."""
+    sizes, postings = _shingle_index(
+        df, id_col, text_col, k, max_doc_freq, materialize=True
+    )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("contained"), F.col("b.doc").alias("container"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("contained"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "contained")
+        .select(
+            "contained",
+            "container",
+            F.round((F.col("inter") / F.col("n_a")).cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Change-data-capture diff of two corpus snapshots: per document id,
+    ``status`` in {added, removed, changed, unchanged} — the primitive
+    under incremental re-ingestion (only ``added``/``changed`` docs need
+    to re-enter the dedup/filter/embed pipeline; ``removed`` ids need
+    tombstones in downstream stores).
+
+    Content equality is by :func:`~scipi_spark.operators.textops.
+    fingerprint` (md5 of normalized text), computed NARROW on each side
+    before the join so only (id, 32-char fp) rows shuffle — the text
+    column never moves. One full-outer hash join on the id; at 100 TB
+    both sides bucket by id and the join is co-located and shuffle-free."""
+    fp_old = old.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp_old")
+    )
+    fp_new = new.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp_new")
+    )
+    return fp_old.join(fp_new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -90,6 +90,56 @@ def knn_brute(
     )
 
 
+def knn_hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the top-k most-similar vectors with a DIFFERENT label —
+    the near-miss negatives that carry the gradient signal (random
+    negatives are trivially separable; same-label neighbors are
+    positives, not negatives).
+
+    Same plan as :func:`knn_brute` with the label inequality fused into
+    the post-crossJoin filter, so the pruning happens before the top-k
+    window ranks anything: queries (with their labels) broadcast, dots
+    JVM-side via the codegen ``aggregate(zip_with)`` kernel, one window
+    per query id. At corpus scale, swap the broadcast-scored base for
+    the LSH-bucketed candidate generator (:func:`knn_lsh`) and apply the
+    same label filter to its exact-scoring stage — mining quality
+    degrades gracefully with recall, never with correctness."""
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("lab"),
+        _as_double(vec_col).alias("e"),
+    )
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lab").alias("qlab"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("lab") != F.col("qlab"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("lab").alias("neg_label"),
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian random hyperplanes (driver-side literals —
     bits x dim doubles, broadcast as part of the plan)."""

@@ -238,3 +238,21 @@ def test_knn_join_matches_exact_and_is_symmetric_input(spark):
 
     c = Counter(v for v, *_ in got)
     assert set(c.values()) == {3}
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from scipi_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),   # nearest overall, same label -> excluded
+        (2, [0.9, 0.43], 1),    # nearest different-label
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = similarity.knn_hard_negatives(df, query_ids=[0], k=2).collect()
+    assert [(r["vec_id"], r["neg_label"]) for r in got] == [(2, 1), (3, 1)]
+    assert all(r["query_id"] == 0 for r in got)

@@ -675,3 +675,36 @@ def test_nb_quality_classifier_separates_and_scores_prior_only(spark):
     # unseen tokens: per-token ln(1/1)=0, so only the length term
     # n * ln((Tn+V)/(Tp+V)) remains (Tp=Tn=8, V=12 distinct train terms)
     assert got[7]["log_odds"] == round(2 * math.log((8 + 12) / (8 + 12)), 6)
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    # doc 2 is a verbatim excerpt of doc 1; doc 1 is much longer, so
+    # Jaccard is low but containment of 2-in-1 is 1.0 and directional.
+    long_text = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 15))
+    df = _docs(spark, [(1, long_text), (2, excerpt), (3, "totally different text here")])
+    pairs = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in dedup.containment_pairs(df, k=3, threshold=0.9).collect()
+    }
+    assert pairs == {(2, 1): 1.0}
+    # the symmetric metric indeed misses it at the same bar
+    jac = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_snapshot_diff_statuses(spark):
+    old = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "kept text")])
+    new = _docs(
+        spark,
+        [
+            (2, "gamma delta REVISED"),
+            (3, "Kept   TEXT"),  # normalization-equal -> unchanged
+            (4, "brand new doc"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
