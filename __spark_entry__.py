@@ -397,6 +397,10 @@ PENDING_NEXT_WINDOW = {
     "dedup_containment",
     "snapshot_diff",
     "knn_hard_negatives",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "leakage_safe_split",
+    "corpus_stats",
 }
 
 
@@ -1173,6 +1177,59 @@ def _q_snapshot_diff(spark, sf_dir):
     return dedup.snapshot_diff(old, new)
 
 
+def _q_winnow_profile(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint sets, pinned per doc by exact count,
+    min/max, and a mod-prime checksum (a raw sum of 60-bit hashes would
+    overflow BIGINT; the checksum pins set content without it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum(F.col("fp") % 1000003).cast("long").alias("fp_cksum"),
+    )
+
+
+def _q_winnow_overlap(spark, sf_dir):
+    """Verbatim-span reuse detection on planted compound docs: for ids
+    ≡0 (mod 5), doc i's text concatenated with doc i+1's becomes a new
+    doc (id + 100000); winnowed-fingerprint containment must flag both
+    originals as contained in their compound."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2")
+    )
+    comp = (
+        docs.join(nxt, "doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" "), "t2").alias("text"),
+        )
+    )
+    return dedup.winnow_overlap_pairs(
+        docs.unionByName(comp), k=8, w=4, threshold=0.6
+    )
+
+
+def _q_leakage_safe_split(spark, sf_dir):
+    """Content-keyed dataset split: exact duplicates land in the same
+    split by construction (doc_id-keyed splitting can't guarantee this).
+    One scan-fused expression, no shuffle."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.leakage_safe_split(docs).select("doc_id", "split")
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """Per-source dataset card: doc/char/token totals, language count,
+    mean length, short-doc fraction — one partial-aggregated groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.corpus_stats(docs)
+
+
 def _q_knn_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
@@ -1570,6 +1627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "snapshot_diff": _q_snapshot_diff,
         "knn_hard_negatives": _q_knn_hard_negatives,
+        "winnow_fingerprints": _q_winnow_profile,
+        "winnow_overlap": _q_winnow_overlap,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "corpus_stats": _q_corpus_stats,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -1669,6 +1730,43 @@ WITH toks AS (
   FROM documents
 )
 """
+
+def _winnow_cte(table_expr: str, k: int = 8, w: int = 4) -> str:
+    """Winnowing fingerprint CTE over any doc_id+text relation: normalize
+    -> lateral char-k-gram generation -> portable 60-bit md5 hash (same
+    construction as the SimHash oracle) -> window-min (ROWS k..k+w-1,
+    tail windows clamp exactly as Spark's rowsBetween does) -> distinct.
+    DuckDB's correlated ``range()`` plays Spark's posexplode."""
+    return rf"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM {table_expr}
+            ), pos AS (
+              -- scalar range() + unnest: DuckDB's range TABLE function
+              -- rejects lateral column bounds, the list form doesn't
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - {k - 2}, 1))) AS i
+              FROM norm
+            ), grams AS (
+              SELECT doc_id, i, substr(t, CAST(i AS INT), {k}) AS g
+              FROM pos
+            ), hashed AS (
+              SELECT doc_id, i,
+                     list_sum([(strpos('0123456789abcdef',
+                                       substr(md5(g), j, 1)) - 1)
+                               * (1::BIGINT << (4 * (15 - j)))
+                               for j in range(1, 16)])::BIGINT AS h
+              FROM grams
+            ), fps AS (
+              SELECT DISTINCT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND {w - 1} FOLLOWING) AS fp
+              FROM hashed
+            )
+        """
+
 
 _SHINGLE_CTE = r"""
 WITH toks AS (
@@ -2271,6 +2369,64 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fo.fp = fn.fp THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id
+        """,
+        # winnowing (MOSS): k=8 char-grams over normalized text, 60-bit
+        # portable md5 hash, window-min (w=4) -> distinct fingerprint set
+        "winnow_fingerprints": _winnow_cte("documents") + """
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fp,
+                   min(fp) AS min_fp,
+                   max(fp) AS max_fp,
+                   CAST(sum(fp % 1000003) AS BIGINT) AS fp_cksum
+            FROM fps GROUP BY 1
+        """,
+        "winnow_overlap": _winnow_cte(
+            """(SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT d.doc_id + 100000, d.text || ' ' || n.text
+                FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+                WHERE d.doc_id % 5 = 0)"""
+        ) + """
+            , sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+              FROM fps GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS contained, b.doc_id AS container,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM fps a JOIN fps b
+                ON a.fp = b.fp AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT contained, container,
+                   round(CAST(i AS DOUBLE) / s.n_fp, 6) AS overlap
+            FROM inter JOIN sizes s ON inter.contained = s.doc_id
+            WHERE round(CAST(i AS DOUBLE) / s.n_fp, 6) >= 0.6
+        """,
+        "leakage_safe_split": r"""
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(md5(trim(regexp_replace(
+                            lower(text), '\s+', ' ', 'g')))), 1, 8))
+                          AS BIGINT) % 10000 AS b
+              FROM documents)
+        """,
+        "corpus_stats": r"""
+            SELECT source AS grp,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(len(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> ''))) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(len(text)) AS DOUBLE) / count(*), 6)
+                     AS avg_chars,
+                   round(CAST(count(*) FILTER (WHERE len(text) < 150)
+                              AS DOUBLE) / count(*), 6) AS short_frac
+            FROM documents
+            GROUP BY 1
         """,
         "knn_hard_negatives": """
             WITH base AS (

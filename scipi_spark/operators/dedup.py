@@ -30,7 +30,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scipi_spark.operators.textops import fingerprint, word_shingles
+from scipi_spark.operators.textops import fingerprint, normalize_text, word_shingles
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +260,99 @@ def snapshot_diff(
         .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): per document, the DISTINCT set of
+    window-minimum char-k-gram hashes, guaranteed to include at least
+    one fingerprint from every verbatim match of length >= k + w - 1.
+    The span-level (plagiarism / verbatim-quote / license-text) detection
+    primitive that set-of-words methods can't provide: word shingles see
+    bag overlap, winnowing sees contiguous character runs.
+
+    Expected density is 2/(w+1) of the k-gram stream — the subsampling
+    IS the scale story: downstream cross-document joins touch ~2/(w+1)
+    of the positions instead of every shingle, with the detection
+    guarantee intact.
+
+    Plan: normalize -> per-doc k-gram explode (narrow; positions are
+    generated, never shuffled) -> portable 60-bit md5 hash (bit-identical
+    in the DuckDB oracle) -> one running-min window over (doc, position)
+    [single shuffle on doc] -> distinct. Docs shorter than k emit no
+    fingerprints. Tail windows shorter than ``w`` clamp identically in
+    both engines."""
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("t"))
+        .filter(F.length("t") >= k)
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))"
+            )
+        ).alias("i", "g"),
+    )
+    hashed = grams.select("doc_id", "i", _portable_feature_hash(F.col("g")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        hashed.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directed verbatim-overlap pairs over winnowed fingerprints:
+    |FP(A) ∩ FP(B)| / |FP(A)| >= threshold, A != B — containment
+    semantics (an excerpt scores ~1.0 against its container) on the
+    2/(w+1)-subsampled fingerprint sets, so the posting self-join costs
+    a small fraction of the full-shingle containment join while still
+    catching any shared verbatim run of length >= k + w - 1."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
+        eager=True
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("contained"), "n_fp")
+    return (
+        inter.join(sa, "contained")
+        .select(
+            "contained",
+            "container",
+            F.round((F.col("inter") / F.col("n_fp")).cast("double"), 6).alias(
+                "overlap"
+            ),
+        )
+        .filter(F.col("overlap") >= threshold)
     )
 
 

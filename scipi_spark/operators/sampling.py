@@ -54,6 +54,41 @@ def dataset_split(
     return df.select("*", expr.alias("split"))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Dataset split keyed by CONTENT fingerprint instead of document id:
+    exact duplicates (and re-crawls of the same page under new ids)
+    always land in the same split, so a train/test leak via duplicated
+    text is impossible by construction. Splitting on doc_id cannot give
+    this guarantee — two copies of one document hash to independent
+    buckets.
+
+    Same cumulative-threshold bucket math as :func:`dataset_split`, over
+    ``hash_bucket(fingerprint(text))`` — still one narrow scan-fused
+    expression, no join and no shuffle. For NEAR-duplicate safety,
+    compose upstream: map each doc to its dedup-cluster representative
+    (:func:`~scipi_spark.operators.graph.dedup_clusters`) and split on
+    the representative's fingerprint."""
+    from scipi_spark.operators.textops import fingerprint
+
+    b = hash_bucket(fingerprint(text_col))
+    expr = None
+    acc = 0.0
+    for name, wt in weights:
+        acc += wt
+        cond = b < int(round(acc * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(weights[-1][0])
+    return df.select("*", expr.alias("split"))
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, key: str = "doc_id"
 ) -> DataFrame:

@@ -803,3 +803,44 @@ def c4_gopher_filter(
         has_brace.alias("has_brace"),
         keep.alias("keep"),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    short_chars: int = 150,
+) -> DataFrame:
+    """Per-group dataset-card statistics: document/char/token totals,
+    language diversity, mean length, short-doc fraction. The corpus
+    profiling step every curation run starts and ends with (before/after
+    comparison is how a filter's effect is audited).
+
+    One partial-aggregated groupBy over scan-fused narrow expressions —
+    no joins, no second pass; ``approx_count_distinct`` would replace the
+    exact distinct-lang count at extreme group cardinality, but language
+    inventories are tiny and the exact count keeps the oracle exact.
+    Ratios are ratios of exact integers rounded to 6 places (the oracle
+    parity contract)."""
+    n_chars = F.length(text_col)
+    n_toks = token_count(text_col)
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.sum(n_chars).cast("long").alias("total_chars"),
+            F.sum(n_toks).cast("long").alias("total_tokens"),
+            F.round(
+                (F.sum(n_chars) / F.count(F.lit(1))).cast("double"), 6
+            ).alias("avg_chars"),
+            F.round(
+                (
+                    F.sum(F.when(n_chars < short_chars, 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("short_frac"),
+        )
+    )

@@ -246,3 +246,17 @@ def test_source_mixture_epochs_cap(spark):
         df, {"tiny": 1.0}, budget=10_000_000, max_epochs=16
     ).collect()
     assert all(r["repeats"] == 16 for r in out)  # runaway weight capped
+
+
+def test_leakage_safe_split_colocates_duplicates(spark):
+    from scipi_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"unique doc {i} body") for i in range(50)]
+    # plant exact dups under different ids (normalization-equal too)
+    rows += [(1000, "unique doc 7 body"), (1001, "Unique   DOC 7 body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).select("doc_id", "split").collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert by_id[7] == by_id[1000] == by_id[1001]
+    # sanity: all three split names reachable over a larger id space
+    assert set(by_id.values()) <= {"train", "val", "test"}

@@ -708,3 +708,64 @@ def test_snapshot_diff_statuses(spark):
         for r in dedup.snapshot_diff(old, new).collect()
     }
     assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_winnowing_guarantee_and_density(spark):
+    # Schleimer et al. guarantee: any shared verbatim run of length
+    # >= k + w - 1 chars yields at least one shared fingerprint.
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    df = _docs(
+        spark,
+        [
+            (1, f"PREFIX one {shared} SUFFIX one"),
+            (2, f"completely different beginning {shared} and ending"),
+            (3, "no overlap with anything else at all zzz"),
+        ],
+    )
+    fps = dedup.winnow_fingerprints(df, k=k, w=w)
+    by_doc = {
+        r["doc_id"]: {x["fp"] for x in rows}
+        for r in fps.select("doc_id").distinct().collect()
+        for rows in [fps.filter(F.col("doc_id") == r["doc_id"]).collect()]
+    }
+    assert by_doc[1] & by_doc[2], "shared span must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: winnowing selects ~2/(w+1) of positions; distinct set is
+    # bounded above by the number of windows
+    n1 = len(by_doc[1])
+    n_grams = len("prefix one " + shared + " suffix one") - k + 1
+    assert 0 < n1 <= n_grams
+
+
+def test_winnow_overlap_flags_excerpt(spark):
+    body = " ".join(f"tok{i}" for i in range(30))
+    df = _docs(spark, [(1, body), (2, body + " extra tail content here beyond"), (3, "unrelated words only")])
+    pairs = {
+        (r["contained"], r["container"])
+        for r in dedup.winnow_overlap_pairs(df, k=8, w=4, threshold=0.8).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_corpus_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "d e", "fr", "s1"),
+            (3, "x" * 200, "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["grp"]: r.asDict()
+        for r in textops.corpus_stats(df, short_chars=10).collect()
+    }
+    assert got["s1"]["n_docs"] == 2
+    assert got["s1"]["n_langs"] == 2
+    assert got["s1"]["total_chars"] == 8
+    assert got["s1"]["total_tokens"] == 5
+    assert got["s1"]["short_frac"] == 1.0
+    assert got["s2"]["total_tokens"] == 1
+    assert got["s2"]["short_frac"] == 0.0
