@@ -401,6 +401,8 @@ PENDING_NEXT_WINDOW = {
     "winnow_overlap",
     "leakage_safe_split",
     "corpus_stats",
+    "bpe_pair_counts",
+    "bpe_train",
 }
 
 
@@ -1230,6 +1232,23 @@ def _q_corpus_stats(spark, sf_dir):
     return textops.corpus_stats(docs)
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    """Iteration zero of BPE tokenizer training: corpus-wide adjacent
+    char-pair frequencies weighted by word frequency — the only
+    corpus-sized shuffle in the whole training loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_pair_counts(docs)
+
+
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training, 8 merges: iterate [pair count
+    -> 1-row argmax -> greedy fold merge] on the vocabulary-sized symbol
+    table. The oracle replays every step with a structurally different
+    merge implementation (window-function greedy alternation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_train(docs, n_merges=8)
+
+
 def _q_knn_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
@@ -1631,6 +1650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "leakage_safe_split": _q_leakage_safe_split,
         "corpus_stats": _q_corpus_stats,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_train": _q_bpe_train,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -1730,6 +1751,69 @@ WITH toks AS (
   FROM documents
 )
 """
+
+def _bpe_sql(n_merges: int = 8, table: str = "documents") -> str:
+    """Unrolled BPE-training oracle: n_merges relational merge steps, each
+    with a STRUCTURALLY different merge rule than the Spark operator —
+    greedy leftmost non-overlapping selection via window functions
+    (consecutive-candidate runs keep alternating positions) instead of
+    the operator's sequential array fold. A hash-match is therefore two
+    independent algorithms agreeing on every learned merge. CTEs are
+    MATERIALIZED: each step references its predecessor three times, and
+    inlining would re-expand the whole chain exponentially."""
+    sql = rf"""
+WITH vocab AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM {table})
+  GROUP BY 1
+), s0 AS MATERIALIZED (
+  SELECT w, freq,
+         [substr(w, CAST(i AS INT), 1) for i in range(1, len(w) + 1)] AS s
+  FROM vocab
+)"""
+    for n in range(1, n_merges + 1):
+        p = n - 1
+        sql += f"""
+, p{n} AS MATERIALIZED (
+  SELECT s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] AS pair,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i FROM s{p})
+  GROUP BY 1
+), b{n} AS MATERIALIZED (
+  SELECT pair, cnt,
+         string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+  FROM p{n} ORDER BY cnt DESC, pair LIMIT 1
+), c{n} AS MATERIALIZED (
+  SELECT t.w, t.i
+  FROM (SELECT w, s, unnest(range(1, len(s))) AS i FROM s{p}) t, b{n} b
+  WHERE t.s[CAST(t.i AS INT)] = b.x AND t.s[CAST(t.i AS INT) + 1] = b.y
+), cg{n} AS MATERIALIZED (
+  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+  FROM c{n}
+), sel{n} AS MATERIALIZED (
+  SELECT w, i FROM (
+    SELECT w, i, i - min(i) OVER (PARTITION BY w, grp) AS off FROM cg{n})
+  WHERE off % 2 = 0
+), s{n} AS MATERIALIZED (
+  SELECT t.w, max(t.freq) AS freq,
+         list(CASE WHEN sel.i IS NOT NULL THEN b.x || b.y ELSE t.el END
+              ORDER BY t.i) AS s
+  FROM (SELECT w, freq, s[CAST(i AS INT)] AS el, i
+        FROM (SELECT w, freq, s, unnest(range(1, len(s) + 1)) AS i FROM s{p})) t
+  CROSS JOIN b{n} b
+  LEFT JOIN sel{n} sel ON sel.w = t.w AND sel.i = t.i
+  LEFT JOIN sel{n} prev ON prev.w = t.w AND prev.i = t.i - 1
+  WHERE prev.i IS NULL
+  GROUP BY t.w
+)"""
+    parts = [
+        f"SELECT CAST({n} AS INTEGER) AS step, pair, cnt AS freq FROM b{n}"
+        for n in range(1, n_merges + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
 
 def _winnow_cte(table_expr: str, k: int = 8, w: int = 4) -> str:
     """Winnowing fingerprint CTE over any doc_id+text relation: normalize
@@ -2428,6 +2512,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
+        "bpe_pair_counts": r"""
+            WITH vocab AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                              x -> x <> '')) AS w
+                    FROM documents)
+              GROUP BY 1
+            )
+            SELECT substr(w, CAST(i AS INT), 1) || ' '
+                     || substr(w, CAST(i AS INT) + 1, 1) AS pair,
+                   CAST(sum(freq) AS BIGINT) AS pair_freq
+            FROM (SELECT w, freq, unnest(range(1, len(w))) AS i
+                  FROM vocab WHERE len(w) >= 2)
+            GROUP BY 1
+        """,
+        "bpe_train": _bpe_sql(8),
         "knn_hard_negatives": """
             WITH base AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings

@@ -844,3 +844,108 @@ def corpus_stats(
             ).alias("short_frac"),
         )
     )
+
+
+def _bpe_word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) corpus aggregation — BPE trains on the word-frequency
+    table, which is vocabulary-sized (tiny vs the corpus): every
+    subsequent merge iteration touches only this table."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _adjacent_pairs(sym_col: str) -> Column:
+    """array<string> symbols -> array of space-joined adjacent pairs
+    ('x y'); symbols never contain spaces (words are whitespace tokens),
+    so the join is unambiguous."""
+    return F.expr(
+        f"transform(sequence(1, size({sym_col}) - 1), "
+        f"i -> concat(element_at({sym_col}, i), ' ', element_at({sym_col}, i + 1)))"
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — iteration zero
+    of BPE tokenizer training (Sennrich et al., ACL'16). Two aggregations
+    end-to-end: corpus -> word-frequency table (the only corpus-sized
+    shuffle), then char-pair explode over the VOCABULARY weighted by word
+    frequency — at web scale the second stage costs |vocab|, not |corpus|."""
+    vocab = _bpe_word_vocab(df, text_col)
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    return (
+        vocab.filter(F.length("w") >= 2)
+        .select("freq", chars.alias("chars"))
+        .select("freq", F.explode(_adjacent_pairs("chars")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_freq"))
+    )
+
+
+def _bpe_merge_fold(s: Column, x: str, y: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (x, y) into
+    xy — the reference BPE apply rule — as one JVM-side array fold (no
+    Python in the loop). On a run like [a,a,a] with pair (a,a) the fold
+    consumes left-first: [aa, a]."""
+    xl, yl, ml = F.lit(x), F.lit(y), F.lit(x + y)
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, el: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == xl) & (el == yl),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ml)),
+        ).otherwise(F.concat(acc, F.array(el))),
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich, Haddow & Birch,
+    ACL'16): ``n_merges`` iterations of [count adjacent symbol pairs ->
+    pick the most frequent -> merge it greedily everywhere], over the
+    word-frequency table. Returns the learned merge list
+    (step, pair, freq) — the tokenizer artifact.
+
+    Scale shape: the corpus is touched ONCE (word-frequency aggregation);
+    every iteration after that runs on the vocabulary-sized symbol table —
+    one pair-explode aggregation plus one narrow array-fold map, with a
+    single-ROW argmax collect per step (bounded driver traffic, the same
+    contract as the k-means centroid reduce). Ties break (freq DESC,
+    pair ASC) for determinism. The DuckDB oracle replays all steps with a
+    structurally different merge implementation (window-function greedy
+    alternation instead of a sequential fold), so a gate hash-match is
+    two independent algorithms agreeing on every merge."""
+    spark = df.sparkSession
+    seqs = (
+        _bpe_word_vocab(df, text_col)
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            seqs.filter(F.size("s") >= 2)
+            .select("freq", F.explode(_adjacent_pairs("s")).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        x, y = pair.split(" ")
+        merges.append((step, pair, cnt))
+        seqs = seqs.select(
+            "freq", _bpe_merge_fold(F.col("s"), x, y).alias("s")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, "step int, pair string, freq long")

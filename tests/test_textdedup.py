@@ -769,3 +769,65 @@ def test_corpus_stats_known_values(spark):
     assert got["s1"]["short_frac"] == 1.0
     assert got["s2"]["total_tokens"] == 1
     assert got["s2"]["short_frac"] == 0.0
+
+
+def _py_bpe(texts, n_merges):
+    """Independent reference BPE (Sennrich et al.): dict-of-lists, greedy
+    leftmost non-overlapping merge, ties by (freq desc, pair asc)."""
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split())
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (x, y), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((step, f"{x} {y}", cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "aaaa baaab ab ab ab abab",  # overlapping-run stress: greedy left
+        "x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["pair"], r["freq"])
+        for r in textops.bpe_train(df, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(texts, 6)
+
+
+def test_bpe_pair_counts_known(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab ba"), (2, "abc")], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: r["pair_freq"]
+        for r in textops.bpe_pair_counts(df).collect()
+    }
+    # vocab: ab->2, ba->1, abc->1 ; pairs weighted by word freq
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
