@@ -403,6 +403,7 @@ PENDING_NEXT_WINDOW = {
     "corpus_stats",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode",
 }
 
 
@@ -1249,6 +1250,18 @@ def _q_bpe_train(spark, sf_dir):
     return textops.bpe_train(docs, n_merges=8)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """The encode half of the tokenizer: train 8 merges, apply them to
+    the vocabulary (chained JVM array folds), broadcast-join each doc's
+    words to the encoded vocabulary, roll up per-doc subword counts —
+    the real token counts a token-budget sampler should use."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        r["pair"] for r in textops.bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    return textops.bpe_encode_counts(docs, merges)
+
+
 def _q_knn_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
@@ -1652,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -1752,7 +1766,7 @@ WITH toks AS (
 )
 """
 
-def _bpe_sql(n_merges: int = 8, table: str = "documents") -> str:
+def _bpe_sql(n_merges: int = 8, table: str = "documents", mode: str = "merges") -> str:
     """Unrolled BPE-training oracle: n_merges relational merge steps, each
     with a STRUCTURALLY different merge rule than the Spark operator —
     greedy leftmost non-overlapping selection via window functions
@@ -1808,6 +1822,23 @@ WITH vocab AS MATERIALIZED (
   WHERE prev.i IS NULL
   GROUP BY t.w
 )"""
+    if mode == "encode":
+        return sql + rf"""
+, enc AS MATERIALIZED (
+  SELECT w, CAST(len(s) AS BIGINT) AS n_sub, CAST(len(w) AS BIGINT) AS n_chr
+  FROM s{n_merges}
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(e.n_sub) AS DOUBLE) / sum(e.n_chr), 6)
+         AS subword_per_char
+FROM (SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS w
+      FROM {table}) d
+JOIN enc e ON e.w = d.w
+GROUP BY 1"""
     parts = [
         f"SELECT CAST({n} AS INTEGER) AS step, pair, cnt AS freq FROM b{n}"
         for n in range(1, n_merges + 1)
@@ -2528,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "bpe_train": _bpe_sql(8),
+        "bpe_encode": _bpe_sql(8, mode="encode"),
         "knn_hard_negatives": """
             WITH base AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings

@@ -949,3 +949,46 @@ def bpe_train(
             "freq", _bpe_merge_fold(F.col("s"), x, y).alias("s")
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, "step int, pair string, freq long")
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list to the corpus and return per-doc
+    subword statistics (n_words, n_subwords, round-6 compression vs char
+    count) — the encode half of the tokenizer: the REAL token counts a
+    token-budget sampler or sequence packer should use, replacing the
+    regex proxy of :func:`bpe_ish_token_count`.
+
+    The merges are applied to the VOCABULARY once (|merges| chained
+    array folds on the word table — each fold is a narrow map over
+    |vocab| rows), then each document's whitespace words join the encoded
+    vocabulary on the word key and roll up per doc. At web scale the
+    vocabulary is broadcastable, so encoding costs one explode + one
+    broadcast join + one per-doc aggregation — the corpus text never
+    shuffles."""
+    words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    seq = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    for pair in merges:
+        x, y = pair.split(" ")
+        seq = _bpe_merge_fold(seq, x, y)
+    encoded = vocab.select(
+        "w", F.size(seq).cast("long").alias("n_sub"), F.length("w").alias("n_chr")
+    )
+    return (
+        words.join(F.broadcast(encoded), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.round(
+                (F.sum("n_sub") / F.sum("n_chr")).cast("double"), 6
+            ).alias("subword_per_char"),
+        )
+    )

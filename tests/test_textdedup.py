@@ -831,3 +831,14 @@ def test_bpe_pair_counts_known(spark):
     }
     # vocab: ab->2, ba->1, abc->1 ; pairs weighted by word freq
     assert got == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_bpe_encode_counts_known(spark):
+    df = _docs(spark, [(1, "ab ab cd"), (2, "abcd")])
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["subword_per_char"])
+        for r in textops.bpe_encode_counts(df, ["a b", "c d"]).collect()
+    }
+    # 'ab' -> [ab] (1), 'cd' -> [cd] (1), 'abcd' -> [ab, cd] (2)
+    assert out[1] == (3, 3, 0.5)
+    assert out[2] == (1, 2, 0.5)
