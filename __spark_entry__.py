@@ -1212,7 +1212,7 @@ def _q_winnow_overlap(spark, sf_dir):
         )
     )
     return dedup.winnow_overlap_pairs(
-        docs.unionByName(comp), k=8, w=4, threshold=0.6
+        docs.unionByName(comp), k=8, w=4, threshold=0.6, max_doc_freq=50
     )
 
 
@@ -2502,13 +2502,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
                 WHERE d.doc_id % 5 = 0)"""
         ) + """
-            , sizes AS (
+            , keep AS (
+              -- doc-frequency cap 50: ubiquitous fingerprints are
+              -- boilerplate, not reuse evidence — dropped from BOTH the
+              -- pairing join and the denominator (overlap = fraction of
+              -- the doc's DISTINCTIVE fingerprints found in B)
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+            ), fpc AS (
+              SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)
+            ), sizes AS (
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
-              FROM fps GROUP BY 1
+              FROM fpc GROUP BY 1
             ), inter AS (
               SELECT a.doc_id AS contained, b.doc_id AS container,
                      CAST(count(*) AS BIGINT) AS i
-              FROM fps a JOIN fps b
+              FROM fpc a JOIN fpc b
                 ON a.fp = b.fp AND a.doc_id <> b.doc_id
               GROUP BY 1, 2
             )

@@ -45,6 +45,8 @@ HEADLINERS = [
     "text_c4_filter",
     "text_boilerplate",
     "text_quality_classifier",
+    "bpe_train",
+    "winnow_overlap",
     "a8_assoc_projection",
     "events_json_hourly",
     "window_top_orders",

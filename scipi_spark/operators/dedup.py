@@ -317,16 +317,35 @@ def winnow_overlap_pairs(
     k: int = 8,
     w: int = 4,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Directed verbatim-overlap pairs over winnowed fingerprints:
     |FP(A) ∩ FP(B)| / |FP(A)| >= threshold, A != B — containment
     semantics (an excerpt scores ~1.0 against its container) on the
     2/(w+1)-subsampled fingerprint sets, so the posting self-join costs
     a small fraction of the full-shingle containment join while still
-    catching any shared verbatim run of length >= k + w - 1."""
+    catching any shared verbatim run of length >= k + w - 1.
+
+    ``max_doc_freq`` (None = exact) drops fingerprints occurring in more
+    than that many documents BEFORE both the pairing join and the
+    denominator — the same posting-cap escape as the shingle index, but
+    here it also sharpens the metric: a fingerprint shared by half the
+    corpus is boilerplate, not reuse evidence, and overlap becomes "of
+    this doc's DISTINCTIVE fingerprints, what fraction appears in B" —
+    a verbatim excerpt still scores 1.0 against its container at any
+    corpus size (capping the numerator alone would dilute it as the
+    corpus grows), while docs made of pure boilerplate simply drop out
+    (no distinctive fingerprints left). It is also the scale fix: the
+    ubiquitous fingerprint is exactly the one whose posting list makes
+    the self-join quadratic (measured 9.7s -> ~3s at sf0.1, cap 50)."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
         eager=True
     )
+    if max_doc_freq is not None:
+        df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fps = fps.join(
+            df_counts.filter(F.col("df") <= max_doc_freq).select("fp"), "fp"
+        ).localCheckpoint(eager=True)
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
     a = fps.alias("a")
     b = fps.alias("b")
