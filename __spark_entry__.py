@@ -404,6 +404,7 @@ PENDING_NEXT_WINDOW = {
     "bpe_pair_counts",
     "bpe_train",
     "bpe_encode",
+    "pipeline_incremental",
 }
 
 
@@ -862,6 +863,31 @@ def _q_pipeline_training_data(spark, sf_dir):
     return textops.chunk_documents(train, chunk_tokens=64, stride=48).select(
         "doc_id", "chunk_id", "n_tokens"
     )
+
+
+def _q_pipeline_incremental(spark, sf_dir):
+    """Incremental corpus refresh as ONE plan: snapshot CDC diff (same
+    carve as `snapshot_diff`) -> only ADDED/CHANGED docs re-enter the
+    language/quality gate — the production re-crawl shape where
+    re-processing cost scales with the delta, not the corpus. Emits the
+    gated delta (doc_id, q_score): exactly the docs that need
+    re-embedding/re-dedup downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 2)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 7, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    delta = dedup.snapshot_diff(old, new).filter(
+        F.col("status").isin("added", "changed")
+    )
+    fresh = new.join(delta.select("doc_id"), "doc_id")
+    scored = textops.quality_features(fresh)
+    return scored.filter(
+        (textops.lang_id("text") == "en") & (F.col("q_score") >= 0.5)
+    ).select("doc_id", "q_score")
 
 
 def _q_stream_dedup(spark, sf_dir):
@@ -1666,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
+        "pipeline_incremental": _q_pipeline_incremental,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -2568,6 +2595,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_sql(8),
         "bpe_encode": _bpe_sql(8, mode="encode"),
+        "pipeline_incremental": rf"""
+            WITH oldsnap AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 2
+            ), newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 7 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 5
+            ), fo AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM oldsnap
+            ), fn AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM newsnap
+            ), delta AS (
+              SELECT n.doc_id, n.text
+              FROM newsnap n
+              JOIN fn ON fn.doc_id = n.doc_id
+              LEFT JOIN fo ON fo.doc_id = n.doc_id
+              WHERE fo.doc_id IS NULL OR fo.fp <> fn.fp
+            ), toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM delta
+            ), feat AS (
+              SELECT doc_id,
+                CAST(length(text) AS DOUBLE) / greatest(len(t), 1) AS mean_tok,
+                CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x)))
+                     AS DOUBLE) / greatest(len(t), 1) AS sw_ratio,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio
+              FROM toks
+            ), scored AS (
+              SELECT doc_id,
+                     round(least(1.0,
+                           0.5 * alpha_ratio
+                           + 0.3 * least(sw_ratio * 4, 1.0)
+                           + CASE WHEN mean_tok >= 3 AND mean_tok <= 10
+                                  THEN 0.2 ELSE 0.0 END), 6) AS q_score
+              FROM feat
+              WHERE sw_ratio >= 0.05
+            )
+            SELECT doc_id, q_score FROM scored WHERE q_score >= 0.5
+        """,
         "knn_hard_negatives": """
             WITH base AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
