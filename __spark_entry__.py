@@ -405,6 +405,7 @@ PENDING_NEXT_WINDOW = {
     "bpe_train",
     "bpe_encode",
     "pipeline_incremental",
+    "label_coherence",
 }
 
 
@@ -1288,6 +1289,15 @@ def _q_bpe_encode(spark, sf_dir):
     return textops.bpe_encode_counts(docs, merges)
 
 
+def _q_label_coherence(spark, sf_dir):
+    """Label-quality audit over the embedding corpus: per label, exact
+    mean-vector prototype (count, norm) and coherence = mean cosine of
+    members to their own prototype — the noisy-label screen run before
+    training on weakly-labeled data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_coherence(emb)
+
+
 def _q_knn_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
@@ -1693,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "pipeline_incremental": _q_pipeline_incremental,
+        "label_coherence": _q_label_coherence,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -2641,6 +2652,38 @@ def oracle_sql() -> dict[str, str]:
               WHERE sw_ratio >= 0.05
             )
             SELECT doc_id, q_score FROM scored WHERE q_score >= 0.5
+        """,
+        "label_coherence": """
+            WITH base AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+            ), comp AS (
+              SELECT label, i AS pos, e[CAST(i AS INT)] AS x
+              FROM (SELECT label, e, unnest(range(1, len(e) + 1)) AS i
+                    FROM base)
+            ), stats AS (
+              SELECT label, pos, sum(x) AS sx, count(*) AS n
+              FROM comp GROUP BY 1, 2
+            ), cents AS (
+              SELECT label, CAST(max(n) AS BIGINT) AS n,
+                     list(sx / n ORDER BY pos) AS c
+              FROM stats GROUP BY label
+            ), scored AS (
+              SELECT b.label,
+                     round(list_inner_product(b.e, ct.c)
+                           / (sqrt(list_inner_product(b.e, b.e))
+                              * sqrt(list_inner_product(ct.c, ct.c))), 6)
+                       AS cos
+              FROM base b JOIN cents ct ON ct.label = b.label
+              WHERE sqrt(list_inner_product(ct.c, ct.c)) > 0
+            ), coh AS (
+              SELECT label, round(avg(cos), 6) AS coherence
+              FROM scored GROUP BY 1
+            )
+            SELECT ct.label, ct.n,
+                   round(sqrt(list_inner_product(ct.c, ct.c)), 6)
+                     AS centroid_norm,
+                   coh.coherence
+            FROM cents ct LEFT JOIN coh USING (label)
         """,
         "knn_hard_negatives": """
             WITH base AS (

@@ -1062,3 +1062,63 @@ def knn_cosine_pq(
     return exact.withColumn("_rn", F.row_number().over(w2)).filter(
         F.col("_rn") <= k
     ).drop("_rn")
+
+
+def label_coherence(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label prototype audit — the label-quality screen run before
+    training a classifier on weakly-labeled embeddings: each label's
+    exact mean vector (nearest-class-mean prototype), member count, and
+    coherence = mean cosine of members to their own prototype. A label
+    whose coherence sits far below the others is noisy or conflates two
+    concepts; the same prototype table seeds nearest-class-mean
+    classification and per-class sampling.
+
+    Plan: one posexplode -> (label, pos) sum/count aggregation [the only
+    corpus-sized shuffle; k*dim result rows], prototypes reassembled with
+    array_sort (deterministic order), then members broadcast-join their
+    label's prototype for one scoring pass + per-label rollup. Exact
+    arithmetic: the prototype is a ratio of exact sums; double summation
+    order differs between engines by ~1e-15, far below the round-6
+    contract."""
+    base = _spread(embeddings).select(
+        F.col(label_col).alias("label"), _as_double(vec_col).alias("e")
+    )
+    comp = base.select("label", F.posexplode("e").alias("pos", "x"))
+    stats = comp.groupBy("label", "pos").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    cents = (
+        stats.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sx"))),
+                lambda s: s.sx,
+            ).alias("sums"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.transform("sums", lambda sx: sx / F.col("n")).alias("c"),
+        )
+    )
+    cents = cents.withColumn("norm", F.sqrt(dot(F.col("c"), F.col("c"))))
+    # a zero-norm prototype (exactly antipodal members) has no direction
+    # to cohere to — those labels get NULL coherence instead of a 0/0
+    scored = base.join(
+        F.broadcast(cents.filter(F.col("norm") > 0)), "label"
+    ).select("label", F.round(cosine(F.col("e"), F.col("c")), 6).alias("cos"))
+    coh = scored.groupBy("label").agg(
+        F.round(F.avg("cos"), 6).alias("coherence")
+    )
+    return (
+        cents.select(
+            "label", "n", F.round(F.col("norm"), 6).alias("centroid_norm")
+        )
+        .join(coh, "label", "left")
+    )

@@ -256,3 +256,22 @@ def test_hard_negatives_exclude_same_label(spark):
     got = similarity.knn_hard_negatives(df, query_ids=[0], k=2).collect()
     assert [(r["vec_id"], r["neg_label"]) for r in got] == [(2, 1), (3, 1)]
     assert all(r["query_id"] == 0 for r in got)
+
+
+def test_label_coherence_prototypes(spark):
+    from scipi_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),   # tight cluster -> coherence 1.0
+        (2, [0.0, 1.0], 1),
+        (3, [0.0, -1.0], 1),  # antipodal -> centroid 0-ish, coherence ~0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r.asDict() for r in similarity.label_coherence(df).collect()}
+    assert got[0]["n"] == 2 and got[0]["centroid_norm"] == 1.0
+    assert got[0]["coherence"] == 1.0
+    assert got[1]["n"] == 2 and got[1]["centroid_norm"] == 0.0
+    assert got[1]["coherence"] is None  # zero-norm prototype: no direction
