@@ -311,10 +311,13 @@ def weighted_sample(
     weighted analog of :func:`deterministic_sample`: up-weight curated
     documents inside a fixed-size budget, reproducibly.
 
-    One window shuffle on the group column (or one global top-n when
-    ungrouped). Cross-engine caveat: ordering parity relies on ``ln``
-    agreeing between engines, which holds beyond 1-ulp ties — the same
-    contract the bigram cross-entropy oracle already uses."""
+    One window shuffle on the group column when grouped; ungrouped, a
+    global ``orderBy().limit(n)`` (TakeOrderedAndProject: per-partition
+    partial top-n, only n rows per partition reach the driver-side merge
+    — an empty-partitionBy window would funnel the whole corpus through
+    ONE task at 100 TB). Cross-engine caveat: ordering parity relies on
+    ``ln`` agreeing between engines, which holds beyond 1-ulp ties — the
+    same contract the bigram cross-entropy oracle already uses."""
     from pyspark.sql import Window
 
     c = F.col(key).cast("string")
@@ -322,12 +325,12 @@ def weighted_sample(
     # u in (0, 1]: (h + 1) / 2^32 over the full 8-hex-char range
     u = (h + F.lit(1).cast("double")) / F.lit(float(2**32))
     es_key = F.log(u) / F.col(weight_col).cast("double")
-    w = (
-        Window.partitionBy(group_col) if group_col else Window.partitionBy()
-    ).orderBy(F.desc("_es"), F.col(key))
+    scored = df.withColumn("_es", es_key)
+    if group_col is None:
+        return scored.orderBy(F.desc("_es"), F.col(key)).limit(n).drop("_es")
+    w = Window.partitionBy(group_col).orderBy(F.desc("_es"), F.col(key))
     return (
-        df.withColumn("_es", es_key)
-        .withColumn("_rn", F.row_number().over(w))
+        scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .drop("_es", "_rn")
     )

@@ -806,18 +806,24 @@ def perturbed_copies(
     df: DataFrame,
     dim: int = 64,
     factor: float = 0.1,
-    id_offset: int = 1_000_000,
+    id_offset: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "e",
 ) -> DataFrame:
     """Deterministic planted near-copies: e'_i = e_i + factor * e_{(i+1)
-    mod dim}, ids shifted by ``id_offset`` (cosine vs the original ~0.99
-    at factor=0.1 on random vectors). The SINGLE source of the planted
-    construction — the DuckDB oracle comprehension
+    mod dim}, ids shifted by ``id_offset`` — derived from the corpus
+    (max id + 1) when not given, so the planted namespace is disjoint at
+    ANY scale factor (a fixed constant collides once real ids reach it,
+    round-3 advice) while copies keep HIGHER ids than their originals
+    (semantic_dedup's lower-id-wins keep policy depends on it; cosine vs
+    the original ~0.99 at factor=0.1 on random vectors). The SINGLE
+    source of the planted construction — the DuckDB oracle comprehension
     ``[e[i] + 0.1 * e[(i % 64) + 1] for i in range(1, 65)]`` must stay
     bit-identical to this expression; keep them in lockstep."""
+    if id_offset is None:
+        id_offset = df.agg(F.max(id_col)).first()[0] + 1
     return df.select(
-        (F.col(id_col) + id_offset).alias(id_col),
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
         F.transform(
             vec_col,
             lambda x, i: x
@@ -1092,20 +1098,22 @@ def label_coherence(
     stats = comp.groupBy("label", "pos").agg(
         F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
     )
+    # Each prototype component divides by its OWN per-position count (the
+    # count rides along in the collect_list struct) — matching the
+    # oracle's per-position semantics unconditionally, including ragged
+    # or null-holding embedding arrays (round-3 advice; previously a
+    # single F.max(n) divided every component). The reported member
+    # count n stays max over positions on both sides.
     cents = (
         stats.groupBy("label")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sx"))),
-                lambda s: s.sx,
-            ).alias("sums"),
-            F.max("n").alias("n"),
+                F.array_sort(F.collect_list(F.struct("pos", "sx", "n"))),
+                lambda s: s.sx / s.n,
+            ).alias("c"),
+            F.max("n").cast("long").alias("n"),
         )
-        .select(
-            "label",
-            F.col("n").cast("long").alias("n"),
-            F.transform("sums", lambda sx: sx / F.col("n")).alias("c"),
-        )
+        .select("label", "n", "c")
     )
     cents = cents.withColumn("norm", F.sqrt(dot(F.col("c"), F.col("c"))))
     # a zero-norm prototype (exactly antipodal members) has no direction

@@ -47,10 +47,47 @@ def _canon(rows, columns):
     return out
 
 
+_SPARK_INT_TYPES = {"byte", "short", "int", "bigint", "tinyint", "smallint", "integer", "long"}
+_SPARK_FLOAT_TYPES = {"float", "double"}
+
+
+def _dtype_kind_audit(spark_df, duck_pdf) -> None:
+    """The driver hashes BOTH results through pandas — DuckDB HUGEINT
+    (sum over any integer column) lands as float64 while Spark's long
+    lands as int64, so value-identical results hash-mismatch (round-3
+    ``train_shards`` red row). Catch the class locally: an integer-typed
+    Spark column paired with a float-kind DuckDB column (or vice versa)
+    fails here even though the loose value compare would pass. Columns
+    with NULLs are exempt (pandas coerces both engines to float there)."""
+    spark_types = dict(spark_df.dtypes)
+    for col in duck_pdf.columns:
+        if col not in spark_types:
+            continue
+        st = spark_types[col]
+        dk = duck_pdf[col].dtype.kind
+        if duck_pdf[col].isnull().any():
+            continue
+        if st in _SPARK_INT_TYPES and dk == "f":
+            raise AssertionError(
+                f"column {col!r}: Spark {st} vs DuckDB float64 — the "
+                f"driver's pandas hash will mismatch (HUGEINT class); "
+                f"CAST the oracle expression AS BIGINT"
+            )
+        if st in _SPARK_FLOAT_TYPES and dk in "iu":
+            raise AssertionError(
+                f"column {col!r}: Spark {st} vs DuckDB integer — the "
+                f"driver's pandas hash will mismatch; CAST the oracle "
+                f"expression AS DOUBLE"
+            )
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> None:
     """Assert the Spark DataFrame and the DuckDB result match
-    (row count, column-name set, order-insensitive values)."""
+    (row count, column-name set, order-insensitive values, and
+    pandas-dtype-kind compatibility mirroring the driver's hash)."""
     con = duck_connection(sf_dir)
+    duck_pdf = con.execute(sql).df()
+    _dtype_kind_audit(spark_df, duck_pdf)
     duck = con.execute(sql)
     duck_cols = [d[0] for d in duck.description]
     duck_rows = duck.fetchall()

@@ -57,34 +57,31 @@ def test_coverage_totals_match_registry():
 
 def test_no_driver_evidence_holes():
     """The driver's correctness gate evaluates only the FIRST 50 keys of
-    queries() dict order per round. Every registered entry must therefore
-    either hold an archived green row (CORRECTNESS_r01/r02) or sit inside
-    the current first-50 window — otherwise it will finish the round with
-    no hard-signal evidence (round 2's #1 judge finding). Adding entries
-    mid-dict silently rotates previously-green ones out; this test turns
-    that mistake into a failure instead of a judge finding."""
-    import json
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parent.parent
-    archived: set[str] = set()
-    for rec in sorted(root.glob("CORRECTNESS_r*.json")):
-        archived |= set(json.load(rec.open()))
-    window = list(QUERIES)[:50]
-    holes = [k for k in QUERIES if k not in archived and k not in window]
-    # Entries added after the current round's window filled are allowed
-    # beyond position 50 ONLY if explicitly declared for next-round
-    # rotation AND placed immediately after the window, so the
-    # rotation is a mechanical move and nothing hides further back.
+    queries() dict order per round. Every entry without a still-current
+    archived green row (per archived_green_entries — hash-green AND code
+    fingerprint unchanged) must sit inside the first-50 window, or be
+    explicitly declared in PENDING_NEXT_WINDOW and placed immediately
+    after the window so _gate_order's self-heal is a mechanical move and
+    nothing hides further back. The position assertion is order-aware
+    (round-3 verdict #3): a pending entry is legal either in-window
+    (post-self-heal, after the round's CORRECTNESS file lands) or
+    immediately after position 50 (pre-archive)."""
+    archived = entrymod.archived_green_entries(QUERIES, ORACLES)
+    keys = list(QUERIES)
+    window = set(keys[:50])
     pending = entrymod.PENDING_NEXT_WINDOW
+
+    fresh = [k for k in keys if k not in archived]
+    holes = [k for k in fresh if k not in window]
     undeclared = [k for k in holes if k not in pending]
     assert not undeclared, (
-        f"{len(undeclared)} entries have no archived driver evidence, sit "
-        f"beyond the 50-entry gate window, and are not declared in "
-        f"PENDING_NEXT_WINDOW: {undeclared}"
+        f"{len(undeclared)} entries have no current archived driver "
+        f"evidence, sit beyond the 50-entry gate window, and are not "
+        f"declared in PENDING_NEXT_WINDOW: {undeclared}"
     )
-    just_after = set(list(QUERIES)[50 : 50 + len(pending)])
-    assert set(pending) == just_after, (
-        f"PENDING_NEXT_WINDOW entries must occupy positions 51..{50 + len(pending)} "
-        f"(found there: {sorted(just_after)}, declared: {sorted(pending)})"
+    just_after = set(keys[50 : 50 + len(pending)])
+    misplaced = [k for k in pending if k not in window and k not in just_after]
+    assert not misplaced, (
+        f"PENDING_NEXT_WINDOW entries must be in-window or immediately "
+        f"after position 50; misplaced: {sorted(misplaced)}"
     )

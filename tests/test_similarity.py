@@ -128,9 +128,10 @@ def test_semantic_dedup_drops_planted_copies(spark):
         threshold=0.95, n_centroids=8, nprobe=2, vec_col="e"
     )
     rows = {r["vec_id"]: r["kept"] for r in out.collect()}
-    originals = {k for k in rows if k < 1_000_000}
+    off = max(r["vec_id"] for r in ed.select("vec_id").collect()) + 1
+    originals = {k for k in rows if k < off}
     assert originals and all(rows[k] for k in originals)
-    assert all(not rows[k + 1_000_000] for k in originals)
+    assert all(not rows[k + off] for k in originals)
 
 
 def test_semantic_dedup_keep_policy_not_chaining(spark):
@@ -199,8 +200,9 @@ def test_knn_pq_finds_planted_neighbors(spark):
     both = ed.unionByName(sim.perturbed_copies(ed))
     qids = [r["vec_id"] for r in ed.select("vec_id").orderBy("vec_id").limit(5).collect()]
     pq = sim.knn_cosine_pq(both, qids, k=1, m=8, ksub=16, rerank=10, vec_col="e")
+    off = max(r["vec_id"] for r in ed.select("vec_id").collect()) + 1
     top1 = {r["query_id"]: r["vec_id"] for r in pq.collect()}
-    assert top1 == {q: q + 1_000_000 for q in qids}
+    assert top1 == {q: q + off for q in qids}
 
 
 def test_knn_join_matches_exact_and_is_symmetric_input(spark):
