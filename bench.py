@@ -47,6 +47,8 @@ HEADLINERS = [
     "text_quality_classifier",
     "bpe_train",
     "winnow_overlap",
+    "knn_cosine_pq",
+    "weighted_sample",
     "a8_assoc_projection",
     "events_json_hourly",
     "window_top_orders",

@@ -1,0 +1,127 @@
+"""Per-entry code fingerprints for the correctness-gate archive.
+
+An archived green CORRECTNESS row only remains valid while the code that
+produced it is unchanged. Each gate entry gets an md5 fingerprint over the
+exact code it can reach:
+
+- the entry callable's source, plus every module-level helper of the entry
+  module it (transitively) references by name;
+- the source of every scipi_spark function/class reachable from there,
+  resolved through each function's ``__globals__`` and followed
+  transitively ACROSS modules (so an edit to ``functions/text.py``
+  invalidates an entry that only names ``ingest``), at FUNCTION
+  granularity — appending a new operator to a module does NOT invalidate
+  the module's other entries (file-level hashing re-fronted 40+ entries
+  per round, defeating the archive);
+- module-level constants reachable the same way (regex strings, schemas,
+  thresholds): names matching ``^[A-Z][A-Z_0-9]*$`` hashed by repr (sets
+  are sorted first — their repr order is hash-randomized). Leading
+  underscore names are skipped on purpose: runtime caches like
+  ``_CENTROID_CACHE`` would make fingerprints nondeterministic;
+- the entry's DuckDB oracle SQL.
+
+ALGO_VERSION: bump when this algorithm changes, then regenerate
+GATE_FINGERPRINTS.json for past rounds against their archived trees
+(``git worktree add <dir> <round-commit>`` and re-stamp — see
+tools/stamp_round.py). Stamps computed by a different version are
+ignored, which safely (if noisily) re-fronts everything.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import re
+
+ALGO_VERSION = 2
+
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+_ATTR_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
+_CONST_RE = re.compile(r"^[A-Z][A-Z_0-9]*$")
+
+
+def _stable_repr(obj) -> str:
+    if isinstance(obj, (set, frozenset)):
+        return "set:" + repr(sorted(map(repr, obj)))
+    r = repr(obj)
+    if " at 0x" in r:  # address-bearing default reprs are not stable
+        return "unstable:" + type(obj).__name__
+    return r
+
+
+def _source_of(fn) -> str:
+    try:
+        return inspect.getsource(fn)
+    except (OSError, TypeError):
+        return "nosource:" + getattr(fn, "__name__", repr(type(fn)))
+
+
+def _is_traceable(obj) -> bool:
+    mod = getattr(obj, "__module__", "") or ""
+    return (inspect.isfunction(obj) or inspect.isclass(obj)) and (
+        mod.startswith("scipi_spark") or mod == "__spark_entry__"
+    )
+
+
+def reachable_sources(fn) -> str:
+    """Concatenated (sorted, deduped) sources of the scipi_spark
+    functions/classes and the reprs of the CONSTANT values reachable from
+    ``fn`` by word-level name references, following ``__globals__``
+    transitively across modules."""
+    seen: dict[str, str] = {}
+    stack = [fn]
+    visited: set[int] = set()
+    while stack:
+        f = stack.pop()
+        if id(f) in visited:
+            continue
+        visited.add(id(f))
+        src = _source_of(f)
+        key = f"{getattr(f, '__module__', '?')}.{getattr(f, '__name__', '?')}"
+        seen[key] = src
+        g = getattr(f, "__globals__", None)
+        if g is None:  # classes: use their module's namespace
+            import sys as _sys
+
+            m = _sys.modules.get(getattr(f, "__module__", ""), None)
+            g = vars(m) if m is not None else {}
+        for name in set(_NAME_RE.findall(src)):
+            if name not in g:
+                continue
+            obj = g[name]
+            if _is_traceable(obj):
+                stack.append(obj)
+            elif _CONST_RE.match(name) and not inspect.ismodule(obj):
+                seen[f"const:{name}"] = _stable_repr(obj)
+        # module-attribute references (``ingest.parse_oag``,
+        # ``textops.MAX_TOPIC_LEN``): resolve the attr through the module
+        for base, attr in set(_ATTR_RE.findall(src)):
+            mod = g.get(base)
+            if not inspect.ismodule(mod):
+                continue
+            if not (mod.__name__ or "").startswith("scipi_spark"):
+                continue
+            obj = getattr(mod, attr, None)
+            if _is_traceable(obj):
+                stack.append(obj)
+            elif (
+                obj is not None
+                and _CONST_RE.match(attr)
+                and not inspect.ismodule(obj)
+            ):
+                seen[f"const:{mod.__name__}.{attr}"] = _stable_repr(obj)
+    return "".join(seen[k] for k in sorted(seen))
+
+
+def entry_fingerprints(entries: dict, oracles: dict) -> dict[str, str]:
+    """md5 fingerprint per gate entry (see module docstring)."""
+    out: dict[str, str] = {}
+    for name, fn in entries.items():
+        try:
+            h = hashlib.md5(f"v{ALGO_VERSION}:".encode())
+            h.update(reachable_sources(fn).encode())
+            h.update(oracles.get(name, "").encode())
+            out[name] = h.hexdigest()
+        except Exception:
+            out[name] = "unfingerprintable"  # never matches a stamp → fresh
+    return out

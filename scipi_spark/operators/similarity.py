@@ -952,6 +952,7 @@ def knn_cosine_pq(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks=None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance computation (ADC):
     each query precomputes an (m, ksub) lookup table of subspace dot
@@ -965,8 +966,15 @@ def knn_cosine_pq(
     approximate (rising with rerank, ksub, and m)."""
     import numpy as np
 
-    C = pq_codebooks(
-        embeddings, m, ksub, train_iters, dim, id_col=id_col, vec_col=vec_col
+    # codebooks may be passed in (the production shape: a daily ANN job
+    # trains the quantizer once and every query batch reuses it; training
+    # is deterministic so a retrain is bit-identical)
+    C = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(
+            embeddings, m, ksub, train_iters, dim, id_col=id_col, vec_col=vec_col
+        )
     )
     base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")

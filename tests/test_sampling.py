@@ -184,6 +184,20 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert len([k for k in kept if k < 20]) >= 12  # heavy ids win
 
 
+def test_weighted_sample_ungrouped_plan_is_take_ordered(spark):
+    """The ungrouped path must compile to TakeOrderedAndProject
+    (per-partition partial top-n), NOT a global single-partition window
+    — an empty partitionBy would funnel the whole corpus through one
+    task at scale."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = sampling.weighted_sample(docs, n=5, weight_col="n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert out.count() == 5
+
+
 def test_source_mixture_plan_and_cap(spark):
     """Budgeted mixture: a source with fewer tokens than its target is
     fully admitted (rate = N_BUCKETS); a downsampled source's admitted
