@@ -1379,6 +1379,35 @@ def _q_knn_pq(spark, sf_dir):
     )
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch global shuffle (training-data ordering):
+    stable order key from md5(doc_id ':' epoch), shard from the key,
+    position within shard — the same permutation on every run and
+    engine, independent per epoch."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, epoch=2, n_shards=8).select(
+        "doc_id", "order_key", "shard", "pos"
+    )
+
+
+def _q_corpus_stats_diff(spark, sf_dir):
+    """Dataset-card diff between two corpus snapshots (same deterministic
+    carving as snapshot_diff): per source, doc/char totals on both sides
+    plus deltas — the shape audit a re-crawl publishes next to its CDC
+    diff."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 2)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 7, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return textops.corpus_stats_diff(old, new)
+
+
 def _q_knn_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
@@ -1411,6 +1440,31 @@ def _q_text_bm25(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return textops.bm25_search(docs, BM25_QUERY, topk=10)
+
+
+def _q_bm25_store_search(spark, sf_dir):
+    """The persisted-index variant of ``text_bm25``: the corpus postings
+    are written ONCE per (app, sf) by ``write_text_index_store`` —
+    bucketed+sorted on term, so the query's IN-filter bucket-prunes the
+    scan (plan-asserted in tests) — and each search touches only the
+    query terms' postings plus one narrow doclen scan. Same scores, same
+    oracle as ``text_bm25``; the production shape of serving keyword
+    search over a 100 TB corpus."""
+    import os as _os
+
+    from scipi_spark.operators import textops
+
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "text_index_postings_" + sfname.replace(".", "_")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "spark-warehouse", table
+    )
+    key = ("text_index", spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        textops.write_text_index_store(docs, path, table=table)
+        _SIG_STORE_CACHE[key] = True
+    return textops.bm25_from_store(spark, path, BM25_QUERY, table=table, topk=10)
 
 
 def _q_events_pivot_wide(spark, sf_dir):
@@ -1848,6 +1902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "pq_encode": _q_pq_encode,
         "knn_cosine_pq": _q_knn_pq,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "corpus_stats_diff": _q_corpus_stats_diff,
+        "bm25_store_search": _q_bm25_store_search,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -2828,6 +2885,52 @@ def oracle_sql() -> dict[str, str]:
                      AS centroid_norm,
                    coh.coherence
             FROM cents ct LEFT JOIN coh USING (label)
+        """,
+        # deterministic per-epoch shuffle: order key, shard, and in-shard
+        # position all pinned per document
+        "epoch_shuffle": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2'),
+                                          1, 12)) AS BIGINT) AS order_key
+              FROM documents
+            )
+            SELECT doc_id, order_key,
+                   order_key % 8 AS shard,
+                   CAST(row_number() OVER (PARTITION BY order_key % 8
+                                           ORDER BY order_key, doc_id)
+                        AS BIGINT) AS pos
+            FROM s
+        """,
+        # per-source snapshot shape diff on the same carving as
+        # snapshot_diff (ids ≡2 mod 13 added, ≡5 dropped, ≡7 revised)
+        "corpus_stats_diff": """
+            WITH oldc AS (
+              SELECT source, text FROM documents WHERE doc_id % 13 <> 2
+            ), newc AS (
+              SELECT source,
+                     CASE WHEN doc_id % 13 = 7 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 5
+            ), ao AS (
+              SELECT source AS grp, count(*) AS d,
+                     CAST(sum(length(text)) AS BIGINT) AS c
+              FROM oldc GROUP BY 1
+            ), an AS (
+              SELECT source AS grp, count(*) AS d,
+                     CAST(sum(length(text)) AS BIGINT) AS c
+              FROM newc GROUP BY 1
+            )
+            SELECT coalesce(ao.grp, an.grp) AS grp,
+                   CAST(coalesce(ao.d, 0) AS BIGINT) AS docs_old,
+                   CAST(coalesce(an.d, 0) AS BIGINT) AS docs_new,
+                   CAST(coalesce(an.d, 0) - coalesce(ao.d, 0) AS BIGINT)
+                     AS docs_delta,
+                   CAST(coalesce(ao.c, 0) AS BIGINT) AS chars_old,
+                   CAST(coalesce(an.c, 0) AS BIGINT) AS chars_new,
+                   CAST(coalesce(an.c, 0) - coalesce(ao.c, 0) AS BIGINT)
+                     AS chars_delta
+            FROM ao FULL JOIN an ON ao.grp = an.grp
         """,
         # A-ES weighted sampling: u from the same md5 prefix, rank key
         # ln(u)/w — winner-exact across engines (ln parity contract)
@@ -4361,6 +4464,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the store-backed increment produces byte-identical output to the
     # raw-corpus increment (equivalence pytest-pinned) — same oracle
     d["dedup_store_increment"] = d["dedup_increment"]
+    # the persisted-index BM25 search produces the same scores as the
+    # raw-corpus search (equivalence pytest-pinned) — same oracle
+    d["bm25_store_search"] = d["text_bm25"]
     d["dedup_paragraph"] = r"""
         WITH toks AS (
           SELECT doc_id,

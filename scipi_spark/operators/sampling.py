@@ -174,6 +174,39 @@ def shard_assignment(
     return df.withColumn("shard", hash_bucket(key, n_shards))
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training-data ordering:
+    every row gets a stable pseudo-random order key from
+    ``md5(key || ':' || epoch)``, a shard from that key, and its position
+    within the shard. The SAME order reproduces on every run, engine, and
+    partitioning, and each epoch is an independent permutation — the
+    property a training job needs to resume mid-epoch or re-materialize a
+    shard without re-shuffling the corpus differently.
+
+    Scale shape: the order hash is scan-fused; one exchange on ``shard``
+    (what writing shards needs anyway) and a within-shard sort — never a
+    global sort. Reading side streams shard files in position order."""
+    from pyspark.sql import Window
+
+    c = F.col(key).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(c, F.lit(":"), F.lit(str(epoch)))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("order_key", F.col(key))
+    return (
+        df.withColumn("order_key", h)
+        .withColumn("shard", (F.col("order_key") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
 def source_mixture_plan(
     df: DataFrame,
     weights: dict[str, float],

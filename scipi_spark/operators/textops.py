@@ -576,6 +576,97 @@ def bm25_search(
     )
 
 
+def write_text_index_store(
+    df: DataFrame,
+    path: str,
+    table: str = "text_index_postings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the corpus's BM25 state once so later searches probe it
+    with ZERO corpus-side recompute (the search-index twin of
+    ``dedup.write_signature_store``):
+
+    - table ``<table>`` (data at ``<path>/postings``): (term, doc, tf)
+      postings bucketed AND sorted on ``term`` — an ``IN`` filter over
+      the query's terms bucket-prunes the scan (the plan shows
+      ``SelectedBucketsCount: q of n``), so a 3-term query reads at most
+      3/16ths of the postings no matter how large the corpus is;
+    - ``<path>/doclen`` — (doc, dl) per-document token lengths;
+    - ``<path>/stats`` — 1 row (N, avgdl).
+
+    Tokenization is byte-identical to :func:`bm25_search`, so
+    :func:`bm25_from_store` returns the same scores (equivalence is
+    pytest-pinned)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    terms = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+    (
+        terms.groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .option("path", path.rstrip("/") + "/postings")
+        .saveAsTable(table)
+    )
+    lens = df.select(
+        F.col(id_col).alias("doc"), F.size(toks).cast("long").alias("dl")
+    )
+    lens.write.mode("overwrite").parquet(path.rstrip("/") + "/doclen")
+    lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+
+
+def bm25_from_store(
+    spark,
+    path: str,
+    query_terms: list[str],
+    table: str = "text_index_postings",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 against a persisted index (:func:`write_text_index_store`)
+    — same scores as :func:`bm25_search` without touching the corpus text:
+    the postings scan bucket-prunes to the query's terms, document-frequency
+    aggregates over bucketed postings without an Exchange, and the
+    corpus-sized doclen table is scanned narrow once and broadcast-joined
+    against the tiny query-term posting set. O(postings of the query's
+    terms), not O(corpus)."""
+    q = [t for t in query_terms if t]
+    tf = spark.table(table).filter(F.col("term").isin(q))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    lens = spark.read.parquet(path.rstrip("/") + "/doclen")
+    stats = spark.read.parquet(path.rstrip("/") + "/stats")
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    # broadcast the query-side postings so the corpus-sized doclen table
+    # never shuffles: narrow scan + broadcast hash join
+    scored = (
+        lens.join(F.broadcast(tf.join(F.broadcast(dfreq), "term")), "doc")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc"))
+        .limit(topk)
+        .select(F.col("doc").alias(id_col), "bm25")
+    )
+
+
 def bigram_cross_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -843,6 +934,41 @@ def corpus_stats(
                 6,
             ).alias("short_frac"),
         )
+    )
+
+
+def corpus_stats_diff(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card diff between two corpus snapshots: per group, doc and
+    char totals on each side plus their deltas — the audit table a
+    re-crawl / re-filter run publishes next to its CDC diff (which docs
+    changed is ``dedup.snapshot_diff``; this is what the change did to
+    the corpus shape). Groups present on only one side report zeros for
+    the missing side.
+
+    Two partial-aggregated groupBys (each output is |groups| rows) and
+    one tiny full-outer join on the group key — the corpus is scanned
+    once per snapshot and never shuffled beyond the group aggregation."""
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).alias(f"docs_{tag}"),
+            F.sum(F.length(text_col)).cast("long").alias(f"chars_{tag}"),
+        )
+
+    joined = agg(old, "old").join(agg(new, "new"), "grp", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return joined.select(
+        "grp",
+        z("docs_old").alias("docs_old"),
+        z("docs_new").alias("docs_new"),
+        (z("docs_new") - z("docs_old")).alias("docs_delta"),
+        z("chars_old").alias("chars_old"),
+        z("chars_new").alias("chars_new"),
+        (z("chars_new") - z("chars_old")).alias("chars_delta"),
     )
 
 

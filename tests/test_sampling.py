@@ -184,6 +184,33 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert len([k for k in kept if k < 20]) >= 12  # heavy ids win
 
 
+def test_epoch_shuffle_is_deterministic_and_epoch_independent(spark):
+    """Same epoch → identical (shard, pos) regardless of partitioning;
+    different epochs → different permutations; every shard's positions
+    are 1..n dense."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    a = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in sampling.epoch_shuffle(docs, epoch=1).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in sampling.epoch_shuffle(docs.repartition(16), epoch=1).collect()
+    }
+    assert a == b
+    c = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in sampling.epoch_shuffle(docs, epoch=2).collect()
+    }
+    assert a != c  # a different epoch is a different permutation
+    by_shard: dict = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
 def test_weighted_sample_ungrouped_plan_is_take_ordered(spark):
     """The ungrouped path must compile to TakeOrderedAndProject
     (per-partition partial top-n), NOT a global single-partition window

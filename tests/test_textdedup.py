@@ -456,6 +456,53 @@ def test_signature_store_probe_is_corpus_shuffle_free(spark, tmp_path):
     assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
 
 
+def test_bm25_store_matches_direct_search(spark, tmp_path):
+    """The persisted-index BM25 returns the same (doc, score) ranking as
+    the raw-corpus search — equivalence that lets the gate entry share
+    text_bm25's oracle."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS bm25store_test")
+    textops.write_text_index_store(
+        docs, str(tmp_path / "idx"), table="bm25store_test"
+    )
+    q = ["join", "hash", "scan"]
+    from_store = sorted(
+        map(
+            tuple,
+            textops.bm25_from_store(
+                spark, str(tmp_path / "idx"), q, table="bm25store_test", topk=10
+            ).collect(),
+        )
+    )
+    direct = sorted(map(tuple, textops.bm25_search(docs, q, topk=10).collect()))
+    assert from_store == direct and direct
+
+
+def test_bm25_store_scan_bucket_prunes_to_query_terms(spark, tmp_path):
+    """The index's reason to exist: an IN filter over the query terms must
+    bucket-prune the postings scan (SelectedBucketsCount < total), so a
+    3-term query reads a bounded slice of the index no matter the corpus
+    size."""
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS bm25store_plan")
+    textops.write_text_index_store(
+        docs, str(tmp_path / "idx"), table="bm25store_plan", n_buckets=16
+    )
+    out = textops.bm25_from_store(
+        spark, str(tmp_path / "idx"), ["join", "hash", "scan"],
+        table="bm25store_plan", topk=10,
+    )
+    jvm = spark._jvm
+    plan = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan[:3000]
+    assert int(m.group(1)) <= 3 < int(m.group(2)) == 16, m.groups()
+
+
 def test_paragraph_dedup_stats(spark):
     from scipi_spark.operators import dedup
 
@@ -769,6 +816,29 @@ def test_corpus_stats_known_values(spark):
     assert got["s1"]["short_frac"] == 1.0
     assert got["s2"]["total_tokens"] == 1
     assert got["s2"]["short_frac"] == 0.0
+
+
+def test_corpus_stats_diff_handles_one_sided_groups(spark):
+    """A group present only in one snapshot reports zeros for the missing
+    side and signed deltas."""
+    old = spark.createDataFrame(
+        [(1, "aaaa", "s1"), (2, "bb", "s1"), (3, "cc", "gone")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "aaaa", "s1"), (4, "dddddd", "fresh")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["grp"]: r.asDict()
+        for r in textops.corpus_stats_diff(old, new).collect()
+    }
+    assert got["s1"] == {
+        "grp": "s1", "docs_old": 2, "docs_new": 1, "docs_delta": -1,
+        "chars_old": 6, "chars_new": 4, "chars_delta": -2,
+    }
+    assert got["gone"]["docs_new"] == 0 and got["gone"]["docs_delta"] == -1
+    assert got["fresh"]["docs_old"] == 0 and got["fresh"]["chars_delta"] == 6
 
 
 def _py_bpe(texts, n_merges):
