@@ -1408,6 +1408,33 @@ def _q_corpus_stats_diff(spark, sf_dir):
     return textops.corpus_stats_diff(old, new)
 
 
+def _q_cms_keyword_counts(spark, sf_dir):
+    """Count-min sketch over the keyword stream, self-verifying like the
+    HLL entry: for the top-5 exact keywords, emit the exact count, the
+    CMS estimate, and the one-sided bound check (estimate >= exact always
+    holds for count-min). Portable md5 row hashes make the whole sketch
+    — build and probe — replayable bit-identically in the oracle."""
+    pubs = publications_analog(spark, sf_dir)
+    items = pubs.select(F.explode("keywords").alias("keyword_name"))
+    sketch = analytics.count_min_sketch(items, depth=4, width=256)
+    exact = analytics.keyword_count(pubs)
+    top5 = (
+        exact.orderBy(F.desc("keyword_count"), F.asc("keyword_name"))
+        .limit(5)
+        .select(
+            F.col("keyword_name").alias("key"),
+            F.col("keyword_count").alias("exact_count"),
+        )
+    )
+    est = analytics.cms_estimate(sketch, top5, depth=4, width=256)
+    return top5.join(est, "key").select(
+        F.col("key").alias("keyword"),
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_count")).alias("lower_bound_ok"),
+    )
+
+
 def _q_knn_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
@@ -1905,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "corpus_stats_diff": _q_corpus_stats_diff,
         "bm25_store_search": _q_bm25_store_search,
+        "cms_keyword_counts": _q_cms_keyword_counts,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -2885,6 +2913,43 @@ def oracle_sql() -> dict[str, str]:
                      AS centroid_norm,
                    coh.coherence
             FROM cents ct LEFT JOIN coh USING (label)
+        """,
+        # count-min sketch replayed bit-identically: same md5 row hashes,
+        # same 4x256 cells, same min-over-rows probe; lower_bound_ok is
+        # the CMS one-sided guarantee (estimate >= exact, always)
+        "cms_keyword_counts": """
+            WITH items AS (
+              SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS key
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), ex AS (
+              SELECT key, unnest(range(0, 4)) AS d FROM items
+            ), sk AS (
+              SELECT d,
+                     CAST(('0x' || substr(md5(key || ':' || CAST(d AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 256 AS bucket,
+                     count(*) AS c
+              FROM ex GROUP BY 1, 2
+            ), exact AS (
+              SELECT key, CAST(count(*) AS BIGINT) AS exact_count
+              FROM items GROUP BY 1
+            ), top5 AS (
+              SELECT key, exact_count FROM exact
+              ORDER BY exact_count DESC, key LIMIT 5
+            ), probe AS (
+              SELECT t.key, t.exact_count, dd.d,
+                     CAST(('0x' || substr(md5(t.key || ':'
+                                              || CAST(dd.d AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 256 AS bucket
+              FROM top5 t, (SELECT unnest(range(0, 4)) AS d) dd
+            )
+            SELECT p.key AS keyword,
+                   p.exact_count,
+                   CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cms_est,
+                   min(coalesce(sk.c, 0)) >= p.exact_count AS lower_bound_ok
+            FROM probe p LEFT JOIN sk USING (d, bucket)
+            GROUP BY 1, 2
         """,
         # deterministic per-epoch shuffle: order key, shard, and in-shard
         # position all pinned per document

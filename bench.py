@@ -36,6 +36,7 @@ HEADLINERS = [
     "dedup_store_increment",
     "dedup_ngram_jaccard",
     "text_bm25",
+    "bm25_store_search",
     "text_perplexity",
     "knn_cosine_brute",
     "knn_cosine_lsh",

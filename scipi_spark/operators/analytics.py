@@ -51,6 +51,76 @@ def keyword_count_salted(pubs: DataFrame, salt_buckets: int = 8) -> DataFrame:
     )
 
 
+def count_min_sketch(
+    items: DataFrame,
+    key_col: str = "keyword_name",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of a key stream (Cormode-Muthukrishnan): ``depth``
+    independent hash rows of ``width`` buckets; a key's estimate is the
+    MIN over rows of its bucket's count — always >= the true count, and
+    over-counts by at most ~2N/width with probability 1-2^-depth.
+
+    The engine primitive for memory-bounded frequency monitoring at
+    100 TB: the sketch is depth x width aggregated longs (here 1024 cells)
+    regardless of key cardinality, mergeable across partitions/batches by
+    cell-wise addition (the groupBy's partial aggregation IS that merge).
+    Hashes are the repo's portable md5 buckets, so the DuckDB oracle
+    replays the sketch bit-identically."""
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    exploded = items.select(
+        F.col(key_col).alias("key"), F.explode(rows).alias("d")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("key"), F.lit(":"), F.col("d").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        exploded.select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: min over depth
+    rows of the key's bucket count. The sketch (depth x width rows) is
+    broadcast; the probe never shuffles."""
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    probe = keys.select(
+        F.col(key_col).alias("key"), F.explode(rows).alias("d")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("key"), F.lit(":"), F.col("d").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        probe.select("key", "d", bucket.alias("bucket"))
+        .join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
 def fos_count(pubs: DataFrame) -> DataFrame:
     """P8: identical shape over fields-of-study."""
     return (

@@ -33,3 +33,34 @@ def test_salted_equals_plain(spark):
     plain = sorted(map(tuple, analytics.keyword_count(pubs).collect()))
     salted = sorted(map(tuple, analytics.keyword_count_salted(pubs).collect()))
     assert plain == salted
+
+
+def test_count_min_sketch_bounds_and_collisions(spark):
+    """CMS one-sided guarantee: estimate >= exact for EVERY key, with
+    equality when the width is collision-free and strict overcounts under
+    forced collision pressure (width 2 << key cardinality)."""
+    from pyspark.sql import functions as F
+
+    pubs = publications_analog(spark, SF_SMOKE)
+    items = pubs.select(F.explode("keywords").alias("keyword_name"))
+    exact = {
+        r["keyword_name"]: r["keyword_count"]
+        for r in analytics.keyword_count(pubs).collect()
+    }
+    keys = spark.createDataFrame([(k,) for k in exact], "key string")
+
+    wide = analytics.count_min_sketch(items, depth=4, width=4096)
+    est_wide = {
+        r["key"]: r["cms_est"]
+        for r in analytics.cms_estimate(wide, keys, depth=4, width=4096).collect()
+    }
+    assert est_wide == exact  # 25 keys in 4096 buckets: no collisions
+
+    narrow = analytics.count_min_sketch(items, depth=2, width=2)
+    est_narrow = {
+        r["key"]: r["cms_est"]
+        for r in analytics.cms_estimate(narrow, keys, depth=2, width=2).collect()
+    }
+    assert all(est_narrow[k] >= exact[k] for k in exact)
+    assert any(est_narrow[k] > exact[k] for k in exact)  # collisions occurred
+    assert sum(exact.values()) >= max(est_narrow.values())  # bounded by N
