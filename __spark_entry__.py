@@ -1435,6 +1435,44 @@ def _q_cms_keyword_counts(spark, sf_dir):
     )
 
 
+def _q_quality_percentile(spark, sf_dir):
+    """Per-source quality percentile rank — the cross-source-bias-free
+    quality threshold (a global cutoff starves noisy sources; ranking
+    within each source keeps the top X% of each). Ties break by doc_id,
+    so the rank is fully deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_percentile(docs)
+
+
+def _q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership, self-verifying: the filter is built over
+    every doc_id, then probed with 10 present ids and 10 keys from a
+    disjoint namespace. ``fn_free`` (no false negative: present implies
+    might_contain) must be true on every row — the Bloom guarantee —
+    while absent keys may or may not collide into false positives; both
+    engines replay the exact same bits, so even the collisions match."""
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.col("doc_id").cast("string").alias("key"))
+    bloom = analytics.bloom_build(items, m_bits=4096, k_hashes=4)
+    present = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("key"), F.lit(True).alias("present")
+    )
+    absent = spark.range(0, 10).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("key"),
+        F.lit(False).alias("present"),
+    )
+    probes = present.unionByName(absent)
+    got = analytics.bloom_might_contain(
+        bloom, probes, m_bits=4096, k_hashes=4
+    )
+    return probes.join(got, "key").select(
+        "key",
+        "present",
+        "might_contain",
+        (~F.col("present") | F.col("might_contain")).alias("fn_free"),
+    )
+
+
 def _q_knn_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-10 most-similar DIFFERENT-label vectors (near-miss negatives).
@@ -1933,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_diff": _q_corpus_stats_diff,
         "bm25_store_search": _q_bm25_store_search,
         "cms_keyword_counts": _q_cms_keyword_counts,
+        "quality_percentile": _q_quality_percentile,
+        "bloom_membership": _q_bloom_membership,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -2913,6 +2953,59 @@ def oracle_sql() -> dict[str, str]:
                      AS centroid_norm,
                    coh.coherence
             FROM cents ct LEFT JOIN coh USING (label)
+        """,
+        # per-source percent_rank over the same q_score the text_quality
+        # oracle computes; ties broken by doc_id so ranks are exact
+        "quality_percentile": _TOKS_CTE + f"""
+            , feat AS (
+              SELECT t.doc_id, d.source AS grp,
+                round(least(1.0,
+                      0.5 * (CAST(length(regexp_replace(t.text, '[^a-zA-Z]',
+                                                        '', 'g')) AS DOUBLE)
+                             / greatest(length(t.text), 1))
+                      + 0.3 * least(4 * CAST(len(list_filter(t.t,
+                                x -> list_contains({_STOPWORDS_SQL}, x)))
+                                AS DOUBLE) / greatest(len(t.t), 1), 1.0)
+                      + CASE WHEN CAST(length(t.text) AS DOUBLE)
+                                  / greatest(len(t.t), 1) BETWEEN 3 AND 10
+                             THEN 0.2 ELSE 0.0 END), 6) AS q_score
+              FROM toks t JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, grp, q_score,
+                   round(percent_rank() OVER (PARTITION BY grp
+                                              ORDER BY q_score, doc_id), 6)
+                     AS q_pct
+            FROM feat
+        """,
+        # Bloom filter replayed bit-identically: same md5 bit positions,
+        # same 4096-bit space — even false positives match across engines
+        "bloom_membership": """
+            WITH keys AS (
+              SELECT CAST(doc_id AS VARCHAR) AS key FROM documents
+            ), dd AS (
+              SELECT unnest(range(0, 4)) AS d
+            ), bits AS (
+              SELECT DISTINCT
+                     CAST(('0x' || substr(md5(key || ':' || CAST(d AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 4096 AS bit
+              FROM keys, dd
+            ), probes AS (
+              SELECT CAST(i AS VARCHAR) AS key, TRUE AS present
+              FROM range(0, 10) t(i)
+              UNION ALL
+              SELECT 'absent:' || CAST(i AS VARCHAR), FALSE
+              FROM range(0, 10) t(i)
+            ), pb AS (
+              SELECT key, present,
+                     CAST(('0x' || substr(md5(key || ':' || CAST(d AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 4096 AS bit
+              FROM probes, dd
+            )
+            SELECT pb.key, pb.present,
+                   bool_and(b.bit IS NOT NULL) AS might_contain,
+                   (NOT pb.present) OR bool_and(b.bit IS NOT NULL) AS fn_free
+            FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+            GROUP BY 1, 2
         """,
         # count-min sketch replayed bit-identically: same md5 row hashes,
         # same 4x256 cells, same min-over-rows probe; lower_bound_ok is

@@ -121,6 +121,77 @@ def cms_estimate(
     )
 
 
+def bloom_build(
+    items: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter of a key set as a DataFrame of DISTINCT set bit
+    positions — at most ``m_bits`` rows regardless of key cardinality,
+    mergeable across batches by unioning bit sets (a distinct union IS
+    the Bloom OR). Portable md5 row hashes, so the oracle replays the
+    filter bit-identically. The membership primitive for join pruning
+    and decontamination pre-screens at 100 TB: ship kilobits, not keys."""
+    rows = F.array(*[F.lit(d) for d in range(k_hashes)])
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("key"), F.lit(":"), F.col("d").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    return (
+        items.select(F.col(key_col).alias("key"), F.explode(rows).alias("d"))
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe the Bloom filter: a key might be a member iff ALL of its
+    ``k_hashes`` bit positions are set. No false negatives, ever; false
+    positives at the classic (1-e^{-kn/m})^k rate. The bit set (<= m_bits
+    rows) broadcasts; the probe never shuffles the corpus."""
+    rows = F.array(*[F.lit(d) for d in range(k_hashes)])
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("key"), F.lit(":"), F.col("d").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    probe = probes.select(
+        F.col(key_col).alias("key"), F.explode(rows).alias("d")
+    ).select("key", bit.alias("bit"))
+    hit = F.when(F.col("b").isNotNull(), 1).otherwise(0)
+    return (
+        probe.join(
+            F.broadcast(bloom.select(F.col("bit").alias("b"))),
+            probe["bit"] == F.col("b"),
+            "left",
+        )
+        .groupBy("key")
+        .agg((F.min(hit) == 1).alias("might_contain"))
+    )
+
+
 def fos_count(pubs: DataFrame) -> DataFrame:
     """P8: identical shape over fields-of-study."""
     return (

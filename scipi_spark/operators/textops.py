@@ -88,6 +88,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_percentile(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_frac: float | None = None,
+) -> DataFrame:
+    """Per-group quality percentile rank (percent_rank over ``q_score``
+    within each source), the cross-source-bias-free form of quality
+    thresholding: one GLOBAL cutoff keeps most of a clean source and
+    starves a noisy one, while ranking within source keeps the top X% of
+    EACH — the curation shape web-corpus pipelines actually use when
+    mixing crawls of very different baseline quality. Ties break by id,
+    so the rank (and any ``keep_frac`` cut) is deterministic.
+
+    One window shuffle on the group column; the quality features are
+    scan-fused Column expressions (no UDF, no second pass)."""
+    from pyspark.sql import Window
+
+    scored = quality_features(df, text_col=text_col).select(
+        F.col(id_col), F.col(group_col).alias("grp"), F.col("q_score")
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("q_score"), F.asc(id_col))
+    out = scored.select(
+        id_col,
+        "grp",
+        "q_score",
+        F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+    )
+    if keep_frac is not None:
+        out = out.filter(F.col("q_pct") >= 1.0 - keep_frac)
+    return out
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col

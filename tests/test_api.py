@@ -64,3 +64,51 @@ def test_count_min_sketch_bounds_and_collisions(spark):
     assert all(est_narrow[k] >= exact[k] for k in exact)
     assert any(est_narrow[k] > exact[k] for k in exact)  # collisions occurred
     assert sum(exact.values()) >= max(est_narrow.values())  # bounded by N
+
+
+def test_bloom_no_false_negatives_and_fp_pressure(spark):
+    """Bloom guarantee: EVERY inserted key probes true, at any width;
+    a deliberately tiny filter (m_bits=8) still has zero false negatives
+    while absent keys mostly collide to true (false positives)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    items = docs.select(F.col("doc_id").cast("string").alias("key"))
+    n = items.count()
+    for m_bits in (8, 4096):
+        bloom = analytics.bloom_build(items, m_bits=m_bits, k_hashes=4)
+        got = {
+            r["key"]: r["might_contain"]
+            for r in analytics.bloom_might_contain(
+                bloom, items, m_bits=m_bits, k_hashes=4
+            ).collect()
+        }
+        assert len(got) == n and all(got.values())
+    absent = spark.createDataFrame(
+        [(f"nope:{i}",) for i in range(50)], "key string"
+    )
+    tiny = analytics.bloom_build(items, m_bits=8, k_hashes=4)
+    fp = {
+        r["key"]: r["might_contain"]
+        for r in analytics.bloom_might_contain(
+            tiny, absent, m_bits=8, k_hashes=4
+        ).collect()
+    }
+    assert sum(fp.values()) > 40  # 8-bit filter over 50 keys: saturated
+
+
+def test_quality_percentile_keep_frac_is_per_source(spark):
+    """keep_frac keeps the top fraction of EACH source — the whole point
+    vs a global cutoff."""
+    from scipi_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    kept = textops.quality_percentile(docs, keep_frac=0.4)
+    per_src = {r["grp"]: r["n"] for r in kept.groupBy("grp").count()
+               .withColumnRenamed("count", "n").collect()}
+    totals = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert set(per_src) == set(totals)
+    for src, tot in totals.items():
+        # percent_rank >= 0.6 keeps ~40% of each source (exact count
+        # depends on rank granularity; bounded within 2 of the target)
+        assert abs(per_src[src] - 0.4 * (tot - 1) - 1) <= 2, (src, per_src[src], tot)
