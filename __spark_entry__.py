@@ -1943,10 +1943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity": _q_text_perplexity,
         "train_shards": _q_train_shards,
         "dedup_store_increment": _q_dedup_store_increment,
-        # -- positions 51+ first block: NEW entries added after the
-        # 50-entry window filled this round (see PENDING_NEXT_WINDOW —
-        # they rotate to the front of the dict next round; the guard
-        # test pins both the set and the position).
+        # -- declaration order below is historical; _gate_order re-sorts
+        # every round (fresh entries front, archived-green behind). The
+        # round-3 late additions and the round-4 operators are all fresh
+        # this round and self-sort into the window.
         "source_mixture": _q_source_mixture,
         "text_boilerplate": _q_text_boilerplate,
         "text_quality_classifier": _q_text_quality_classifier,
