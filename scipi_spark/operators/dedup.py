@@ -337,27 +337,49 @@ def winnow_overlap_pairs(
     corpus grows), while docs made of pure boilerplate simply drop out
     (no distinctive fingerprints left). It is also the scale fix: the
     ubiquitous fingerprint is exactly the one whose posting list makes
-    the self-join quadratic (measured 9.7s -> ~3s at sf0.1, cap 50)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
-        eager=True
-    )
+    pairing quadratic (measured 9.7s -> ~3s at sf0.1, cap 50).
+
+    Pairing plan: ONE groupBy(fp) builds bounded posting lists (<= cap
+    docs each, an executor-safe collect_list), pairs expand NARROW from
+    each list (|ds|² - |ds| rows, <= cap² per fingerprint by
+    construction), and both the doc-frequency cap and the denominator
+    sizes fall out of the same lists — replacing the previous
+    [materialize fps -> df-count shuffle -> cap join -> re-materialize ->
+    fp-keyed self-join (two more shuffles)] chain (measured ~4.7s ->
+    ~3.3s warm at sf0.1 for the planted-compound entry, identical
+    output; the residual cost is the pair aggregation itself — ~2M pair
+    rows on that corpus — which the self-join paid too)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    plists = fps.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
     if max_doc_freq is not None:
-        df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        fps = fps.join(
-            df_counts.filter(F.col("df") <= max_doc_freq).select("fp"), "fp"
-        ).localCheckpoint(eager=True)
-    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
-    a = fps.alias("a")
-    b = fps.alias("b")
+        plists = plists.filter(F.size("ds") <= max_doc_freq)
+    plists = plists.localCheckpoint(eager=True)
+    # denominator: of the doc's DISTINCTIVE (cap-surviving) fingerprints
+    sizes = (
+        plists.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda x: F.transform(
+                    F.col("ds"),
+                    lambda y: F.struct(
+                        x.alias("contained"), y.alias("container")
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.contained != s.container,
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
+        plists.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("contained"),
-            F.col("b.doc_id").alias("container"),
+            F.col("p.contained").alias("contained"),
+            F.col("p.container").alias("container"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
