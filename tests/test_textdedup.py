@@ -785,6 +785,42 @@ def test_winnowing_guarantee_and_density(spark):
     assert 0 < n1 <= n_grams
 
 
+def test_winnowing_guarantee_randomized(spark):
+    """Property form of the Schleimer guarantee: for 30 seeded-random doc
+    pairs each sharing a verbatim run of length >= k + w - 1 (embedded at
+    random offsets in otherwise-random text), EVERY pair shares at least
+    one fingerprint. One Spark job for all pairs."""
+    import random
+    import string
+
+    k, w = 8, 4
+    rng = random.Random(20260814)
+    alpha = string.ascii_lowercase + string.digits
+
+    def chunk(n):
+        # single-space-separated words: survives normalize_text unchanged
+        out = []
+        while sum(len(x) + 1 for x in out) < n:
+            out.append("".join(rng.choice(alpha) for _ in range(rng.randint(2, 9))))
+        return " ".join(out)
+
+    rows = []
+    for i in range(30):
+        run = chunk(rng.randint(k + w - 1, 48))
+        rows.append((2 * i, f"{chunk(rng.randint(0, 60))} {run} {chunk(rng.randint(0, 60))}".strip()))
+        rows.append((2 * i + 1, f"{chunk(rng.randint(0, 60))} {run} {chunk(rng.randint(0, 60))}".strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=k, w=w)
+    by_doc: dict = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    missing = [
+        i for i in range(30)
+        if not (by_doc.get(2 * i, set()) & by_doc.get(2 * i + 1, set()))
+    ]
+    assert not missing, f"pairs without a shared fingerprint: {missing}"
+
+
 def test_winnow_overlap_flags_excerpt(spark):
     body = " ".join(f"tok{i}" for i in range(30))
     df = _docs(spark, [(1, body), (2, body + " extra tail content here beyond"), (3, "unrelated words only")])
