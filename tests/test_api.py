@@ -112,3 +112,39 @@ def test_quality_percentile_keep_frac_is_per_source(spark):
         # percent_rank >= 0.6 keeps ~40% of each source (exact count
         # depends on rank granularity; bounded within 2 of the target)
         assert abs(per_src[src] - 0.4 * (tot - 1) - 1) <= 2, (src, per_src[src], tot)
+
+
+def test_sketches_merge_exactly(spark):
+    """The scale claim behind both sketches: CMS sketches of two corpus
+    halves merge by cell-wise ADDITION into exactly the full-corpus
+    sketch; Bloom bit sets merge by DISTINCT UNION into exactly the
+    full-corpus filter."""
+    from pyspark.sql import functions as F
+
+    pubs = publications_analog(spark, SF_SMOKE)
+    items = pubs.select(
+        F.explode("keywords").alias("keyword_name"),
+        (F.col("doi").cast("long") % 2).alias("half"),
+    )
+    full = analytics.count_min_sketch(items)
+    halves = [
+        analytics.count_min_sketch(items.filter(F.col("half") == h))
+        for h in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    as_map = lambda df: {(r["d"], r["bucket"]): r["c"] for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(full)
+
+    keys = items.select(F.col("keyword_name").alias("key"), "half")
+    bfull = analytics.bloom_build(keys)
+    bmerged = (
+        analytics.bloom_build(keys.filter(F.col("half") == 0))
+        .unionByName(analytics.bloom_build(keys.filter(F.col("half") == 1)))
+        .distinct()
+    )
+    bits = lambda df: {r["bit"] for r in df.collect()}  # noqa: E731
+    assert bits(bmerged) == bits(bfull)
