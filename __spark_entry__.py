@@ -978,6 +978,79 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_dedup_representatives(spark, sf_dir):
+    """Keep-best-copy selection after near-dup clustering: clusters from
+    the MinHash-LSH pair graph (same params as ``dedup_clusters``), then
+    exactly one representative per cluster — the member with the most
+    characters, ties to the smallest doc id. The oracle replays the
+    transitive closure (recursive CTE) and the argmax window in SQL."""
+    from scipi_spark.operators.graph import cluster_representatives, dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.3)
+    clusters = dedup_clusters(pairs)
+    return cluster_representatives(clusters, docs, score_col="n_chars")
+
+
+def _q_decontaminate_neardup(spark, sf_dir):
+    """NEAR-DUP benchmark decontamination — the leak class exact n-gram
+    matching misses: every 25th doc plays the eval set, and train docs
+    with id % 25 == 7 are planted leaks whose text is the neighboring
+    eval doc's text plus ONE extra token (shingle Jaccard ~0.99, but not
+    byte-identical, so fingerprint equality would miss it).
+    ``cross_corpus_neardup`` probes train band buckets against eval band
+    buckets only; the oracle recomputes the exact cross-side Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    eval_docs = docs.filter(did % 25 == 0).select("doc_id", "text")
+    nbr = eval_docs.select(
+        F.col("doc_id").alias("eid"), F.col("text").alias("etext")
+    )
+    train = (
+        docs.filter(did % 25 != 0)
+        .join(F.broadcast(nbr), did - (did % 25) == F.col("eid"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                did % 25 == 7,
+                F.concat_ws(" ", F.col("etext"), F.lit("zq7")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    pairs = dedup.cross_corpus_neardup(
+        train, eval_docs, k=3, num_perm=64, bands=16, threshold=0.7
+    )
+    return pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("eval_id"),
+        "jaccard",
+    )
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source duplication audit with a planted mirror: every 7th
+    doc (id % 7 == 2) is re-hosted under a synthetic ``m_<source>``
+    source — the syndication/mirror pattern — so each source pairs with
+    its mirror by shared content fingerprints (plus any organic
+    cross-source dups at larger SFs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mirrored = docs.filter(F.col("doc_id") % 7 == 2).select(
+        "text", F.concat(F.lit("m_"), F.col("source")).alias("source")
+    )
+    corpus = docs.select("text", "source").unionByName(mirrored)
+    return textops.source_overlap(corpus)
+
+
+def _q_length_buckets(spark, sf_dir):
+    """Length-bucketed batching audit: power-of-2 token-capacity buckets
+    with per-bucket doc/token totals and the padding a bucket-uniform
+    batch would waste."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.length_buckets(docs)
+
+
 def _q_p7_salted(spark, sf_dir):
     return analytics.keyword_count_salted(publications_analog(spark, sf_dir))
 
@@ -1973,6 +2046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_keyword_counts": _q_cms_keyword_counts,
         "quality_percentile": _q_quality_percentile,
         "bloom_membership": _q_bloom_membership,
+        "dedup_representatives": _q_dedup_representatives,
+        "decontaminate_neardup": _q_decontaminate_neardup,
+        "source_overlap": _q_source_overlap,
+        "length_buckets": _q_length_buckets,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -4717,4 +4794,100 @@ SELECT round(sum(cnt * (CAST(cnt AS DOUBLE) / t)) / 100.0, 6) AS strength
 FROM csizes, tot
 """
     )
+    # representative selection = the cluster closure (reused verbatim as a
+    # nested CTE) + one argmax window over (n_chars DESC, doc ASC)
+    d["dedup_representatives"] = (
+        "WITH cl AS (" + d["dedup_clusters"] + """)
+        SELECT cl.doc, cl.cluster,
+               first_value(cl.doc) OVER w AS rep,
+               (cl.doc = first_value(cl.doc) OVER w) AS keep
+        FROM cl JOIN documents dd ON cl.doc = dd.doc_id
+        WINDOW w AS (PARTITION BY cl.cluster
+                     ORDER BY dd.n_chars DESC, cl.doc ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """
+    )
+    d["decontaminate_neardup"] = r"""
+        WITH ev AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+        ), tr AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 25 = 7
+                      THEN concat_ws(' ', e.text, 'zq7')
+                      ELSE d.text END AS text
+          FROM documents d
+          LEFT JOIN ev e ON d.doc_id - (d.doc_id % 25) = e.doc_id
+          WHERE d.doc_id % 25 <> 0
+        ), sh_t AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                          for i in range(1, len(t) - 1)])
+                      ELSE [] END AS shingles
+          FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS t FROM tr)
+        ), sh_e AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                          for i in range(1, len(t) - 1)])
+                      ELSE [] END AS shingles
+          FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS t FROM ev)
+        ), post_t AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh_t
+        ), post_e AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh_e
+        ), inter AS (
+          SELECT t.doc_id AS did, e.doc_id AS eid,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM post_t t JOIN post_e e ON t.s = e.s
+          GROUP BY 1, 2
+        )
+        SELECT did AS doc_id, eid AS eval_id,
+               round(CAST(i AS DOUBLE) / (st.n + se.n - i), 6) AS jaccard
+        FROM inter
+        JOIN (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh_t) st
+          ON did = st.doc_id
+        JOIN (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh_e) se
+          ON eid = se.doc_id
+        WHERE round(CAST(i AS DOUBLE) / (st.n + se.n - i), 6) >= 0.7
+    """
+    d["source_overlap"] = r"""
+        WITH corpus AS (
+          SELECT text, source FROM documents
+          UNION ALL
+          SELECT text, 'm_' || source FROM documents WHERE doc_id % 7 = 2
+        ), fp AS (
+          SELECT DISTINCT
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                 source
+          FROM corpus
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    """
+    _lb_case = "CASE " + " ".join(
+        f"WHEN n_tokens <= {e} THEN {e}"
+        for e in textops.LENGTH_BUCKET_EDGES
+    ) + f" ELSE {textops.LENGTH_BUCKET_EDGES[-1] * 2} END"
+    d["length_buckets"] = rf"""
+        WITH n AS (
+          SELECT len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents
+        ), b AS (
+          SELECT n_tokens, {_lb_case} AS bucket_cap FROM n
+        )
+        SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(bucket_cap - n_tokens) AS BIGINT) AS padded_tokens,
+               round(CAST(sum(bucket_cap - n_tokens) AS DOUBLE)
+                     / sum(bucket_cap), 6) AS padding_frac
+        FROM b GROUP BY 1
+    """
     return d

@@ -48,6 +48,7 @@ HEADLINERS = [
     "text_quality_classifier",
     "bpe_train",
     "winnow_overlap",
+    "decontaminate_neardup",
     "knn_cosine_pq",
     "weighted_sample",
     "a8_assoc_projection",

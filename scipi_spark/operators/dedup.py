@@ -755,6 +755,76 @@ def _probe_candidates(probe_bands: DataFrame, index_bands: DataFrame) -> DataFra
     )
 
 
+def cross_corpus_neardup(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs strictly ACROSS two corpora — the
+    benchmark-decontamination / corpus-overlap shape that exact n-gram
+    matching (:func:`~scipi_spark.operators.textops.decontaminate`)
+    misses when the leaked copy was lightly edited.
+
+    Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a`` from ``left`` and
+    ``doc_b`` from ``right``; within-corpus pairs never form because the
+    candidate join probes left-side band buckets against right-side band
+    buckets only. Document ids must be globally unique across both
+    inputs (the shingle index unions the sides under one id namespace —
+    a shared id would merge two posting sets).
+
+    Plan shape (the same skeleton as :func:`minhash_lsh_increment`): one
+    union scan → ONE materialized shingle index feeding both the
+    signature aggregation and the exact-Jaccard verification → banded
+    candidates [equi-join on (band, bh), typically broadcast when one
+    side is an eval set] → verify. At 100 TB the right/eval side is tiny
+    and its band rows broadcast; the corpus side shuffles once on the
+    64-bit shingle hash and once on (band, bh).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    coeffs, p = _minhash_coeffs(num_perm)
+
+    tagged = left.select(id_col, text_col).unionByName(
+        right.select(id_col, text_col)
+    )
+    sizes, postings = _shingle_index(
+        tagged, id_col, text_col, k, None, materialize=True
+    )
+    sigs = _signatures_from_postings(
+        postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
+        coeffs,
+        p,
+    )
+    # derive the side flag from the right input's ids alone (broadcast
+    # left join + coalesce) — joining a projection of `tagged` back would
+    # re-execute the union scan a second time
+    right_ids = right.select(F.col(id_col).alias("doc"), F.lit(1).alias("side"))
+    flagged = sigs.join(F.broadcast(right_ids), "doc", "left").withColumn(
+        "side", F.coalesce(F.col("side"), F.lit(0))
+    )
+    band_rows = _band_rows(flagged, bands, r, extra=["side"]).localCheckpoint(
+        eager=True
+    )
+    lb = band_rows.filter(F.col("side") == 0).alias("a")
+    rb = band_rows.filter(F.col("side") == 1).alias("b")
+    candidates = (
+        lb.join(
+            rb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(candidates, postings, sizes, threshold)
+
+
 def write_signature_store(
     df: DataFrame,
     path: str,

@@ -99,6 +99,47 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Per-document keep/drop decision for near-dup clusters: within each
+    cluster keep exactly ONE representative — the member with the highest
+    ``score_col`` (ties to the smallest doc id), the standard "keep the
+    best copy" step after clustering (dedup pipelines keep the longest /
+    highest-quality member, not an arbitrary one).
+
+    Input ``clusters`` is :func:`dedup_clusters` output (doc, cluster);
+    singletons are absent there and are trivially their own keepers, so
+    the output covers clustered docs only: (doc, cluster, rep, keep).
+
+    Scale shape: the cluster table holds only duplicated docs — usually
+    far smaller than the corpus, but corpus-scale on heavy-dup crawls —
+    so the score-lookup join is left unhinted: AQE broadcasts it when it
+    is small and falls back to a shuffle join on the doc id (bucketable
+    on both sides) when it is not. The representative choice is one
+    window over the cluster key; partition sizes are duplicate
+    multiplicities, never corpus-sized."""
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col).alias("doc"), F.col(score_col).alias("score")
+    )
+    members = clusters.join(scored, "doc")
+    w = (
+        Window.partitionBy("cluster")
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return members.select(
+        "doc",
+        "cluster",
+        F.first("doc").over(w).alias("rep"),
+    ).withColumn("keep", F.col("doc") == F.col("rep"))
+
+
 def cooccurrence_pairs(df: DataFrame, set_col: str = "authors") -> DataFrame:
     """Distinct canonical (u < v) co-occurrence pairs from a set-valued
     column — a per-row array comprehension (no join: the pair fan-out

@@ -1006,6 +1006,96 @@ def corpus_stats_diff(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication audit: for every pair of sources, how
+    many distinct document fingerprints they share — the dataset-card
+    number that decides which crawl/source pair needs cross-source dedup
+    (mirrors, syndication networks, and re-crawled dumps show up as hot
+    pairs).
+
+    Plan: one narrow fingerprint projection → distinct (fp, source) →
+    one groupBy collecting each fingerprint's source set → the pair
+    fan-out happens INSIDE the row (array comprehension over the sorted
+    set, same no-join shape as ``graph.cooccurrence_pairs``) → one count
+    aggregation. Fingerprints shared by s sources emit C(s,2) rows —
+    bounded by the source inventory, never by corpus size; there is no
+    self-join anywhere."""
+    fp_src = df.select(
+        fingerprint(text_col).alias("fp"), F.col(group_col).alias("src")
+    ).distinct()
+    sets = (
+        fp_src.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+
+
+# power-of-2 sequence-length buckets used by length_buckets; fixed edges
+# keep the bucket function a portable integer CASE in both engines
+LENGTH_BUCKET_EDGES = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching audit: assign each document to the
+    smallest power-of-2 token-capacity bucket that holds it, and report
+    per-bucket doc/token totals plus the padding a bucket-uniform batch
+    would waste (``padded = cap - n_tokens`` per doc). Training loaders
+    bucket by length precisely to cut this padding — the operator
+    quantifies the win and sizes the buckets.
+
+    One scan-fused narrow map (token count + a CASE ladder over the
+    fixed ``LENGTH_BUCKET_EDGES``) and one partial-aggregated groupBy on
+    the bucket id. No joins, no window, no Python."""
+    n = token_count(text_col)
+    cap = F.lit(LENGTH_BUCKET_EDGES[-1] * 2)
+    for edge in reversed(LENGTH_BUCKET_EDGES):
+        cap = F.when(n <= edge, F.lit(edge)).otherwise(cap)
+    b = df.select(n.alias("n_tokens"), cap.cast("long").alias("bucket_cap"))
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tokens"))
+        .cast("long")
+        .alias("padded_tokens"),
+        F.round(
+            (
+                F.sum(F.col("bucket_cap") - F.col("n_tokens"))
+                / F.sum(F.col("bucket_cap"))
+            ).cast("double"),
+            6,
+        ).alias("padding_frac"),
+    )
+
+
 def _bpe_word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) corpus aggregation — BPE trains on the word-frequency
     table, which is vocabulary-sized (tiny vs the corpus): every

@@ -948,3 +948,99 @@ def test_bpe_encode_counts_known(spark):
     # 'ab' -> [ab] (1), 'cd' -> [cd] (1), 'abcd' -> [ab, cd] (2)
     assert out[1] == (3, 3, 0.5)
     assert out[2] == (1, 2, 0.5)
+
+
+def test_cross_corpus_neardup_cross_side_only(spark):
+    """Pairs form strictly across the two inputs: a near-identical pair
+    WITHIN the left corpus must not appear, while a left-right near-dup
+    must (with its exact Jaccard)."""
+    left = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 1 (within-left)
+            (3, "completely different words about spark and parquet files"),
+        ],
+    )
+    right = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1 and 2
+            (11, "unrelated eval document mentioning nothing shared at all"),
+        ],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.cross_corpus_neardup(left, right, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 10), (2, 10)}
+    assert got[(1, 10)] == 1.0
+
+
+def test_cluster_representatives_keeps_best_scored(spark):
+    from scipi_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "doc long, cluster long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 80), (7, 10), (9, 5), (99, 1000)],
+        "doc_id long, n_chars long",
+    )
+    rows = {
+        r["doc"]: (r["rep"], r["keep"])
+        for r in cluster_representatives(clusters, docs).collect()
+    }
+    # cluster 1: docs 2 and 3 tie on score 80 -> smallest id (2) wins
+    assert rows[1] == (2, False)
+    assert rows[2] == (2, True)
+    assert rows[3] == (2, False)
+    # cluster 7: doc 7 outscores doc 9
+    assert rows[7] == (7, True)
+    assert rows[9] == (7, False)
+    # unclustered doc 99 is absent (singletons keep themselves trivially)
+    assert 99 not in rows
+
+
+def test_source_overlap_counts_shared_fingerprints(spark):
+    df = spark.createDataFrame(
+        [
+            ("Same  Text", "a"),       # fp X in a (normalization collapses ws)
+            ("same text", "b"),        # fp X in b
+            ("same text", "c"),        # fp X in c
+            ("other doc", "a"),        # fp Y in a
+            ("other doc", "b"),        # fp Y in b
+            ("other doc", "b"),        # duplicate within b: still one (fp,src)
+            ("lonely", "c"),
+        ],
+        "text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_fps"]
+        for r in textops.source_overlap(df).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_length_buckets_known_values(spark):
+    df = _docs(
+        spark,
+        [
+            (1, " ".join(["w"] * 10)),   # 10 tokens -> cap 16
+            (2, " ".join(["w"] * 16)),   # boundary -> cap 16
+            (3, " ".join(["w"] * 17)),   # -> cap 32
+            (4, " ".join(["w"] * 100)),  # -> cap 128
+        ],
+    )
+    got = {
+        r["bucket_cap"]: (
+            r["n_docs"],
+            r["total_tokens"],
+            r["padded_tokens"],
+            r["padding_frac"],
+        )
+        for r in textops.length_buckets(df).collect()
+    }
+    assert got[16] == (2, 26, 6, round(6 / 32, 6))
+    assert got[32] == (1, 17, 15, round(15 / 32, 6))
+    assert got[128] == (1, 100, 28, round(28 / 128, 6))
