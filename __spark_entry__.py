@@ -1809,6 +1809,34 @@ def _q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, KNN_QUERY_IDS, k=KNN_K, bits=6, tables=16)
 
 
+def _q_knn_store_search(spark, sf_dir):
+    """Search against a PERSISTED ANN index (``similarity.
+    write_ann_store``): exploded hyperplane signatures bucketed+sorted
+    on (t, sig) and vectors bucketed on vec_id, so a query batch probes
+    with zero corpus-side recompute and no corpus-side Exchange
+    (plan-asserted in tests/test_similarity.py). The store is written
+    once per (app, sf) and reused — the vector-database shape. Same 16
+    tables x 6 bits + multiprobe as ``knn_cosine_lsh`` (equivalence
+    pytest-pinned), measured recall 1.0 here, so the brute-force SQL
+    oracle verifies the whole store path end-to-end."""
+    import os as _os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "ann_store_sigs_" + sfname.replace(".", "_")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "spark-warehouse", table
+    )
+    key = (spark.sparkContext.applicationId, "ann", sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        similarity.write_ann_store(emb, path, table=table, bits=6, tables=16)
+        _SIG_STORE_CACHE[key] = True
+    queries = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+    return similarity.knn_from_store(
+        queries, table=table, k=KNN_K, bits=6, tables=16
+    )
+
+
 def _q_knn_ivf(spark, sf_dir):
     """IVF ANN. The test embeddings are quasi-uniform (no planted cluster
     structure), so cell margins are thin and the gate entry probes 6 of 8
@@ -2050,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_neardup": _q_decontaminate_neardup,
         "source_overlap": _q_source_overlap,
         "length_buckets": _q_length_buckets,
+        "knn_store_search": _q_knn_store_search,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -3446,6 +3475,10 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         # top-k SQL is their oracle too — the driver verifies the full
         # approximate machinery, not just the brute baseline.
         "knn_cosine_lsh": _KNN_BRUTE_SQL,
+        # persisted-store ANN search reproduces knn_lsh exactly at these
+        # settings (equivalence pytest-pinned) and recall is 1.0 — same
+        # brute-force oracle verifies the full store path
+        "knn_store_search": _KNN_BRUTE_SQL,
         "knn_cosine_ivf": _KNN_BRUTE_SQL,
         "emb_neardup_pairs": f"""
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

@@ -50,6 +50,7 @@ HEADLINERS = [
     "winnow_overlap",
     "decontaminate_neardup",
     "knn_cosine_pq",
+    "knn_store_search",
     "weighted_sample",
     "a8_assoc_projection",
     "events_json_hourly",

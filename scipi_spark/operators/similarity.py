@@ -257,6 +257,128 @@ def knn_lsh(
     )
 
 
+def write_ann_store(
+    embeddings: DataFrame,
+    path: str,
+    table: str = "ann_store_sigs",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_buckets: int = 16,
+) -> None:
+    """Persist a corpus's hyperplane-LSH ANN state once so later query
+    batches probe it with ZERO corpus-side recompute — the vector-store
+    shape (the embedding twin of ``dedup.write_signature_store``):
+
+    - table ``<table>`` — exploded signature rows (t, sig, vec_id)
+      bucketed AND sorted on (t, sig): the candidate equi-join on exactly
+      the bucket keys reads the store with no Exchange and no Sort on the
+      corpus side (plan-asserted in tests);
+    - table ``<table>_vectors`` — (vec_id, e) bucketed+sorted on vec_id:
+      the exact-scoring join shuffles only the (small) candidate set to
+      the vectors' bucket layout, never the vectors themselves.
+
+    Hyperplanes are fixed-seed, so signatures computed at probe time
+    match the stored ones; every query batch is then O(|batch| x bucket
+    occupancy) instead of re-hashing the corpus per search."""
+    all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    sigs_udf = make_signatures_udf(all_planes)
+    base = (
+        _spread(embeddings)
+        .select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e"))
+        .withColumn("sigs", sigs_udf(F.col("e")))
+        .localCheckpoint(eager=True)
+    )
+    (
+        base.select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "t", "sig")
+        .sortBy("t", "sig")
+        .option("path", path.rstrip("/") + "/sigs")
+        .saveAsTable(table)
+    )
+    (
+        base.select("vec_id", "e")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+        .option("path", path.rstrip("/") + "/vectors")
+        .saveAsTable(table + "_vectors")
+    )
+
+
+def knn_from_store(
+    queries: DataFrame,
+    table: str = "ann_store_sigs",
+    k: int = 10,
+    bits: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`write_ann_store`
+    index: the query batch is signed with the same fixed-seed planes,
+    candidates come from the (t, sig) equi-join against the bucketed
+    store (corpus side Exchange-free), and exact cosines are computed by
+    joining the candidate ids back to the bucketed vectors table. Same
+    (bits, tables, multiprobe) semantics — and, for queries drawn from
+    the indexed corpus, the same output — as :func:`knn_lsh`
+    (equivalence pytest-pinned)."""
+    spark = queries.sparkSession
+    all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    sigs_udf = make_signatures_udf(all_planes)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+        )
+        .withColumn("sigs", sigs_udf(F.col("qe")))
+        .localCheckpoint(eager=True)
+    )
+    qrows = q.select("query_id", F.posexplode("sigs").alias("t", "qsig"))
+    if multiprobe:
+        probes = F.array(
+            F.col("qsig"),
+            *[
+                F.col("qsig").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(bits)
+            ],
+        )
+        qrows = qrows.select("query_id", "t", F.explode(probes).alias("qsig"))
+    store = spark.table(table)
+    cand = (
+        qrows.join(
+            store,
+            (qrows.t == store.t)
+            & (F.col("qsig") == F.col("sig"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    vectors = spark.table(table + "_vectors")
+    scored = (
+        cand.join(vectors, "vec_id")
+        .join(q.select("query_id", "qe"), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def knn_join(
     embeddings: DataFrame,
     k: int = 3,

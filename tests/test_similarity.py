@@ -277,3 +277,97 @@ def test_label_coherence_prototypes(spark):
     assert got[0]["coherence"] == 1.0
     assert got[1]["n"] == 2 and got[1]["centroid_norm"] == 0.0
     assert got[1]["coherence"] is None  # zero-norm prototype: no direction
+
+
+def test_ann_store_matches_knn_lsh(spark, tmp_path):
+    """For queries drawn from the indexed corpus, the persisted-store
+    search must reproduce knn_lsh exactly (same planes, same multiprobe,
+    same tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    spark.sql("DROP TABLE IF EXISTS annstore_eq")
+    spark.sql("DROP TABLE IF EXISTS annstore_eq_vectors")
+    sim.write_ann_store(
+        emb, str(tmp_path / "ann"), table="annstore_eq", bits=6, tables=8
+    )
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    store_rows = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in sim.knn_from_store(
+            queries, table="annstore_eq", k=10, bits=6, tables=8
+        ).collect()
+    }
+    direct_rows = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in sim.knn_lsh(emb, qids, k=10, bits=6, tables=8).collect()
+    }
+    assert store_rows == direct_rows and store_rows
+
+
+def test_ann_store_probe_is_corpus_shuffle_free(spark, tmp_path):
+    """The store's reason to exist: the candidate join must read the
+    bucketed signature table without an Exchange — only the query batch
+    shuffles. Differential vs a plain-parquet copy of the same rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    spark.sql("DROP TABLE IF EXISTS annstore_plan")
+    spark.sql("DROP TABLE IF EXISTS annstore_plan_vectors")
+    sim.write_ann_store(
+        emb, str(tmp_path / "ann"), table="annstore_plan", bits=6, tables=4,
+        n_buckets=8,
+    )
+    plain_path = str(tmp_path / "sigs_plain")
+    spark.table("annstore_plan").write.mode("overwrite").parquet(plain_path)
+
+    all_planes = [
+        sim.hyperplanes(64, 6, 42 + 7919 * t) for t in range(4)
+    ]
+    sigs_udf = sim.make_signatures_udf(all_planes)
+    qrows = (
+        emb.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            sim._as_double("embedding").alias("qe"),
+        )
+        .withColumn("sigs", sigs_udf(F.col("qe")))
+        .select("query_id", F.posexplode("sigs").alias("t", "qsig"))
+        .localCheckpoint(eager=True)
+    )
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def n_exchanges(index_df):
+            cand = (
+                qrows.join(
+                    index_df,
+                    (qrows.t == index_df.t)
+                    & (F.col("qsig") == F.col("sig"))
+                    & (F.col("query_id") != F.col("vec_id")),
+                )
+                .select("query_id", "vec_id")
+                .distinct()
+            )
+            jvm = spark._jvm
+            plan = cand._jdf.queryExecution().explainString(
+                jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            return len(re.findall(r"\(\d+\) Exchange\b", plan)), plan
+
+        n_bucketed, plan_b = n_exchanges(spark.table("annstore_plan"))
+        n_plain, _ = n_exchanges(spark.read.parquet(plain_path))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    assert "Bucketed: true" in plan_b
+    assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
