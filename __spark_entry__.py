@@ -1029,6 +1029,23 @@ def _q_decontaminate_neardup(spark, sf_dir):
     )
 
 
+def _q_neardup_safe_split(spark, sf_dir):
+    """The near-dup-safe split composition the leakage_safe_split
+    docstring prescribes: docs split on their near-dup CLUSTER
+    representative's fingerprint (cluster = min member id from the
+    MinHash-LSH pair graph), singletons on their own fingerprint —
+    lightly-edited copies co-locate in one split by construction.
+    Oracle = the recursive-CTE closure + the same md5 bucket CASE."""
+    from scipi_spark.operators.graph import dedup_clusters
+
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.3)
+    clusters = dedup_clusters(pairs)
+    return sampling.neardup_safe_split(docs, clusters).select("doc_id", "split")
+
+
 def _q_source_overlap(spark, sf_dir):
     """Cross-source duplication audit with a planted mirror: every 7th
     doc (id % 7 == 2) is re-hosted under a synthetic ``m_<source>``
@@ -2079,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "length_buckets": _q_length_buckets,
         "knn_store_search": _q_knn_store_search,
+        "neardup_safe_split": _q_neardup_safe_split,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -4839,6 +4857,37 @@ FROM csizes, tot
                      ORDER BY dd.n_chars DESC, cl.doc ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
+    """
+    )
+    # near-dup-safe split: cluster closure (nested CTE) -> representative
+    # fingerprint -> the standard md5 cumulative-bucket CASE
+    d["neardup_safe_split"] = (
+        "WITH cl AS (" + d["dedup_clusters"] + r"""),
+        reps AS (
+          SELECT dc.cluster AS rep_id,
+                 md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
+                   AS rep_fp
+          FROM (SELECT DISTINCT cluster FROM cl) dc
+          JOIN documents d ON dc.cluster = d.doc_id
+        ), keyed AS (
+          SELECT d.doc_id,
+                 COALESCE(r.rep_fp,
+                          md5(trim(regexp_replace(lower(d.text),
+                                                  '\s+', ' ', 'g'))))
+                   AS split_key
+          FROM documents d
+          LEFT JOIN (SELECT cl.doc, reps.rep_fp
+                     FROM cl JOIN reps ON cl.cluster = reps.rep_id) r
+            ON d.doc_id = r.doc
+        )
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(split_key), 1, 8)) AS BIGINT)
+                       % 10000 AS b
+              FROM keyed)
     """
     )
     d["decontaminate_neardup"] = r"""

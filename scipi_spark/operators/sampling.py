@@ -89,6 +89,63 @@ def leakage_safe_split(
     return df.select("*", expr.alias("split"))
 
 
+def neardup_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """The NEAR-duplicate-safe split :func:`leakage_safe_split` points
+    at: every member of a near-dup cluster splits on the CLUSTER
+    REPRESENTATIVE's content fingerprint, so lightly-edited copies —
+    which hash to different fingerprints and would land in different
+    splits — are co-located by construction. Singletons (absent from
+    ``clusters``) fall back to their own fingerprint, i.e. exact-dup
+    safety everywhere, near-dup safety where the pair graph found one.
+
+    ``clusters`` is :func:`~scipi_spark.operators.graph.dedup_clusters`
+    output (doc, cluster) with cluster = min member id — so the
+    representative IS a document id, and its fingerprint comes from one
+    join of the (tiny) distinct-cluster table back to the corpus. The
+    corpus itself takes one left join against the doc→rep_fp map
+    (cluster tables are duplicate-only and usually broadcast; the
+    fallback is a doc-id shuffle join, bucketable on both sides). The
+    split expression stays the same cumulative md5-bucket CASE as every
+    other split operator."""
+    from scipi_spark.operators.textops import fingerprint
+
+    reps = (
+        clusters.select(F.col("cluster").alias("rep_id")).distinct()
+        .join(
+            df.select(
+                F.col(id_col).alias("rep_id"),
+                fingerprint(text_col).alias("rep_fp"),
+            ),
+            "rep_id",
+        )
+    )
+    doc_rep = clusters.join(reps, clusters.cluster == reps.rep_id).select(
+        F.col("doc").alias(id_col), "rep_fp"
+    )
+    keyed = df.join(doc_rep, id_col, "left").withColumn(
+        "split_key", F.coalesce(F.col("rep_fp"), fingerprint(text_col))
+    )
+    b = hash_bucket("split_key")
+    expr = None
+    acc = 0.0
+    for name, wt in weights:
+        acc += wt
+        cond = b < int(round(acc * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(weights[-1][0])
+    return keyed.select(*df.columns, expr.alias("split"))
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, key: str = "doc_id"
 ) -> DataFrame:

@@ -310,6 +310,103 @@ def write_ann_store(
     )
 
 
+def append_ann_store(
+    embeddings: DataFrame,
+    path: str,
+    table: str = "ann_store_sigs",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_buckets: int = 16,
+) -> None:
+    """Fold a new embedding batch into an existing ANN store: signature
+    rows and vectors append under the SAME bucket specs, so the probe's
+    shuffle-free scan property is preserved (each append adds per-bucket
+    files, it never re-shuffles the store).
+
+    Append-only contract (the LSM trade, as in
+    ``dedup.append_signature_store``): callers MUST feed vec_ids not
+    already stored. A duplicated id leaves its vector row in the store
+    twice; the scoring join then duplicates that candidate's scored rows
+    and the per-query top-k window under-fills with distinct neighbors —
+    repair with :func:`compact_ann_store` (one ``distinct()`` over the
+    stored vectors, then a rewrite of both derived tables)."""
+    all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    sigs_udf = make_signatures_udf(all_planes)
+    base = (
+        _spread(embeddings)
+        .select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e"))
+        .withColumn("sigs", sigs_udf(F.col("e")))
+        .localCheckpoint(eager=True)
+    )
+    (
+        base.select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+        .write.mode("append")
+        .bucketBy(n_buckets, "t", "sig")
+        .sortBy("t", "sig")
+        .option("path", path.rstrip("/") + "/sigs")
+        .saveAsTable(table)
+    )
+    (
+        base.select("vec_id", "e")
+        .write.mode("append")
+        .bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+        .option("path", path.rstrip("/") + "/vectors")
+        .saveAsTable(table + "_vectors")
+    )
+
+
+def compact_ann_store(
+    spark,
+    path: str,
+    table: str = "ann_store_sigs",
+    bits: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_buckets: int = 16,
+) -> None:
+    """Rebuild the ANN store from its own stored vectors with duplicate
+    ids dropped — the repair for a crash-replayed append. The vectors
+    table is the authoritative state (signatures are a pure fixed-seed
+    function of it), so one distinct-by-id pass and a rewrite of both
+    bucketed tables restores exact probe semantics; raw upstream
+    embeddings are never touched. Among duplicate rows for one id the
+    kept row is arbitrary — the append contract means they are replays
+    of the same vector."""
+    base_path = path.rstrip("/")
+    vectors = (
+        spark.read.parquet(base_path + "/vectors")
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    sigs_udf = make_signatures_udf(all_planes)
+    signed = vectors.withColumn("sigs", sigs_udf(F.col("e"))).localCheckpoint(
+        eager=True
+    )
+    (
+        signed.select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "t", "sig")
+        .sortBy("t", "sig")
+        .option("path", base_path + "/sigs")
+        .saveAsTable(table)
+    )
+    (
+        signed.select("vec_id", "e")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+        .option("path", base_path + "/vectors")
+        .saveAsTable(table + "_vectors")
+    )
+
+
 def knn_from_store(
     queries: DataFrame,
     table: str = "ann_store_sigs",

@@ -301,3 +301,41 @@ def test_leakage_safe_split_colocates_duplicates(spark):
     assert by_id[7] == by_id[1000] == by_id[1001]
     # sanity: all three split names reachable over a larger id space
     assert set(by_id.values()) <= {"train", "val", "test"}
+
+
+def test_neardup_safe_split_colocates_cluster_members(spark):
+    """Near-identical docs (different fingerprints!) must land in one
+    split via their cluster representative's key; singletons keep the
+    exact-fingerprint behavior of leakage_safe_split."""
+    from scipi_spark.operators.graph import dedup_clusters
+    from scipi_spark.operators.sampling import (
+        leakage_safe_split,
+        neardup_safe_split,
+    )
+    from scipi_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1, different fingerprint
+        (3, base + " extra token"),    # near-dup chain member
+        (4, "an entirely different document about spark bucketed joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, k=3, num_perm=64, bands=16, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    assert clusters.count() >= 3  # the planted chain actually clustered
+
+    out = {
+        r["doc_id"]: r["split"]
+        for r in neardup_safe_split(df, clusters).collect()
+    }
+    assert len(out) == 4
+    assert out[1] == out[2] == out[3], out
+    # the naive fingerprint split CAN differ for the edited copies —
+    # and the singleton's split matches leakage_safe_split exactly
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(df).collect()
+    }
+    assert out[4] == naive[4]

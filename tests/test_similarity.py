@@ -371,3 +371,82 @@ def test_ann_store_probe_is_corpus_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
     assert "Bucketed: true" in plan_b
     assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+
+
+def test_ann_store_append_matches_oneshot(spark, tmp_path):
+    """Append-fold: writing 80% then appending 20% must probe exactly
+    like a one-shot store of the full corpus."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    for t in ("annstore_inc", "annstore_inc_vectors",
+              "annstore_full", "annstore_full_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    sim.write_ann_store(
+        old, str(tmp_path / "inc"), table="annstore_inc", bits=6, tables=4
+    )
+    sim.append_ann_store(
+        new, str(tmp_path / "inc"), table="annstore_inc", bits=6, tables=4
+    )
+    sim.write_ann_store(
+        emb, str(tmp_path / "full"), table="annstore_full", bits=6, tables=4
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 450]))
+
+    def probe(table):
+        return {
+            (r["query_id"], r["vec_id"], r["cosine"])
+            for r in sim.knn_from_store(
+                queries, table=table, k=5, bits=6, tables=4
+            ).collect()
+        }
+
+    inc, full = probe("annstore_inc"), probe("annstore_full")
+    assert inc == full and inc
+    # new-batch vectors are genuinely probeable (not just carried along)
+    assert any(v >= 400 for (_, v, _) in inc)
+
+
+def test_compact_ann_store_repairs_duplicate_append(spark, tmp_path):
+    """A crash-replayed append stores a vector twice: the scoring join
+    then duplicates that candidate's scored rows and the top-k window
+    under-fills with distinct neighbors. Compaction must restore exact
+    one-shot parity."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for t in ("annstore_dup", "annstore_dup_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    sim.write_ann_store(
+        emb, str(tmp_path / "dup"), table="annstore_dup", bits=6, tables=4
+    )
+    # replayed append: the entire initial write folded a second time
+    sim.append_ann_store(
+        emb, str(tmp_path / "dup"), table="annstore_dup", bits=6, tables=4
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+
+    def rows(table):
+        out = sim.knn_from_store(
+            queries, table=table, k=5, bits=6, tables=4
+        ).collect()
+        return [(r["query_id"], r["vec_id"], r["cosine"]) for r in out]
+
+    corrupted = rows("annstore_dup")
+    # corruption is visible: some (query, neighbor) appears twice
+    keys = [(q, v) for (q, v, _) in corrupted]
+    assert len(keys) != len(set(keys)), "duplicate append went unnoticed"
+
+    sim.compact_ann_store(
+        spark, str(tmp_path / "dup"), table="annstore_dup", bits=6, tables=4
+    )
+    repaired = set(rows("annstore_dup"))
+    spark.sql("DROP TABLE IF EXISTS annstore_ref")
+    spark.sql("DROP TABLE IF EXISTS annstore_ref_vectors")
+    sim.write_ann_store(
+        emb, str(tmp_path / "ref"), table="annstore_ref", bits=6, tables=4
+    )
+    reference = set(rows("annstore_ref"))
+    assert repaired == reference and repaired
