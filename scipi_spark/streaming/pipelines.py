@@ -257,6 +257,83 @@ def run_streaming_dedup_against_store(
     )
 
 
+def run_streaming_ann_against_store(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    table: str = "ann_store_sigs",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_buckets: int = 16,
+    fold: bool = True,
+):
+    """Continuous similarity search against a persisted vector index:
+    each micro-batch of embeddings (1) probes the bucketed ANN store for
+    its top-k neighbors — corpus side shuffle-free, per-batch work
+    O(|batch| x bucket occupancy) — (2) writes the hits to the parquet
+    sink, and (3) optionally folds its own vectors into the store so
+    every later batch can retrieve it (``fold=True`` is the
+    index-ingestion shape; ``fold=False`` is pure query serving).
+
+    Same ``foreachBatch`` rationale and replay semantics as
+    :func:`run_streaming_dedup_against_store`: the corpus is a mutable
+    external index (never stream-stream state), the hit sink overwrites
+    its own ``batch_id=N`` partition (idempotent), and the fold is
+    guarded by a per-batch marker dir written after the append — a crash
+    inside the residual window duplicates one batch's vectors until a
+    :func:`~scipi_spark.operators.similarity.compact_ann_store` repairs
+    it. Returns the StreamingQuery (caller awaits/stops)."""
+    from scipi_spark.operators import similarity as sim_ops
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)  # probe + fold reuse
+        hits = sim_ops.knn_from_store(
+            batch_df,
+            table=table,
+            k=k,
+            bits=bits,
+            tables=tables,
+            dim=dim,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        hits.write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
+        if fold:
+            marker = os.path.join(store_path, "_folded", f"batch_{batch_id}")
+            if not os.path.exists(marker):
+                sim_ops.append_ann_store(
+                    batch_df,
+                    store_path,
+                    table=table,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    bits=bits,
+                    tables=tables,
+                    dim=dim,
+                    seed=seed,
+                    n_buckets=n_buckets,
+                )
+                os.makedirs(marker, exist_ok=True)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def run_aggregation_to_memory(
     spark: SparkSession, pubs_stream: DataFrame, which: str, name: str, **agg_kwargs
 ):

@@ -301,3 +301,63 @@ def test_streaming_dedup_against_store_folds_batches(spark, tmp_path):
         assert got3 == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_store")
+
+
+def test_streaming_ann_against_store_folds_batches(spark, tmp_path):
+    """Two-micro-batch replay of the store-backed streaming ANN search:
+    batch 1 retrieves its planted originals from the persisted corpus;
+    batch 2 retrieves the originals AND batch 1's folded copies (proving
+    each batch's vectors entered the index); batch 1's hits cannot see
+    batch 2 (it was not folded yet at that point)."""
+    from scipi_spark.operators import similarity as sim_ops
+    from scipi_spark.streaming.pipelines import run_streaming_ann_against_store
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(200)
+        .localCheckpoint(eager=True)
+    )
+    base5 = emb.limit(5)
+    b1 = base5.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    b2 = base5.select((F.col("vec_id") + 20_000).alias("vec_id"), "embedding")
+    base_ids = [r["vec_id"] for r in base5.collect()]
+
+    store = str(tmp_path / "ann_store")
+    out = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "stream_src")
+    spark.sql("DROP TABLE IF EXISTS t_stream_ann")
+    spark.sql("DROP TABLE IF EXISTS t_stream_ann_vectors")
+    sim_ops.write_ann_store(emb, store, table="t_stream_ann", bits=6, tables=8)
+    try:
+        b1.coalesce(1).write.parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_streaming_ann_against_store(
+            stream, store, out, ckpt, table="t_stream_ann", k=5,
+            bits=6, tables=8,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = spark.read.parquet(out).collect()
+        hits = {}
+        for r in got:
+            hits.setdefault(r["query_id"], set()).add((r["vec_id"], r["cosine"]))
+        for d in base_ids:
+            # batch 1 sees its original (cosine 1.0), not batch 2
+            assert (d, 1.0) in hits[d + 10_000]
+            assert all(v < 20_000 for v, _ in hits[d + 10_000])
+            # batch 2 sees the original AND batch 1's folded copy
+            assert (d, 1.0) in hits[d + 20_000]
+            assert (d + 10_000, 1.0) in hits[d + 20_000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_ann")
+        spark.sql("DROP TABLE IF EXISTS t_stream_ann_vectors")
