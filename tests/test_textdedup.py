@@ -1044,3 +1044,83 @@ def test_length_buckets_known_values(spark):
     assert got[16] == (2, 26, 6, round(6 / 32, 6))
     assert got[32] == (1, 17, 15, round(15 / 32, 6))
     assert got[128] == (1, 100, 28, round(28 / 128, 6))
+
+
+def test_length_buckets_randomized_against_python(spark):
+    """Property: bucket assignment and padding replicate the pure-Python
+    spec for arbitrary token counts (incl. 0, exact edges, and beyond
+    the largest edge)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edges = textops.LENGTH_BUCKET_EDGES
+
+    def py_cap(n):
+        for e in edges:
+            if n <= e:
+                return e
+        return edges[-1] * 2
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=20000), min_size=1, max_size=30
+        )
+    )
+    def run(counts):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["bucket_cap"]: (r["n_docs"], r["total_tokens"], r["padded_tokens"])
+            for r in textops.length_buckets(df).collect()
+        }
+        want = {}
+        for n in counts:
+            c = py_cap(n)
+            d, t, p = want.get(c, (0, 0, 0))
+            want[c] = (d + 1, t + n, p + (c - n))
+        assert got == want
+
+    run()
+
+
+def test_source_overlap_randomized_against_bruteforce(spark):
+    """Property: the no-join posting-list pair expansion equals the naive
+    (fp, source) self-join count for random source/content assignments."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from itertools import combinations
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # content id
+                st.integers(min_value=0, max_value=3),   # source id
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def run(assignments):
+        rows = [
+            (f"content piece number {c} repeated words", f"s{g}")
+            for c, g in assignments
+        ]
+        df = spark.createDataFrame(rows, "text string, source string")
+        got = {
+            (r["source_a"], r["source_b"]): r["shared_fps"]
+            for r in textops.source_overlap(df).collect()
+        }
+        fp_src = {(c, f"s{g}") for c, g in assignments}
+        want = {}
+        srcs = sorted({s for _, s in fp_src})
+        for a, b in combinations(srcs, 2):
+            n = len(
+                {c for c, s in fp_src if s == a} & {c for c, s in fp_src if s == b}
+            )
+            if n:
+                want[(a, b)] = n
+        assert got == want
+
+    run()
