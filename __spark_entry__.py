@@ -1068,6 +1068,23 @@ def _q_length_buckets(spark, sf_dir):
     return textops.length_buckets(docs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """The O(log n)-round star-contraction twin of ``dedup_clusters``:
+    large-star/small-star (Kiveris et al., SoCC'14) over the same
+    MinHash-LSH pair graph — the deep-graph upgrade path hash-min cannot
+    afford (its budget is O(diameter); pytest shows a 41-chain splitting
+    under hash-min's 7 rounds while star finishes). Same recursive-CTE
+    transitive-closure oracle as ``dedup_clusters``: two structurally
+    different algorithms agreeing on every label."""
+    from scipi_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.3)
+    return connected_components_star(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc"), F.col("comp").alias("cluster")
+    )
+
+
 def _q_p7_salted(spark, sf_dir):
     return analytics.keyword_count_salted(publications_analog(spark, sf_dir))
 
@@ -2097,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "knn_store_search": _q_knn_store_search,
         "neardup_safe_split": _q_neardup_safe_split,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
         # c8/c16 planted twins and dedup_increment rotated out this round to
         # admit the three new ops: their r2 rows are the archived evidence,
@@ -4859,6 +4877,9 @@ FROM csizes, tot
                               AND UNBOUNDED FOLLOWING)
     """
     )
+    # the star-contraction CC twin agrees with the same transitive-closure
+    # oracle label for label
+    d["dedup_clusters_star"] = d["dedup_clusters"]
     # near-dup-safe split: cluster closure (nested CTE) -> representative
     # fingerprint -> the standard md5 cumulative-bucket CASE
     d["neardup_safe_split"] = (

@@ -90,6 +90,107 @@ def connected_components(
     return labels.select("id", "comp")
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+    strict: bool = True,
+) -> DataFrame:
+    """(id, comp) connected components via alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the O(log n)-round upgrade over
+    :func:`connected_components`' O(diameter) hash-min propagation, for
+    adversarially DEEP graphs (long chains, lattice crawl graphs) where
+    a diameter-sized iteration budget is unaffordable.
+
+    Each round is two conditional-star operations over the current edge
+    multiset, each one aggregation + one projection on the same (u,
+    neighbor) shuffle key:
+
+    - large-star: for every u, connect each neighbor v > u to
+      m = min(N(u) ∪ {u});
+    - small-star: for every u, connect each neighbor v <= u (v != m)
+      to m.
+
+    Both preserve connectivity and strictly shrink tree height; the
+    fixpoint is a star forest where every vertex points at its
+    component's minimum id. Convergence is checked the same way as the
+    hash-min variant (any edge change left?) and needs O(log n) rounds
+    with high probability — 12 covers graphs far beyond any realistic
+    near-dup corpus. Equivalence with hash-min is pytest-pinned on
+    random graphs; the chain test shows star converging where hash-min's
+    same-round budget provably splits."""
+    # current edge set as canonical (a, b) pairs, self-loops dropped
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        cur.select(F.col("a").alias("id"))
+        .unionByName(cur.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods in both directions + the self edge, so min(N(u) ∪ {u})
+        nbrs = (
+            e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .unionByName(  # self edge for EVERY endpoint: small-star must
+                # link u itself to m, and b-side-only vertices have one too
+                e.select(F.col("a").alias("u"), F.col("a").alias("v"))
+                .unionByName(
+                    e.select(F.col("b").alias("u"), F.col("b").alias("v"))
+                )
+                .distinct()
+            )
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        joined = nbrs.join(m, "u")
+        if large:
+            kept = joined.filter(F.col("v") > F.col("u"))
+        else:
+            kept = joined.filter(
+                (F.col("v") <= F.col("u")) & (F.col("v") != F.col("m"))
+            )
+        return (
+            kept.select(
+                F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_rounds):
+        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        msg = (
+            "connected_components_star did not reach its star-forest "
+            f"fixpoint within max_rounds={max_rounds} — raise max_rounds"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # fixpoint edges are (min, member) stars; singletons got contracted
+    # away, every other vertex appears on the b side exactly once
+    labels = cur.select(F.col("b").alias("id"), F.col("a").alias("comp"))
+    return vertices.join(labels, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
     """Near-duplicate clusters from a pair set (e.g. MinHash-LSH output):
     connected components over the pair graph -> (doc, cluster) with

@@ -168,3 +168,41 @@ def test_pivot_unpivot_round_trip(spark):
         .collect()
     }
     assert back == long  # unpivot(pivot(x)) == x
+
+
+def test_star_cc_matches_unionfind_random_graphs(spark):
+    """Large-star/small-star CC equals union-find ground truth on random
+    graphs of several densities (incl. isolated pairs and big hubs)."""
+    from scipi_spark.operators.graph import connected_components_star
+
+    rng = random.Random(11)
+    for n, m in [(40, 15), (80, 60), (60, 120)]:
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components_star(edf).collect()
+        }
+        assert got == _uf_components(edges), (n, m)
+
+
+def test_star_cc_converges_where_hashmin_budget_splits(spark):
+    """The deep-graph claim: on a 41-node chain (diameter 40), hash-min
+    with a 7-round budget provably leaves split labels, while the star
+    contraction finishes inside 7 ROUNDS (O(log n), fixpoint detection
+    included — measured exactly 7 for this chain)."""
+    import pytest
+
+    from scipi_spark.operators.graph import connected_components_star
+
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edf, max_iterations=7)
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(edf, max_rounds=7).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 41
