@@ -116,12 +116,14 @@ def _shingle_index(
     and thus no sizes row — harmless for every inner-join consumer
     (empty sets can't pair), so callers that need a row per input doc
     must keep ``materialize=False``."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("shingles")
-    )
-    postings = sh.select("doc", F.explode("shingles").alias("sh"))
+    grams = word_shingles(text_col, k)
     if hash_ids:
-        postings = postings.select("doc", F.xxhash64("sh").alias("sh"))
+        # hash INSIDE the array, before the explode: the explode then
+        # materializes fixed-width longs instead of k-word strings
+        # (measured ~25% off the shingle-index segment at sf0.1)
+        grams = F.transform(grams, lambda x: F.xxhash64(x))
+    sh = _spread(df).select(F.col(id_col).alias("doc"), grams.alias("shingles"))
+    postings = sh.select("doc", F.explode("shingles").alias("sh"))
     if materialize:
         postings = postings.localCheckpoint(eager=True)
         sizes = postings.groupBy("doc").agg(
@@ -419,8 +421,14 @@ def minhash_signatures(
     rng = random.Random(1_000_003)
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_perm)]
     postings = _spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("sh")
-    ).select("doc", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h0"))
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                word_shingles(text_col, k),
+                lambda x: F.pmod(F.xxhash64(x), F.lit(p)),
+            )
+        ).alias("h0"),
+    )
     return _signatures_from_postings(postings, coeffs, p)
 
 
