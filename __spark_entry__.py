@@ -412,7 +412,7 @@ def _q_quantize_embeddings(spark, sf_dir):
 # pending entries plus the 3 new ones (weighted_sample, pq_encode,
 # knn_cosine_pq) fit inside the current window, so any fresh entry found
 # beyond position 50 is a hard test failure, not an allowlisted hole.
-PENDING_NEXT_WINDOW: set[str] = set()
+PENDING_NEXT_WINDOW: set[str] = {"perplexity_buckets", "emb_norm_screen"}
 
 
 # Deterministically-trained k-means quantizers, keyed by (purpose,
@@ -1083,6 +1083,41 @@ def _q_dedup_clusters_star(spark, sf_dir):
     return connected_components_star(pairs, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc"), F.col("comp").alias("cluster")
     )
+
+
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing: per-language
+    percent_rank over the bigram cross-entropy (ties broken by doc id),
+    thirds cut at 1/3 and 2/3. Oracle nests the text_perplexity SQL
+    under the same window + CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.perplexity_buckets(docs)
+
+
+def _q_emb_norm_screen(spark, sf_dir):
+    """Embedding sanity screen with PLANTED defects — the three embedder
+    failure modes: every 50th vector zeroed (near-zero norm), every
+    (50k+17)th truncated to 32 dims, every (50k+29)th given a NaN lead
+    component. One narrow scan-fused projection; the oracle replays the
+    doctoring and the array folds (norm emitted NULL for non-finite
+    vectors so the value stays portable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    doctored = emb.select(
+        "vec_id",
+        F.when(vid % 50 == 3, F.transform(e, lambda x: F.lit(0.0)))
+        .when(vid % 50 == 17, F.slice(e, 1, 32))
+        .when(
+            vid % 50 == 29,
+            F.concat(
+                F.array(F.lit(float("nan"))), F.slice(e, 2, F.size(e) - 1)
+            ),
+        )
+        .otherwise(e)
+        .alias("embedding"),
+    )
+    return similarity.embedding_norm_screen(doctored, dim=64)
 
 
 def _q_p7_salted(spark, sf_dir):
@@ -2180,6 +2215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_order_deltas": relational.window_order_deltas,
         "rollup_order_volume": relational.rollup_order_volume,
         "distinct_agg_supplier": relational.distinct_agg_supplier_reach,
+        # -- declared PENDING_NEXT_WINDOW: fresh but beyond the 50-slot
+        # window this round (the window is exactly full); _gate_order
+        # fronts them automatically next round.
+        "perplexity_buckets": _q_perplexity_buckets,
+        "emb_norm_screen": _q_emb_norm_screen,
     })
 
 
@@ -4880,6 +4920,51 @@ FROM csizes, tot
     # the star-contraction CC twin agrees with the same transitive-closure
     # oracle label for label
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # CCNet bucketing: the text_perplexity model nested under a
+    # per-language percent_rank window + the thirds CASE
+    d["perplexity_buckets"] = (
+        "WITH px AS (" + d["text_perplexity"] + """)
+        SELECT doc_id, lang, xent,
+               CASE WHEN pr < 1.0/3 THEN 'head'
+                    WHEN pr < 2.0/3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM (
+          SELECT px.doc_id, dd.lang, px.xent,
+                 percent_rank() OVER (PARTITION BY dd.lang
+                                      ORDER BY px.xent ASC, px.doc_id ASC)
+                   AS pr
+          FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
+    """
+    )
+    d["emb_norm_screen"] = """
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), doctored AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 50 = 3
+                        THEN list_transform(e, x -> 0.0)
+                      WHEN vec_id % 50 = 17 THEN e[1:32]
+                      WHEN vec_id % 50 = 29
+                        THEN list_concat(['NaN'::DOUBLE], e[2:len(e)])
+                      ELSE e END AS e
+          FROM base
+        ), scr AS (
+          SELECT vec_id,
+                 CAST(len(e) AS BIGINT) AS n_dim,
+                 CAST(len(list_filter(e, x -> x IS NULL OR isnan(x)))
+                      AS BIGINT) AS n_nonfinite,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS raw_norm
+          FROM doctored
+        )
+        SELECT vec_id, n_dim, n_nonfinite,
+               CASE WHEN n_nonfinite = 0 THEN round(raw_norm, 6) END
+                 AS l2_norm,
+               (n_nonfinite = 0
+                AND CASE WHEN n_nonfinite = 0 THEN round(raw_norm, 6) END
+                      >= 0.1
+                AND n_dim = 64) AS ok
+        FROM scr
+    """
     # near-dup-safe split: cluster closure (nested CTE) -> representative
     # fingerprint -> the standard md5 cumulative-bucket CASE
     d["neardup_safe_split"] = (

@@ -257,6 +257,44 @@ def knn_lsh(
     )
 
 
+def embedding_norm_screen(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    low: float = 0.1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding sanity screen before anything consumes the vectors
+    (ANN index, dedup, mixing): per-vector L2 norm plus defect flags —
+    non-finite components, wrong dimensionality, near-zero norm. Broken
+    embedder output (NaN rows, truncated vectors, zeroed batches) is a
+    real failure mode at pipeline scale and silently poisons cosine math
+    downstream (NaN propagates through every score it touches).
+
+    One narrow scan-fused projection — the flags and the norm are pure
+    array folds, no shuffle, no Python. ``dim=None`` skips the
+    dimensionality check."""
+    e = _as_double(vec_col)
+    n_bad = F.aggregate(
+        e,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(F.isnan(x) | x.isNull(), 1).otherwise(0),
+    )
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+    cols = [
+        F.col(id_col).alias("vec_id"),
+        F.size(e).cast("long").alias("n_dim"),
+        n_bad.alias("n_nonfinite"),
+        # norm is undefined (NaN) with non-finite components — emit NULL
+        # there so the value stays portable across engines
+        F.when(n_bad == 0, F.round(norm, 6)).alias("l2_norm"),
+    ]
+    ok = (F.col("n_nonfinite") == 0) & (F.col("l2_norm") >= low)
+    if dim is not None:
+        ok = ok & (F.col("n_dim") == dim)
+    return embeddings.select(*cols).withColumn("ok", ok)
+
+
 def write_ann_store(
     embeddings: DataFrame,
     path: str,

@@ -758,6 +758,45 @@ def bigram_cross_entropy(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al., LREC'20): per
+    LANGUAGE, rank documents by LM cross-entropy and cut the corpus into
+    head / middle / tail thirds — the step that turns a raw perplexity
+    score into the keep/review/drop decision, per-language so a noisy
+    language's tail never competes with a clean language's head (the
+    same bias quality_percentile kills for heuristic scores).
+
+    Composes :func:`bigram_cross_entropy` (the count-based KenLM
+    stand-in) with one per-language percent_rank window; ties break by
+    doc id so the rank — and therefore the bucket — is deterministic.
+    Scale shape: the model scoring dominates (bigram-keyed shuffles, see
+    bigram_cross_entropy); the bucketing itself adds ONE window shuffle
+    on the language key over doc-level rows. Docs with <2 tokens have no
+    cross-entropy and produce no row."""
+    xent = bigram_cross_entropy(df, id_col, text_col)
+    langs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("xent"), F.asc("doc_id"))
+    scored = xent.join(langs, "doc_id").withColumn(
+        "pr", F.percent_rank().over(w)
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "xent",
+        F.when(F.col("pr") < F.lit(1.0) / 3, F.lit("head"))
+        .when(F.col("pr") < F.lit(2.0) / 3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def nb_quality_scores(
     train: DataFrame,
     score: DataFrame,

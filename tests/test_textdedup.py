@@ -1124,3 +1124,45 @@ def test_source_overlap_randomized_against_bruteforce(spark):
         assert got == want
 
     run()
+
+
+def test_perplexity_buckets_thirds_and_per_language(spark):
+    """Bucketing is per language: each language's docs split into
+    head/middle/tail by their own xent ranking, not a global cutoff."""
+    rows = []
+    # language A: 6 docs with increasingly repetitive (low-xent) text
+    for i in range(6):
+        rows.append((i, "en", ("common words " * (6 - i) + f"rare{i} " * (i + 1)).strip()))
+    # language B: 3 docs
+    for i in range(3):
+        rows.append((10 + i, "fr", f"autre texte {'repete ' * (i + 2)} fin{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r["bucket"] for r in textops.perplexity_buckets(df).collect()}
+    assert len(out) == 9
+    for lang_ids in ([0, 1, 2, 3, 4, 5], [10, 11, 12]):
+        buckets = [out[i] for i in lang_ids]
+        # per-language: every language has a head and a tail
+        assert "head" in buckets and "tail" in buckets
+    # thirds on 6 docs: exactly 2 head, 2 middle, 2 tail
+    a = [out[i] for i in range(6)]
+    assert sorted(a) == ["head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_embedding_norm_screen_flags_defects(spark):
+    from scipi_spark.operators import similarity as sim
+
+    rows = [
+        (1, [3.0, 4.0]),          # healthy: norm 5
+        (2, [0.0, 0.0]),          # near-zero norm
+        (3, [1.0]),               # wrong dim
+        (4, [float("nan"), 1.0]), # non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["n_dim"], r["n_nonfinite"], r["l2_norm"], r["ok"])
+        for r in sim.embedding_norm_screen(df, low=0.1, dim=2).collect()
+    }
+    assert out[1] == (2, 0, 5.0, True)
+    assert out[2] == (2, 0, 0.0, False)
+    assert out[3][0] == 1 and out[3][3] is False
+    assert out[4][1] == 1 and out[4][2] is None and out[4][3] is False
