@@ -412,7 +412,11 @@ def _q_quantize_embeddings(spark, sf_dir):
 # pending entries plus the 3 new ones (weighted_sample, pq_encode,
 # knn_cosine_pq) fit inside the current window, so any fresh entry found
 # beyond position 50 is a hard test failure, not an allowlisted hole.
-PENDING_NEXT_WINDOW: set[str] = {"perplexity_buckets", "emb_norm_screen"}
+PENDING_NEXT_WINDOW: set[str] = {
+    "perplexity_buckets",
+    "emb_norm_screen",
+    "events_anomaly_mad",
+}
 
 
 # Deterministically-trained k-means quantizers, keyed by (purpose,
@@ -2220,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fronts them automatically next round.
         "perplexity_buckets": _q_perplexity_buckets,
         "emb_norm_screen": _q_emb_norm_screen,
+        "events_anomaly_mad": relational.events_anomaly_mad,
     })
 
 
@@ -4936,6 +4941,25 @@ FROM csizes, tot
           FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
     """
     )
+    # robust rate anomalies: median/MAD thresholds over (user, hour)
+    # counts; quantile_cont parity pinned by events_percentiles
+    d["events_anomaly_mad"] = """
+        WITH hc AS (
+          SELECT user_id,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS hour,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ), med AS (
+          SELECT quantile_cont(cnt, 0.5) AS med FROM hc
+        ), mad AS (
+          SELECT quantile_cont(abs(cnt - med), 0.5) AS mad FROM hc, med
+        )
+        SELECT user_id, hour, cnt,
+               round(med, 6) AS med, round(mad, 6) AS mad
+        FROM hc, med, mad
+        WHERE cnt > med + 3 * mad
+    """
     d["emb_norm_screen"] = """
         WITH base AS (
           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

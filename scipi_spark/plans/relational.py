@@ -511,6 +511,49 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rate-anomaly detection: per-(user, hour) event counts
+    flagged when cnt > median + 3*MAD of all cells — the
+    outlier-resistant alternative to mean/stddev thresholds (a handful
+    of abusive users cannot drag the threshold up, because both the
+    center and the spread are medians). The ops-monitoring twin of the
+    curation screens: rate spikes are bot/incident signatures.
+
+    Plan: one (user, hour) count aggregation [the only data-sized
+    shuffle], then two single-row exact-percentile aggregations (median,
+    then MAD over the residuals) broadcast back as literals into a
+    scan-fused filter. Exact interpolated percentile parity with
+    DuckDB's quantile_cont is already pinned by events_percentiles. The
+    counts table feeds three consumers, so it is materialized once."""
+    ev = load_events(spark, sf_dir)
+    hc = (
+        ev.groupBy(
+            "user_id",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    med = hc.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    with_med = hc.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(cnt - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .filter(F.col("cnt") > F.col("med") + 3 * F.col("mad"))
+        .select(
+            "user_id",
+            "hour",
+            "cnt",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
 def events_json_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream batch twin: JSON extraction from props + per-hour,
     per-type aggregation (the batch-mode golden answer for the streaming

@@ -195,3 +195,36 @@ def test_nb_classifier_trains_once(spark):
     # totals aggregate and the scoring join)
     assert _count(plan, r"Scan ExistingRDD") >= 1
     assert _count(plan, r"\bGenerate explode") <= 1  # score-side only
+
+
+def test_events_anomaly_mad_flags_planted_spike(spark, tmp_path):
+    """A planted 50-events-in-one-hour user must be the only flagged
+    cell against a uniform 1-event/hour background."""
+    import datetime as dt
+
+    from scipi_spark.plans import relational
+
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(20):
+        for h in range(5):
+            rows.append((eid, u, base + dt.timedelta(hours=h), "click", 1.0, "{}"))
+            eid += 1
+    spike_hour = base + dt.timedelta(hours=2)
+    for _ in range(50):
+        rows.append((eid, 99, spike_hour + dt.timedelta(seconds=eid % 60),
+                     "click", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = relational.events_anomaly_mad(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 99 and r["cnt"] == 50
+    # median and MAD of the background are 1 and 0
+    assert r["med"] == 1.0 and r["mad"] == 0.0
