@@ -382,6 +382,34 @@ def _q_dedup_store_increment(spark, sf_dir):
     )
 
 
+def _q_lm_store_score(spark, sf_dir):
+    """The persisted-LM variant of ``text_perplexity``: the 80% corpus
+    trains the Laplace bigram model ONCE (``write_lm_store`` — counts
+    bucketed+sorted on their join keys, plan-asserted Exchange-free on
+    the store side in tests), and the 20% batch is scored against it —
+    unseen n-grams hit the Laplace floor via left-join coalesce. The
+    production shape of the perplexity filter: train the reference model
+    once, score every crawl increment."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "lm_store_bigrams_" + sfname.replace(".", "_")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "spark-warehouse", table
+    )
+    key = (spark.sparkContext.applicationId, "lm", sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        textops.write_lm_store(corpus, path, table=table)
+        _SIG_STORE_CACHE[key] = True
+    return textops.score_from_lm_store(batch, path, table=table)
+
+
 def _q_text_perplexity(spark, sf_dir):
     """Bigram cross-entropy quality scores (Laplace-smoothed, corpus-
     trained) — the count-based KenLM-perplexity filter."""
@@ -416,6 +444,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "perplexity_buckets",
     "emb_norm_screen",
     "events_anomaly_mad",
+    "lm_store_score",
 }
 
 
@@ -2225,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "emb_norm_screen": _q_emb_norm_screen,
         "events_anomaly_mad": relational.events_anomaly_mad,
+        "lm_store_score": _q_lm_store_score,
     })
 
 
@@ -4941,6 +4971,45 @@ FROM csizes, tot
           FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
     """
     )
+    # persisted-LM scoring: counts from the 80% corpus, batch scored with
+    # the Laplace floor on unseen n-grams (left-join coalesce)
+    d["lm_store_score"] = r"""
+        WITH cut AS (
+          SELECT CAST(floor(quantile_cont(doc_id, 0.8)) AS BIGINT) AS c
+          FROM documents
+        ), toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), bi AS MATERIALIZED (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                FROM toks WHERE len(t) >= 2)
+        ), bc AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi, cut
+          WHERE doc_id < c GROUP BY 1, 2
+        ), uc AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi, cut
+          WHERE doc_id < c GROUP BY 1
+        ), vv AS (
+          SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT unnest(t) AS w FROM toks, cut WHERE doc_id < c)
+        ), scored AS (
+          SELECT b.doc_id,
+                 ln((COALESCE(bc.c2, 0) + 1.0) / (COALESCE(uc.c1, 0) + vv.v))
+                   AS logp
+          FROM bi b
+          CROSS JOIN cut
+          CROSS JOIN vv
+          LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+          LEFT JOIN uc ON b.w1 = uc.w1
+          WHERE b.doc_id >= cut.c
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-sum(logp) / count(*), 6) AS xent
+        FROM scored GROUP BY 1
+    """
     # robust rate anomalies: median/MAD thresholds over (user, hour)
     # counts; quantile_cont parity pinned by events_percentiles
     d["events_anomaly_mad"] = """

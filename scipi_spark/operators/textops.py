@@ -758,6 +758,110 @@ def bigram_cross_entropy(
     )
 
 
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) exploded bigrams — shared by the in-corpus
+    cross-entropy and the LM-store train/score paths."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def write_lm_store(
+    df: DataFrame,
+    path: str,
+    table: str = "lm_store_bigrams",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the Laplace-smoothed bigram LM ONCE so later batches are
+    perplexity-scored with zero training-corpus recompute — the model
+    store completing the persisted-state family (minhash signature
+    store, graph edge store, BM25 text index, ANN vector store). The
+    production shape of the perplexity filter: the reference model is
+    trained on a curated corpus one time; every crawl increment is
+    scored against it (CCNet trains KenLM on Wikipedia once for exactly
+    this reason).
+
+    - table ``<table>`` — bigram counts (w1, w2, c2) bucketed+sorted on
+      (w1, w2): the score join hits exactly the bucket keys, so the
+      stored counts are read with no Exchange and no Sort;
+    - table ``<table>_ctx`` — context counts (w1, c1) bucketed+sorted
+      on w1, same property for the context join;
+    - ``<path>/vocab`` — the 1-row vocabulary size V."""
+    bi = _doc_bigrams(df, id_col, text_col).localCheckpoint(eager=True)
+    (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "w1", "w2")
+        .sortBy("w1", "w2")
+        .option("path", path.rstrip("/") + "/bigrams")
+        .saveAsTable(table)
+    )
+    (
+        bi.groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "w1")
+        .sortBy("w1")
+        .option("path", path.rstrip("/") + "/ctx")
+        .saveAsTable(table + "_ctx")
+    )
+    df.select(F.explode(tokens(text_col)).alias("w")).agg(
+        F.count_distinct(F.col("w")).cast("double").alias("v")
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/vocab")
+
+
+def score_from_lm_store(
+    batch: DataFrame,
+    path: str,
+    table: str = "lm_store_bigrams",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy of a NEW batch under a persisted
+    :func:`write_lm_store` model: P(w2|w1) = (c2 + 1) / (c1 + V) with
+    c2/c1 = 0 for n-grams the model never saw (the Laplace floor —
+    exactly how unseen text should score high). For docs from the
+    training corpus itself the scores equal :func:`bigram_cross_entropy`
+    (pytest-pinned).
+
+    Plan: the batch's bigrams explode narrow and shuffle once to each
+    stored table's bucket layout; the corpus-sized count tables never
+    move (plan-asserted Exchange-free on the store side). Output is
+    (doc_id, n_bigrams, xent)."""
+    spark = batch.sparkSession
+    bi = _doc_bigrams(batch, id_col, text_col)
+    bc = spark.table(table)
+    uc = spark.table(table + "_ctx")
+    vrow = spark.read.parquet(path.rstrip("/") + "/vocab")
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    return (
+        bi.join(bc, ["w1", "w2"], "left")
+        .join(uc, "w1", "left")
+        .crossJoin(F.broadcast(vrow))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(logp) / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1166,3 +1166,94 @@ def test_embedding_norm_screen_flags_defects(spark):
     assert out[2] == (2, 0, 0.0, False)
     assert out[3][0] == 1 and out[3][3] is False
     assert out[4][1] == 1 and out[4][2] is None and out[4][3] is False
+
+
+def test_lm_store_matches_in_corpus_cross_entropy(spark, tmp_path):
+    """Scoring the training corpus against its own persisted LM must
+    reproduce bigram_cross_entropy exactly (every n-gram is seen, so
+    the left joins all hit)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    for t in ("lmstore_eq", "lmstore_eq_ctx"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    textops.write_lm_store(docs, str(tmp_path / "lm"), table="lmstore_eq")
+    store = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in textops.score_from_lm_store(
+            docs, str(tmp_path / "lm"), table="lmstore_eq"
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in textops.bigram_cross_entropy(docs).collect()
+    }
+    assert store == direct and store
+
+
+def test_lm_store_unseen_ngrams_hit_laplace_floor(spark, tmp_path):
+    """A batch doc whose n-grams the model never saw scores exactly
+    -mean(ln(1/V)) = ln(V) — the Laplace floor, computed not NaN/null."""
+    import math
+
+    train = _docs(spark, [(1, "aa bb cc dd aa bb")])
+    for t in ("lmstore_floor", "lmstore_floor_ctx"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    textops.write_lm_store(train, str(tmp_path / "lm"), table="lmstore_floor")
+    batch = _docs(spark, [(9, "zz yy xx ww")])
+    out = textops.score_from_lm_store(
+        batch, str(tmp_path / "lm"), table="lmstore_floor"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # V = 4 distinct train tokens; every batch bigram unseen, context
+    # unseen: P = (0+1)/(0+4) -> xent = ln(4)
+    assert r["n_bigrams"] == 3
+    assert abs(r["xent"] - round(math.log(4.0), 6)) < 1e-9
+
+
+def test_lm_store_score_is_store_shuffle_free(spark, tmp_path):
+    """The stored count tables must be read without an Exchange — only
+    the batch's bigrams shuffle. Differential vs plain-parquet copies."""
+    import re
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    for t in ("lmstore_plan", "lmstore_plan_ctx"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    textops.write_lm_store(docs, str(tmp_path / "lm"), table="lmstore_plan")
+    plain_bc = str(tmp_path / "bc_plain")
+    plain_uc = str(tmp_path / "uc_plain")
+    spark.table("lmstore_plan").write.mode("overwrite").parquet(plain_bc)
+    spark.table("lmstore_plan_ctx").write.mode("overwrite").parquet(plain_uc)
+
+    batch = docs.limit(40)
+    bi = textops._doc_bigrams(batch, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def n_exchanges(bc_df, uc_df):
+            j = bi.join(bc_df, ["w1", "w2"], "left").join(uc_df, "w1", "left")
+            jvm = spark._jvm
+            plan = j._jdf.queryExecution().explainString(
+                jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            return len(re.findall(r"\(\d+\) Exchange\b", plan)), plan
+
+        n_bucketed, plan_b = n_exchanges(
+            spark.table("lmstore_plan"), spark.table("lmstore_plan_ctx")
+        )
+        n_plain, _ = n_exchanges(
+            spark.read.parquet(plain_bc), spark.read.parquet(plain_uc)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    assert "Bucketed: true" in plan_b
+    # both stored tables drop their Exchange (bigram + context joins)
+    assert n_bucketed == n_plain - 2, (n_bucketed, n_plain)
