@@ -445,6 +445,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "emb_norm_screen",
     "events_anomaly_mad",
     "lm_store_score",
+    "market_basket_pairs",
 }
 
 
@@ -2255,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_screen": _q_emb_norm_screen,
         "events_anomaly_mad": relational.events_anomaly_mad,
         "lm_store_score": _q_lm_store_score,
+        "market_basket_pairs": relational.market_basket_pairs,
     })
 
 
@@ -4971,6 +4973,32 @@ FROM csizes, tot
           FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
     """
     )
+    # market basket: explicit basket self-join (the Spark side fans pairs
+    # out inside the row — two structurally different plans agreeing)
+    d["market_basket_pairs"] = """
+        WITH b AS (
+          SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+        ), n AS (
+          SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM b
+        ), ic AS (
+          SELECT part, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1
+        ), p AS (
+          SELECT a.part AS part_a, b2.part AS part_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM b a JOIN b b2
+            ON a.okey = b2.okey AND a.part < b2.part
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, n_both,
+               ca.n_item AS n_a, cb.n_item AS n_b,
+               round(n_both / n_orders, 6) AS support,
+               round(CAST(n_both AS DOUBLE) / ca.n_item, 6) AS confidence,
+               round((n_both * n_orders) / (ca.n_item * cb.n_item), 6) AS lift
+        FROM p
+        JOIN ic ca ON p.part_a = ca.part
+        JOIN ic cb ON p.part_b = cb.part
+        CROSS JOIN n
+    """
     # persisted-LM scoring: counts from the 80% corpus, batch scored with
     # the Laplace floor on unseen n-grams (left-join coalesce)
     d["lm_store_score"] = r"""

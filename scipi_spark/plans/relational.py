@@ -511,6 +511,75 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def market_basket_pairs(
+    spark: SparkSession, sf_dir: str, min_both: int = 2
+) -> DataFrame:
+    """Association rules over order baskets: for every part pair
+    co-occurring in >= ``min_both`` orders, the classic support /
+    confidence / lift triple (the retail affinity analysis; in a
+    training-data context the same machinery scores tag/source
+    co-occurrence).
+
+    Plan: the pair fan-out happens INSIDE each order's row (sorted
+    distinct item set -> array-comprehension pairs, the no-self-join
+    posting-list shape of ``source_overlap``): one distinct, one
+    per-order collect, one pair-count aggregation — pair explosion is
+    C(basket,2) per order, bounded by basket size, never by catalog
+    size. Item counts and the order total are two more partial
+    aggregations; the tiny per-item table broadcasts back onto the
+    pair table. The oracle computes the same rules with an explicit
+    basket self-join — two structurally different plans agreeing."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    )
+    baskets = li.distinct()
+    n_orders = baskets.select("okey").distinct().count()
+    item_counts = baskets.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    sets = baskets.groupBy("okey").agg(
+        F.sort_array(F.collect_set("part")).alias("parts")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).groupBy(F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    ).filter(F.col("n_both") >= min_both)
+    ca = item_counts.select(
+        F.col("part").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("part").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    n = F.lit(float(n_orders))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_both") / n, 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both") * n) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust rate-anomaly detection: per-(user, hour) event counts
     flagged when cnt > median + 3*MAD of all cells — the

@@ -228,3 +228,35 @@ def test_events_anomaly_mad_flags_planted_spike(spark, tmp_path):
     assert r["user_id"] == 99 and r["cnt"] == 50
     # median and MAD of the background are 1 and 0
     assert r["med"] == 1.0 and r["mad"] == 0.0
+
+
+def test_market_basket_known_rules(spark, tmp_path):
+    """Hand-computed support/confidence/lift on a 4-order fixture."""
+    from scipi_spark.plans import relational
+
+    rows = []
+    # orders: {1,2}, {1,2,3}, {1,3}, {2}  (part ids)
+    for okey, parts in [(10, [1, 2]), (11, [1, 2, 3]), (12, [1, 3]), (13, [2])]:
+        for p in parts:
+            # duplicate lines for part 1 to prove the DISTINCT
+            rows.append((okey, p, 1.0))
+            if p == 1:
+                rows.append((okey, p, 2.0))
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        (r["part_a"], r["part_b"]): (
+            r["n_both"], r["n_a"], r["n_b"],
+            r["support"], r["confidence"], r["lift"],
+        )
+        for r in relational.market_basket_pairs(
+            spark, str(tmp_path), min_both=2
+        ).collect()
+    }
+    # pairs with n_both >= 2: (1,2) in orders 10,11; (1,3) in 11,12
+    assert set(out) == {(1, 2), (1, 3)}
+    # N=4 orders; n_1=3, n_2=3, n_3=2
+    assert out[(1, 2)] == (2, 3, 3, 0.5, round(2 / 3, 6), round(8 / 9, 6))
+    assert out[(1, 3)] == (2, 3, 2, 0.5, round(2 / 3, 6), round(8 / 6, 6))
