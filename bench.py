@@ -37,6 +37,8 @@ HEADLINERS = [
     "dedup_ngram_jaccard",
     "text_bm25",
     "bm25_store_search",
+    "lm_store_score",
+    "market_basket_pairs",
     "text_perplexity",
     "knn_cosine_brute",
     "knn_cosine_lsh",
