@@ -446,6 +446,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "events_anomaly_mad",
     "lm_store_score",
     "market_basket_pairs",
+    "lang_metadata_audit",
 }
 
 
@@ -1078,6 +1079,13 @@ def _q_neardup_safe_split(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.3)
     clusters = dedup_clusters(pairs)
     return sampling.neardup_safe_split(docs, clusters).select("doc_id", "split")
+
+
+def _q_lang_metadata_audit(spark, sf_dir):
+    """Per-source declared-vs-detected language disagreement rates —
+    the metadata-trust audit run before language routing/mixing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lang_metadata_audit(docs)
 
 
 def _q_source_overlap(spark, sf_dir):
@@ -2257,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": relational.events_anomaly_mad,
         "lm_store_score": _q_lm_store_score,
         "market_basket_pairs": relational.market_basket_pairs,
+        "lang_metadata_audit": _q_lang_metadata_audit,
     })
 
 
@@ -4973,6 +4982,33 @@ FROM csizes, tot
           FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
     """
     )
+    # metadata-vs-content language audit: the lang_id stopword heuristic
+    # replayed per source with XOR-disagreement counts
+    d["lang_metadata_audit"] = rf"""
+        WITH j AS (
+          SELECT source,
+                 (lang = 'en') AS de,
+                 (CAST(len(list_filter(
+                        list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''),
+                        x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                  / greatest(len(list_filter(
+                        string_split_regex(text, '\s+'), x -> x <> '')), 1)
+                  >= 0.05) AS pe
+          FROM documents
+        )
+        SELECT source AS grp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN de THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_declared_en,
+               CAST(sum(CASE WHEN pe THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pred_en,
+               CAST(sum(CASE WHEN de <> pe THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_disagree,
+               round(CAST(sum(CASE WHEN de <> pe THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS disagree_frac
+        FROM j GROUP BY 1
+    """
     # market basket: explicit basket self-join (the Spark side fans pairs
     # out inside the row — two structurally different plans agreeing)
     d["market_basket_pairs"] = """

@@ -54,6 +54,40 @@ def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
     )
 
 
+def lang_metadata_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Metadata-vs-content language audit: per source, how often the
+    DECLARED language tag disagrees with what the content-based detector
+    says — crawl metadata lies (mislabeled mirrors, template headers,
+    default-'en' CMSes), and a source whose tags can't be trusted needs
+    its language routing re-derived from content before mixing.
+
+    Disagreement is measured on the is-English axis the heuristic
+    detector (:func:`lang_id`) resolves. One scan-fused narrow map + one
+    partial-aggregated groupBy on the source key — the same shape as
+    ``corpus_stats``, no joins."""
+    declared_en = F.col(lang_col) == "en"
+    pred_en = lang_id(text_col) == "en"
+    dis = declared_en != pred_en
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        one(declared_en).alias("n_declared_en"),
+        one(pred_en).alias("n_pred_en"),
+        one(dis).alias("n_disagree"),
+        F.round(
+            (F.sum(F.when(dis, 1).otherwise(0)) / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            6,
+        ).alias("disagree_frac"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: char/token counts, mean token length,
     stopword ratio, alphabetic ratio, and a composite score in [0,1]."""

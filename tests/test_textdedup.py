@@ -1257,3 +1257,23 @@ def test_lm_store_score_is_store_shuffle_free(spark, tmp_path):
     assert "Bucketed: true" in plan_b
     # both stored tables drop their Exchange (bigram + context joins)
     assert n_bucketed == n_plain - 2, (n_bucketed, n_plain)
+
+
+def test_lang_metadata_audit_counts_planted_mislabels(spark):
+    """Declared-vs-detected disagreement: a stopword-free doc tagged 'en'
+    and a stopword-rich doc tagged 'de' both count as disagreements;
+    agreeing docs do not."""
+    rows = [
+        ("s1", "en", "the cat is on the mat with a dog"),   # en, detected en: agree
+        ("s1", "en", "zqx wvu ponm lkj hgf dsa"),           # en tag, not en: disagree
+        ("s1", "de", "kein englisch hier nur worte"),       # de, not en: agree
+        ("s2", "de", "the cat is on the mat with a dog"),   # de tag, detected en: disagree
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    out = {
+        r["grp"]: (r["n_docs"], r["n_declared_en"], r["n_pred_en"],
+                   r["n_disagree"], r["disagree_frac"])
+        for r in textops.lang_metadata_audit(df).collect()
+    }
+    assert out["s1"] == (3, 2, 1, 1, round(1 / 3, 6))
+    assert out["s2"] == (1, 0, 1, 1, 1.0)
