@@ -447,6 +447,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "lm_store_score",
     "market_basket_pairs",
     "lang_metadata_audit",
+    "rfm_segments",
 }
 
 
@@ -2266,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_store_score": _q_lm_store_score,
         "market_basket_pairs": relational.market_basket_pairs,
         "lang_metadata_audit": _q_lang_metadata_audit,
+        "rfm_segments": relational.rfm_segments,
     })
 
 
@@ -4982,6 +4984,44 @@ FROM csizes, tot
           FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
     """
     )
+    # RFM terciles: per-user aggregates + three percent_rank windows with
+    # deterministic user-id tie-breaks
+    d["rfm_segments"] = """
+        WITH pu AS (
+          SELECT user_id, max(ts) AS last_ts,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 round(sum(value), 6) AS monetary
+          FROM events GROUP BY 1
+        ), mx AS (SELECT max(ts) AS max_ts FROM events),
+        base AS (
+          SELECT user_id,
+                 CAST(date_diff('day', CAST(last_ts AS DATE),
+                                CAST(max_ts AS DATE)) AS BIGINT)
+                   AS recency_days,
+                 frequency, monetary
+          FROM pu CROSS JOIN mx
+        ), ranked AS (
+          SELECT *,
+                 percent_rank() OVER (ORDER BY recency_days ASC, user_id ASC)
+                   AS pr_r,
+                 percent_rank() OVER (ORDER BY frequency DESC, user_id ASC)
+                   AS pr_f,
+                 percent_rank() OVER (ORDER BY monetary DESC, user_id ASC)
+                   AS pr_m
+          FROM base
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               CAST(CASE WHEN pr_r < 1.0/3 THEN 3
+                         WHEN pr_r < 2.0/3 THEN 2 ELSE 1 END AS INTEGER)
+                 AS r_score,
+               CAST(CASE WHEN pr_f < 1.0/3 THEN 3
+                         WHEN pr_f < 2.0/3 THEN 2 ELSE 1 END AS INTEGER)
+                 AS f_score,
+               CAST(CASE WHEN pr_m < 1.0/3 THEN 3
+                         WHEN pr_m < 2.0/3 THEN 2 ELSE 1 END AS INTEGER)
+                 AS m_score
+        FROM ranked
+    """
     # metadata-vs-content language audit: the lang_id stopword heuristic
     # replayed per source with XOR-disagreement counts
     d["lang_metadata_audit"] = rf"""

@@ -511,6 +511,61 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation over the event stream: per user, recency
+    (days since last event, against the corpus max timestamp), frequency
+    (event count) and monetary (value sum), each cut into terciles by
+    percent_rank with a user-id tie-break — the classic behavioral
+    segmentation (champions / at-risk / hibernating read directly off
+    the (r, f, m) triple).
+
+    One (user) aggregation is the only data-sized shuffle; the corpus
+    max-timestamp is a 1-row aggregate broadcast back; the three
+    tercile windows all share the SAME single-partition ordering shuffle
+    of the per-user rows (user-level cardinality, far below event
+    cardinality — at extreme user counts swap percent_rank for
+    approx-percentile thresholds and a scan-fused CASE)."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    corpus_max = ev.agg(F.max("ts").alias("max_ts"))
+    base = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user_id",
+        F.datediff(F.col("max_ts"), F.col("last_ts"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+
+    def tercile(col: str, asc: bool) -> F.Column:
+        order = [
+            F.asc(col) if asc else F.desc(col),
+            F.asc("user_id"),
+        ]
+        pr = F.percent_rank().over(Window.orderBy(*order))
+        return (
+            F.when(pr < F.lit(1.0) / 3, 3)
+            .when(pr < F.lit(2.0) / 3, 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # best tercile = 3: recent (small recency), frequent, high spend
+        tercile("recency_days", asc=True).alias("r_score"),
+        tercile("frequency", asc=False).alias("f_score"),
+        tercile("monetary", asc=False).alias("m_score"),
+    )
+
+
 def market_basket_pairs(
     spark: SparkSession, sf_dir: str, min_both: int = 2
 ) -> DataFrame:

@@ -260,3 +260,36 @@ def test_market_basket_known_rules(spark, tmp_path):
     # N=4 orders; n_1=3, n_2=3, n_3=2
     assert out[(1, 2)] == (2, 3, 3, 0.5, round(2 / 3, 6), round(8 / 9, 6))
     assert out[(1, 3)] == (2, 3, 2, 0.5, round(2 / 3, 6), round(8 / 6, 6))
+
+
+def test_rfm_segments_terciles_known(spark, tmp_path):
+    """3 users with strictly ordered R/F/M land in buckets 3/2/1 along
+    each axis (best = 3: most recent, most frequent, highest spend)."""
+    import datetime as dt
+
+    from scipi_spark.plans import relational
+
+    base = dt.datetime(2025, 6, 1)
+    rows = []
+    eid = 0
+    # user 1: 1 event, oldest, small spend
+    rows.append((eid, 1, base, "click", 1.0, "{}")); eid += 1
+    # user 2: 2 events, middle recency, middle spend
+    for d in (5, 6):
+        rows.append((eid, 2, base + dt.timedelta(days=d), "click", 5.0, "{}")); eid += 1
+    # user 3: 3 events, most recent, biggest spend
+    for d in (8, 9, 10):
+        rows.append((eid, 3, base + dt.timedelta(days=d), "click", 50.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: (r["recency_days"], r["frequency"], r["monetary"],
+                       r["r_score"], r["f_score"], r["m_score"])
+        for r in relational.rfm_segments(spark, str(tmp_path)).collect()
+    }
+    assert out[3] == (0, 3, 150.0, 3, 3, 3)
+    assert out[2] == (4, 2, 10.0, 2, 2, 2)
+    assert out[1] == (10, 1, 1.0, 1, 1, 1)
