@@ -448,6 +448,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "market_basket_pairs",
     "lang_metadata_audit",
     "rfm_segments",
+    "skew_profile_events",
 }
 
 
@@ -1080,6 +1081,17 @@ def _q_neardup_safe_split(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.3)
     clusters = dedup_clusters(pairs)
     return sampling.neardup_safe_split(docs, clusters).select("doc_id", "split")
+
+
+def _q_skew_profile(spark, sf_dir):
+    """Key-skew profile of the events stream's user key — the diagnostic
+    that decides shuffle strategy (plain / broadcast / AQE-split / salt)
+    before a 1000-executor join. Top-10 heaviest users + corpus skew
+    summary; oracle replays the rank window and the exact median."""
+    from scipi_spark.operators.diagnostics import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, "user_id", k=10)
 
 
 def _q_lang_metadata_audit(spark, sf_dir):
@@ -2268,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket_pairs": relational.market_basket_pairs,
         "lang_metadata_audit": _q_lang_metadata_audit,
         "rfm_segments": relational.rfm_segments,
+        "skew_profile_events": _q_skew_profile,
     })
 
 
@@ -4984,6 +4997,30 @@ FROM csizes, tot
           FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
     """
     )
+    # key-skew profile: per-key counts + rank window + 1-row summary
+    d["skew_profile_events"] = """
+        WITH counts AS (
+          SELECT CAST(user_id AS VARCHAR) AS key,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS total_rows,
+                 quantile_cont(cnt, 0.5) AS median_cnt,
+                 CAST(max(cnt) AS BIGINT) AS max_cnt
+          FROM counts
+        ), topk AS (
+          SELECT key, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, key ASC)
+                      AS INTEGER) AS rank
+          FROM counts QUALIFY rank <= 10
+        )
+        SELECT rank, key, cnt, n_keys, total_rows,
+               round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+               round(median_cnt, 6) AS median_cnt,
+               round(max_cnt / median_cnt, 6) AS skew_ratio
+        FROM topk CROSS JOIN stats
+    """
     # RFM terciles: per-user aggregates + three percent_rank windows with
     # deterministic user-id tie-breaks
     d["rfm_segments"] = """

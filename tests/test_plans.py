@@ -293,3 +293,22 @@ def test_rfm_segments_terciles_known(spark, tmp_path):
     assert out[3] == (0, 3, 150.0, 3, 3, 3)
     assert out[2] == (4, 2, 10.0, 2, 2, 2)
     assert out[1] == (10, 1, 1.0, 1, 1, 1)
+
+
+def test_skew_profile_detects_planted_hot_key(spark):
+    """A planted hot key dominates the profile: rank 1, correct share,
+    and skew_ratio = max/median."""
+    from scipi_spark.operators.diagnostics import skew_profile
+
+    rows = [(i % 10, "x") for i in range(100)]          # uniform: 10 each
+    rows += [(99, "x")] * 100                            # hot key: 100
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = skew_profile(df, "k", k=3).collect()
+    assert len(out) == 3
+    top = {r["rank"]: r for r in out}
+    assert top[1]["key"] == "99" and top[1]["cnt"] == 100
+    assert top[1]["n_keys"] == 11 and top[1]["total_rows"] == 200
+    assert top[1]["share"] == 0.5
+    assert top[1]["median_cnt"] == 10.0 and top[1]["skew_ratio"] == 10.0
+    # uniform keys tie at 10; ties rank by key string ("0" < "1")
+    assert top[2]["key"] == "0" and top[3]["key"] == "1"
