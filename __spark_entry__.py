@@ -449,6 +449,7 @@ PENDING_NEXT_WINDOW: set[str] = {
     "lang_metadata_audit",
     "rfm_segments",
     "skew_profile_events",
+    "tokenizer_fertility",
 }
 
 
@@ -1081,6 +1082,14 @@ def _q_neardup_safe_split(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.3)
     clusters = dedup_clusters(pairs)
     return sampling.neardup_safe_split(docs, clusters).select("doc_id", "split")
+
+
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Per-language word-piece fertility (pieces per whitespace word) —
+    the multilingual tokenizer-bias audit, as an exact ratio of integer
+    sums over the proven token/piece SQL twins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.tokenizer_fertility(docs)
 
 
 def _q_skew_profile(spark, sf_dir):
@@ -2281,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_metadata_audit": _q_lang_metadata_audit,
         "rfm_segments": relational.rfm_segments,
         "skew_profile_events": _q_skew_profile,
+        "tokenizer_fertility": _q_tokenizer_fertility,
     })
 
 
@@ -4997,6 +5007,24 @@ FROM csizes, tot
           FROM px JOIN documents dd ON px.doc_id = dd.doc_id)
     """
     )
+    # per-language fertility: exact integer sums over the proven
+    # token/piece regex twins, ratio at the end
+    d["tokenizer_fertility"] = r"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS total_words,
+               CAST(sum(p) AS BIGINT) AS total_pieces,
+               round(CAST(sum(p) AS DOUBLE) / greatest(sum(w), 1), 6)
+                 AS fertility
+        FROM (
+          SELECT lang,
+                 len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '')) AS w,
+                 len(regexp_extract_all(text,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS p
+          FROM documents)
+        GROUP BY 1
+    """
     # key-skew profile: per-key counts + rank window + 1-row summary
     d["skew_profile_events"] = """
         WITH counts AS (

@@ -54,6 +54,36 @@ def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer fertility: word-pieces per whitespace word
+    (``bpe_ish_token_count`` / ``token_count``), aggregated per language
+    — the standard multilingual-tokenizer bias audit (a language with
+    2× the fertility pays 2× the sequence length, compute, and context
+    budget per word; the number that motivates per-language vocabulary
+    allocations).
+
+    Ratio of exact integer sums (never a mean-of-ratios, so long docs
+    weigh in proportion) — one scan-fused narrow map + one
+    partial-aggregated groupBy on the language key."""
+    words = token_count(text_col)
+    pieces = bpe_ish_token_count(text_col)
+    return df.groupBy(F.col(group_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(words).cast("long").alias("total_words"),
+        F.sum(pieces).cast("long").alias("total_pieces"),
+        F.round(
+            (F.sum(pieces) / F.greatest(F.sum(words), F.lit(1))).cast(
+                "double"
+            ),
+            6,
+        ).alias("fertility"),
+    )
+
+
 def lang_metadata_audit(
     df: DataFrame,
     group_col: str = "source",

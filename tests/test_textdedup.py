@@ -1277,3 +1277,20 @@ def test_lang_metadata_audit_counts_planted_mislabels(spark):
     }
     assert out["s1"] == (3, 2, 1, 1, round(1 / 3, 6))
     assert out["s2"] == (1, 0, 1, 1, 1.0)
+
+
+def test_tokenizer_fertility_known_values(spark):
+    """Hand-computed fertility: punctuation and digit runs split into
+    extra pieces; the ratio is sum-of-pieces over sum-of-words."""
+    rows = [
+        (1, "en", "hello world"),           # 2 words, 2 pieces
+        (2, "en", "it's 42 done."),         # 3 words, pieces: it,',s,42,done,. = 6
+        (3, "zz", "abc"),                   # 1 word, 1 piece
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["lang"]: (r["n_docs"], r["total_words"], r["total_pieces"], r["fertility"])
+        for r in textops.tokenizer_fertility(df).collect()
+    }
+    assert out["en"] == (2, 5, 8, 1.6)
+    assert out["zz"] == (1, 1, 1, 1.0)
