@@ -16,6 +16,7 @@ def skew_profile(
     df: DataFrame,
     key_col: str,
     k: int = 10,
+    approx_median: bool = False,
 ) -> DataFrame:
     """Top-``k`` heaviest keys of ``key_col`` with per-key share and the
     corpus-wide skew summary on every row: total rows, distinct keys,
@@ -24,25 +25,43 @@ def skew_profile(
     ratio >> 10: salt it or let AQE split it).
 
     One count aggregation on the key [the only data-sized shuffle], one
-    1-row summary aggregate (exact median over the per-key counts —
-    swap for approx_percentile when key cardinality itself is extreme)
-    broadcast back onto the k ranked rows. Ties rank deterministically
-    by key string."""
+    1-row summary aggregate broadcast back onto the k heaviest rows.
+    The top-k is ``orderBy().limit(k)`` — Spark plans it as
+    ``TakeOrderedAndProject`` (per-partition bounded heaps merged at the
+    driver, k rows of network), never a global sort; the rank column is
+    then a window over only those k rows. ``approx_median=True`` swaps
+    the exact median (which gathers every per-key count into one
+    aggregation buffer) for ``approx_percentile`` — use it when key
+    cardinality itself is extreme (the diagnostic only needs the order
+    of magnitude of the ratio). Ties rank deterministically by key
+    string."""
     counts = (
         df.select(F.col(key_col).cast("string").alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    median = (
+        F.expr("approx_percentile(cnt, 0.5, 10000)").cast("double")
+        if approx_median
+        else F.expr("percentile(cnt, 0.5)")
+    )
     stats = counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("total_rows"),
-        F.expr("percentile(cnt, 0.5)").alias("median_cnt"),
+        median.alias("median_cnt"),
         F.max("cnt").cast("long").alias("max_cnt"),
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
-    topk = counts.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    # TakeOrderedAndProject: bounded heaps, k rows — the global
+    # row_number window this replaced sorted the whole key table on one
+    # reducer. The rank window below sees only the k surviving rows.
+    topk = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("key"))),
+        )
     )
     return topk.crossJoin(F.broadcast(stats)).select(
         "rank",

@@ -167,19 +167,29 @@ def quality_percentile(
     mixing crawls of very different baseline quality. Ties break by id,
     so the rank (and any ``keep_frac`` cut) is deterministic.
 
-    One window shuffle on the group column; the quality features are
-    scan-fused Column expressions (no UDF, no second pass)."""
-    from pyspark.sql import Window
+    Scale shape: the rank is the distributed exact percent_rank of
+    :mod:`scipi_spark.operators.ranking` — range-sliced, ranked inside
+    bounded slices, offsets from a tiny per-slice count table — so one
+    source's entire document set never lands on one reducer (a
+    ``partitionBy(source)`` window would put ~half a 100 TB crawl on a
+    single machine). The quality features are scan-fused Column
+    expressions (no UDF, no second pass)."""
+    from scipi_spark.operators.ranking import with_percent_rank
 
     scored = quality_features(df, text_col=text_col).select(
         F.col(id_col), F.col(group_col).alias("grp"), F.col("q_score")
     )
-    w = Window.partitionBy("grp").orderBy(F.asc("q_score"), F.asc(id_col))
-    out = scored.select(
+    ranked = with_percent_rank(
+        scored,
+        order_cols=[("q_score", True), (id_col, True)],
+        part_cols=["grp"],
+        out_col="__pr",
+    )
+    out = ranked.select(
         id_col,
         "grp",
         "q_score",
-        F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+        F.round(F.col("__pr"), 6).alias("q_pct"),
     )
     if keep_frac is not None:
         out = out.filter(F.col("q_pct") >= 1.0 - keep_frac)
@@ -940,19 +950,26 @@ def perplexity_buckets(
     same bias quality_percentile kills for heuristic scores).
 
     Composes :func:`bigram_cross_entropy` (the count-based KenLM
-    stand-in) with one per-language percent_rank window; ties break by
+    stand-in) with a per-language exact percent_rank; ties break by
     doc id so the rank — and therefore the bucket — is deterministic.
     Scale shape: the model scoring dominates (bigram-keyed shuffles, see
-    bigram_cross_entropy); the bucketing itself adds ONE window shuffle
-    on the language key over doc-level rows. Docs with <2 tokens have no
+    bigram_cross_entropy); the bucketing uses the distributed rank of
+    :mod:`scipi_spark.operators.ranking` (range-sliced + tiny offset
+    table), NOT a ``partitionBy(lang)`` window — English alone is ~half
+    a 100 TB web corpus, so a per-language window partition is a
+    single-reducer sort of half the data. Docs with <2 tokens have no
     cross-entropy and produce no row."""
+    from scipi_spark.operators.ranking import with_percent_rank
+
     xent = bigram_cross_entropy(df, id_col, text_col)
     langs = df.select(
         F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
     )
-    w = Window.partitionBy("lang").orderBy(F.asc("xent"), F.asc("doc_id"))
-    scored = xent.join(langs, "doc_id").withColumn(
-        "pr", F.percent_rank().over(w)
+    scored = with_percent_rank(
+        xent.join(langs, "doc_id"),
+        order_cols=[("xent", True), ("doc_id", True)],
+        part_cols=["lang"],
+        out_col="pr",
     )
     return scored.select(
         "doc_id",

@@ -519,12 +519,16 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation (champions / at-risk / hibernating read directly off
     the (r, f, m) triple).
 
-    One (user) aggregation is the only data-sized shuffle; the corpus
-    max-timestamp is a 1-row aggregate broadcast back; the three
-    tercile windows all share the SAME single-partition ordering shuffle
-    of the per-user rows (user-level cardinality, far below event
-    cardinality — at extreme user counts swap percent_rank for
-    approx-percentile thresholds and a scan-fused CASE)."""
+    One (user) aggregation is the only event-sized shuffle; the corpus
+    max-timestamp is a 1-row aggregate broadcast back; each tercile is
+    an exact distributed percent_rank (range-sliced + tiny offset table,
+    :mod:`scipi_spark.operators.ranking`) over the per-user rows — with
+    10⁸–10⁹ users an unpartitioned ``percent_rank`` window would be a
+    single-reducer sort ×3, so none is used. The per-user base is
+    localCheckpoint-ed once and the three rank results join back on the
+    user key."""
+    from scipi_spark.operators.ranking import with_percent_rank
+
     ev = load_events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -532,37 +536,48 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("monetary"),
     )
     corpus_max = ev.agg(F.max("ts").alias("max_ts"))
-    base = per_user.crossJoin(F.broadcast(corpus_max)).select(
-        "user_id",
-        F.datediff(F.col("max_ts"), F.col("last_ts"))
-        .cast("long")
-        .alias("recency_days"),
-        "frequency",
-        "monetary",
+    base = (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .select(
+            "user_id",
+            F.datediff(F.col("max_ts"), F.col("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=True)
     )
 
-    def tercile(col: str, asc: bool) -> F.Column:
-        order = [
-            F.asc(col) if asc else F.desc(col),
-            F.asc("user_id"),
-        ]
-        pr = F.percent_rank().over(Window.orderBy(*order))
-        return (
-            F.when(pr < F.lit(1.0) / 3, 3)
-            .when(pr < F.lit(2.0) / 3, 2)
+    def tercile(col: str, asc: bool, out: str):
+        # best tercile = 3: recent (small recency), frequent, high spend
+        ranked = with_percent_rank(
+            base.select("user_id", col),
+            order_cols=[(col, asc), ("user_id", True)],
+            out_col="__pr",
+        )
+        return ranked.select(
+            "user_id",
+            F.when(F.col("__pr") < F.lit(1.0) / 3, 3)
+            .when(F.col("__pr") < F.lit(2.0) / 3, 2)
             .otherwise(1)
             .cast("int")
+            .alias(out),
         )
 
-    return base.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        # best tercile = 3: recent (small recency), frequent, high spend
-        tercile("recency_days", asc=True).alias("r_score"),
-        tercile("frequency", asc=False).alias("f_score"),
-        tercile("monetary", asc=False).alias("m_score"),
+    return (
+        base.join(tercile("recency_days", True, "r_score"), "user_id")
+        .join(tercile("frequency", False, "f_score"), "user_id")
+        .join(tercile("monetary", False, "m_score"), "user_id")
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     )
 
 
@@ -635,7 +650,9 @@ def market_basket_pairs(
     )
 
 
-def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_anomaly_mad(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Robust rate-anomaly detection: per-(user, hour) event counts
     flagged when cnt > median + 3*MAD of all cells — the
     outlier-resistant alternative to mean/stddev thresholds (a handful
@@ -644,11 +661,26 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation screens: rate spikes are bot/incident signatures.
 
     Plan: one (user, hour) count aggregation [the only data-sized
-    shuffle], then two single-row exact-percentile aggregations (median,
-    then MAD over the residuals) broadcast back as literals into a
-    scan-fused filter. Exact interpolated percentile parity with
+    shuffle], then two single-row percentile aggregations (median, then
+    MAD over the residuals) broadcast back as literals into a scan-fused
+    filter. ``exact=True`` (default, the oracle-parity path) uses exact
+    interpolated ``percentile`` — it gathers every cell count into one
+    aggregation buffer, fine while (user × hour) cardinality is bounded;
+    ``exact=False`` is the 100 TB path: ``approx_percentile`` keeps the
+    aggregation buffer at sketch size (mergeable per partition) at the
+    cost of a bounded rank error on the two thresholds — an anomaly
+    SCREEN tolerates that; an audited report does not, which is why
+    exact stays the default. Exact interpolated percentile parity with
     DuckDB's quantile_cont is already pinned by events_percentiles. The
     counts table feeds three consumers, so it is materialized once."""
+
+    def pctl(expr: str) -> str:
+        return (
+            f"percentile({expr}, 0.5)"
+            if exact
+            else f"cast(approx_percentile({expr}, 0.5, 10000) as double)"
+        )
+
     ev = load_events(spark, sf_dir)
     hc = (
         ev.groupBy(
@@ -660,11 +692,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    med = hc.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    med = hc.agg(F.expr(pctl("cnt")).alias("med"))
     with_med = hc.crossJoin(F.broadcast(med))
-    mad = with_med.agg(
-        F.expr("percentile(abs(cnt - med), 0.5)").alias("mad")
-    )
+    mad = with_med.agg(F.expr(pctl("abs(cnt - med)")).alias("mad"))
     return (
         with_med.crossJoin(F.broadcast(mad))
         .filter(F.col("cnt") > F.col("med") + 3 * F.col("mad"))
