@@ -432,25 +432,17 @@ def _q_quantize_embeddings(spark, sf_dir):
     return similarity.quantize_embeddings_stats(emb)
 
 
-# Entries registered AFTER the driver's 50-entry correctness window
-# filled for the current round: they must sit immediately after position
-# 50 (so the guard test can verify nothing else hides beyond the window)
-# and rotate to the front of queries() at the start of the next round,
-# where the driver evaluates them. Round 4: empty — all 17 round-3
-# pending entries plus the 3 new ones (weighted_sample, pq_encode,
-# knn_cosine_pq) fit inside the current window, so any fresh entry found
-# beyond position 50 is a hard test failure, not an allowlisted hole.
-PENDING_NEXT_WINDOW: set[str] = {
-    "perplexity_buckets",
-    "emb_norm_screen",
-    "events_anomaly_mad",
-    "lm_store_score",
-    "market_basket_pairs",
-    "lang_metadata_audit",
-    "rfm_segments",
-    "skew_profile_events",
-    "tokenizer_fertility",
-}
+def pending_next_window() -> list[str]:
+    """Entries with no still-current archived driver evidence that sit
+    beyond the 50-slot gate window, DERIVED from the fingerprint stamps
+    (round-5 verdict #1: the old hand-maintained set went stale the
+    moment the driver proved its members; a computed set cannot).
+    ``_gate_order`` fronts every fresh entry, so this is non-empty only
+    on genuine window overflow (>50 fresh entries at once) — the
+    evidence-holes test asserts exactly that contiguous-prefix shape."""
+    q = queries()
+    archived = archived_green_entries(q, oracle_sql())
+    return [k for k in list(q)[50:] if k not in archived]
 
 
 # Deterministically-trained k-means quantizers, keyed by (purpose,
@@ -2279,9 +2271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_order_deltas": relational.window_order_deltas,
         "rollup_order_volume": relational.rollup_order_volume,
         "distinct_agg_supplier": relational.distinct_agg_supplier_reach,
-        # -- declared PENDING_NEXT_WINDOW: fresh but beyond the 50-slot
-        # window this round (the window is exactly full); _gate_order
-        # fronts them automatically next round.
+        # -- registered while round 5's window was exactly full; driver-
+        # proven in CORRECTNESS_r05 — _gate_order keeps them archived.
         "perplexity_buckets": _q_perplexity_buckets,
         "emb_norm_screen": _q_emb_norm_screen,
         "events_anomaly_mad": relational.events_anomaly_mad,

@@ -55,6 +55,7 @@ def with_percent_rank(
     part_cols: Sequence[str] = (),
     out_col: str = "pr",
     num_partitions: int | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Append exact ``percent_rank`` over ``(part_cols, order_cols)``
     with the bounded three-step plan described in the module docstring.
@@ -64,13 +65,30 @@ def with_percent_rank(
     with ties the underlying ``row_number`` would pick an arbitrary
     winner and the output would be nondeterministic.
 
+    NULL group keys rank as their own ordinary group — bit-parity with
+    ``Window.partitionBy(group)``, which also treats NULL as a normal
+    partition (the offsets join is null-safe; a bare name-list join
+    would silently drop NULL-keyed rows).
+
+    Contract: the offsets table is ``#slices + #groups - 1`` rows, so
+    ``part_cols`` cardinality must stay comfortably under the broadcast
+    threshold (~millions of groups at 8B/row is still MBs, but pass
+    ``broadcast_offsets=False`` to use a plain shuffle join when the
+    group count is extreme).
+
     Emits exactly the columns of ``df`` plus ``out_col``; row order is
     unspecified (as with any shuffle).
     """
     spark = df.sparkSession
-    n_part = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = num_partitions
+    if n_part is None:
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # "auto" (AQE-managed deployments) or unreadable: fall back
+            # to the cluster's default parallelism
+            n_part = spark.sparkContext.defaultParallelism
+    n_part = max(int(n_part), 1)
     part_cols = list(part_cols)
     range_exprs = [F.asc(c) for c in part_cols] + _sort_exprs(order_cols)
 
@@ -109,7 +127,19 @@ def with_percent_rank(
         F.sum("__rnk_cnt").over(w_grp).cast("long").alias(_NGRP),
     )
 
-    joined = local.join(F.broadcast(offsets), [_PID, *part_cols])
+    key_map = {c: f"__rnk_k_{i}" for i, c in enumerate(part_cols)}
+    off = offsets.select(
+        F.col(_PID).alias("__rnk_k_pid"),
+        *[F.col(c).alias(key_map[c]) for c in part_cols],
+        _OFF,
+        _NGRP,
+    )
+    if broadcast_offsets:
+        off = F.broadcast(off)
+    cond = local[_PID] == off["__rnk_k_pid"]
+    for c in part_cols:
+        cond = cond & local[c].eqNullSafe(off[key_map[c]])
+    joined = local.join(off, cond).drop("__rnk_k_pid", *key_map.values())
     rank = F.col(_OFF) + F.col(_LRN)
     pr = F.when(F.col(_NGRP) > 1, (rank - 1) / (F.col(_NGRP) - 1)).otherwise(
         F.lit(0.0)

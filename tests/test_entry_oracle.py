@@ -59,29 +59,23 @@ def test_no_driver_evidence_holes():
     """The driver's correctness gate evaluates only the FIRST 50 keys of
     queries() dict order per round. Every entry without a still-current
     archived green row (per archived_green_entries — hash-green AND code
-    fingerprint unchanged) must sit inside the first-50 window, or be
-    explicitly declared in PENDING_NEXT_WINDOW and placed immediately
-    after the window so _gate_order's self-heal is a mechanical move and
-    nothing hides further back. The position assertion is order-aware
-    (round-3 verdict #3): a pending entry is legal either in-window
-    (post-self-heal, after the round's CORRECTNESS file lands) or
-    immediately after position 50 (pre-archive)."""
+    fingerprint unchanged) must be fronted by _gate_order into a
+    CONTIGUOUS PREFIX of queries() — never hiding behind an archived
+    entry — and the prefix must fit the 50-slot window, else some entry
+    silently waits an extra round. The pending set is derived from the
+    stamps (round-5 verdict #1: the old hand-list went stale the moment
+    the driver proved its members), so staleness is impossible."""
     archived = entrymod.archived_green_entries(QUERIES, ORACLES)
     keys = list(QUERIES)
-    window = set(keys[:50])
-    pending = entrymod.PENDING_NEXT_WINDOW
-
     fresh = [k for k in keys if k not in archived]
-    holes = [k for k in fresh if k not in window]
-    undeclared = [k for k in holes if k not in pending]
-    assert not undeclared, (
-        f"{len(undeclared)} entries have no current archived driver "
-        f"evidence, sit beyond the 50-entry gate window, and are not "
-        f"declared in PENDING_NEXT_WINDOW: {undeclared}"
+    assert keys[: len(fresh)] == fresh, (
+        "_gate_order must front every entry lacking current driver "
+        f"evidence; out-of-prefix: "
+        f"{[k for i, k in enumerate(keys) if (k in archived) != (i >= len(fresh))]}"
     )
-    just_after = set(keys[50 : 50 + len(pending)])
-    misplaced = [k for k in pending if k not in window and k not in just_after]
-    assert not misplaced, (
-        f"PENDING_NEXT_WINDOW entries must be in-window or immediately "
-        f"after position 50; misplaced: {sorted(misplaced)}"
+    assert len(fresh) <= 50, (
+        f"window overflow: {len(fresh)} fresh entries exceed the 50-slot "
+        f"driver gate — entries beyond slot 50 stay unproven a round: "
+        f"{fresh[50:]}"
     )
+    assert entrymod.pending_next_window() == fresh[50:]

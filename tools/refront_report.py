@@ -17,21 +17,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fresh_entries() -> list[str]:
+    """fresh = fingerprint differs from every archived stamp (a revert
+    to an older round's code is NOT fresh — membership against the set
+    of all rounds' stamps, not just the latest)."""
     import __spark_entry__ as E
     import gate_fingerprints as GF
 
     q = E.queries()
     o = E.oracle_sql()
     fps = GF.entry_fingerprints(q, o)
-    stamped: dict[str, str] = {}
+    stamped: dict[str, set[str]] = {}
+    fp_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "GATE_FINGERPRINTS.json",
+    )
     try:
-        stamps = json.load(open("GATE_FINGERPRINTS.json"))
+        stamps = json.load(open(fp_path))
     except FileNotFoundError:
         stamps = {}
     for rnd, m in stamps.items():
         if rnd.startswith("CORRECTNESS"):
-            stamped.update(m)
-    return [k for k in q if fps.get(k) != stamped.get(k)]
+            for name, fp in m.items():
+                stamped.setdefault(name, set()).add(fp)
+    return [k for k in q if fps.get(k) not in stamped.get(k, set())]
 
 
 if __name__ == "__main__":
