@@ -59,6 +59,13 @@ HEADLINERS = [
     "window_top_orders",
     "window_rolling_revenue",
     "pipeline_clean_corpus",
+    # round-6: the reworked exact-rank family (operators/ranking.py) —
+    # recorded numbers were a round-5 verdict ask (#4)
+    "rfm_segments",
+    "skew_profile_events",
+    "events_anomaly_mad",
+    "perplexity_buckets",
+    "quality_percentile",
 ]
 
 

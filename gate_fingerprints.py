@@ -68,6 +68,21 @@ def reachable_sources(fn) -> str:
     functions/classes and the reprs of the CONSTANT values reachable from
     ``fn`` by word-level name references, following ``__globals__``
     transitively across modules."""
+    seen = _reach(fn)
+    return "".join(seen[k] for k in sorted(seen))
+
+
+def reachable_keys(fn) -> set[str]:
+    """The module-qualified names :func:`reachable_sources` hashes for
+    ``fn`` — exposed for the registry-stability guard test: an entry
+    whose closure reaches the registry functions themselves (``queries``
+    / ``oracle_sql`` / ...) gets a new fingerprint every time ANY entry
+    is added, silently re-fronting it (round-6 finding: a local variable
+    or docstring word is enough, since matching is name-based)."""
+    return set(_reach(fn))
+
+
+def _reach(fn) -> dict[str, str]:
     seen: dict[str, str] = {}
     stack = [fn]
     visited: set[int] = set()
@@ -110,7 +125,7 @@ def reachable_sources(fn) -> str:
                 and not inspect.ismodule(obj)
             ):
                 seen[f"const:{mod.__name__}.{attr}"] = _stable_repr(obj)
-    return "".join(seen[k] for k in sorted(seen))
+    return seen
 
 
 def entry_fingerprints(entries: dict, oracles: dict) -> dict[str, str]:

@@ -113,6 +113,10 @@ def publications_analog(
     if cached:
         out = out.persist()
         _ANALOG_CACHE[key] = out
+        # bounded (insertion-order FIFO): a session touches a handful of
+        # (app, sf_dir) keys; the cap only guards synthetic many-SF loops
+        while len(_ANALOG_CACHE) > 6:
+            _ANALOG_CACHE.pop(next(iter(_ANALOG_CACHE))).unpersist()
     return out
 
 

@@ -282,3 +282,47 @@ def test_graph_store_lpa_matches_direct(spark, tmp_path):
         assert "Bucketed: true" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_graph_store")
+
+
+def test_community_pipeline_composed_lifecycle(spark):
+    """The composed C1->C14 gate row (entry `community_pipeline`): the
+    poison cross-community publication must be dropped by C1 (if it
+    survived, all 34 planted components would merge into one and the
+    top-3 cut would collapse); LPA converges to one label per component;
+    the decorated output is exactly the top-3 components' edges."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    pubs = entrymod._planted_pipeline_pubs(spark, sf)
+    # 34 planted + 1 noise
+    assert pubs.count() == 35
+    relevant = comm.relevance_filter(
+        pubs, keywords=["planted"], domains=["graphs"]
+    )
+    assert relevant.filter(F.col("title") == "noisepaper").count() == 0
+    assert relevant.count() == 34
+
+    out = entrymod._q_community_pipeline(spark, sf).collect()
+    # component sizes 16/14/12 -> edge counts 92/67/46 (2 + (a-1) + C(a,2)
+    # for a = 13/11/9 authors)
+    assert len(out) == 92 + 67 + 46
+    by_comm = defaultdict(int)
+    for r in out:
+        assert r["community_a"] == r["community_b"]  # components disjoint
+        by_comm[r["community_a"]] += 1
+    assert by_comm == {"paper0": 92, "paper1": 67, "paper2": 46}
+    types = {(r["type_a"], r["type_b"]) for r in out}
+    # every edge family of C4 appears decorated: paper->pub, paper->ven,
+    # author->paper, author co-authorship
+    assert types == {
+        ("PAPER", "PUBLISHER"),
+        ("PAPER", "VENUE"),
+        ("AUTHOR", "PAPER"),
+        ("AUTHOR", "AUTHOR"),
+    }
+    # the last-author quirk: per component, author->paper edges = n-1
+    ap = [r for r in out if r["type_a"] == "AUTHOR" and r["type_b"] == "PAPER"]
+    ap_by = defaultdict(int)
+    for r in ap:
+        ap_by[r["community_a"]] += 1
+    assert ap_by == {"paper0": 12, "paper1": 10, "paper2": 8}

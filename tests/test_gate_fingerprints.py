@@ -64,3 +64,74 @@ def test_stamps_file_matches_algo_version():
         "algorithm — regenerate against the archived trees "
         "(tools/stamp_round.py)"
     )
+
+
+def test_no_entry_reaches_the_registry_functions():
+    """An entry whose fingerprint closure includes the registry functions
+    (queries / oracle_sql / entry / pending_next_window / _gate_order /
+    archived_green_entries) is re-fronted every time ANY entry or oracle
+    is added — the fingerprint becomes registry-coupled instead of
+    code-coupled. Name matching is word-level, so a bare local variable
+    named ``queries`` or the word ``entry`` in a docstring is enough
+    (round-6 finding: knn_store_search + 7 docstrings)."""
+    registry = {
+        f"__spark_entry__.{n}"
+        for n in (
+            "queries",
+            "oracle_sql",
+            "entry",
+            "pending_next_window",
+            "_gate_order",
+            "archived_green_entries",
+        )
+    }
+    coupled = {
+        name: sorted(hit)
+        for name, fn in QUERIES.items()
+        if (hit := gfp.reachable_keys(fn) & registry)
+    }
+    assert not coupled, (
+        f"registry-coupled entries (rename the local/docstring word): "
+        f"{coupled}"
+    )
+
+
+def test_archive_eval_commit_is_pre_archive_snapshot():
+    """The stamping tree for an archive must be the commit the driver
+    actually evaluated: the parent of the commit that ADDED the archive —
+    i.e. a tree that does NOT yet contain the archive file but does
+    contain the entry module."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    c = entrymod._archive_eval_commit(here, "CORRECTNESS_r05.json")
+    assert c, "round-5 archive commit must resolve in this repo"
+    has_archive = subprocess.run(
+        ["git", "cat-file", "-e", f"{c}:CORRECTNESS_r05.json"],
+        cwd=here, capture_output=True,
+    ).returncode
+    assert has_archive != 0, "eval tree must predate the archive file"
+    has_entry = subprocess.run(
+        ["git", "cat-file", "-e", f"{c}:__spark_entry__.py"],
+        cwd=here, capture_output=True,
+    ).returncode
+    assert has_entry == 0
+
+
+def test_worktree_stamping_reflects_archived_tree():
+    """End-to-end race-closure proof (round-4 verdict #3): stamping a
+    round from git must reproduce the fingerprints of the ARCHIVED tree
+    regardless of what the live working tree looks like. The current
+    working tree HAS diverged from the round-5 archive (round-6 edits),
+    yet the worktree stamps must equal the recorded round-5 stamps."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    got = entrymod._stamp_rounds_from_git(here, ["CORRECTNESS_r05.json"])
+    assert "CORRECTNESS_r05.json" in got
+    recorded = json.load(
+        open(os.path.join(here, "GATE_FINGERPRINTS.json"))
+    )["CORRECTNESS_r05.json"]
+    assert got["CORRECTNESS_r05.json"] == recorded

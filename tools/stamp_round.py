@@ -36,8 +36,11 @@ import __spark_entry__ as em  # noqa: E402
 
 entries = em.queries()
 oracles = em.oracle_sql()
+# rec_name may be absolute (the archive file usually lives in the MAIN
+# repo, not the worktree: the driver's verdict commit adds it on top of
+# the evaluated snapshot) — os.path.join yields it unchanged then
 rows = json.load(open(os.path.join(worktree, rec_name)))
 fps = gfp.entry_fingerprints(
     {n: f for n, f in entries.items() if n in rows}, oracles
 )
-json.dump({rec_name: fps}, sys.stdout)
+json.dump({os.path.basename(rec_name): fps}, sys.stdout)
