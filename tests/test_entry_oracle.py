@@ -79,3 +79,42 @@ def test_no_driver_evidence_holes():
         f"{fresh[50:]}"
     )
     assert entrymod.pending_next_window() == fresh[50:]
+
+
+def test_session_caches_are_bounded():
+    """Round-4 verdict #8 / round-5 carry: the per-session fixture caches
+    must stay bounded under a synthetic many-SF loop, and evicted values
+    must be unpersisted (DataFrame handles would otherwise pin executor
+    storage forever in a long-lived service)."""
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    cache: dict = {}
+    dfs = [FakeDF() for _ in range(20)]
+    for i, df in enumerate(dfs):
+        entrymod._cache_put(cache, ("app", f"sf{i}"), df)
+    assert len(cache) == entrymod._CACHE_CAP
+    # oldest evicted and unpersisted; newest retained and still persisted
+    n_evicted = 20 - entrymod._CACHE_CAP
+    assert all(df.unpersisted for df in dfs[:n_evicted])
+    assert all(not df.unpersisted for df in dfs[n_evicted:])
+    assert ("app", "sf19") in cache
+
+    # tuple values: every member unpersisted on eviction
+    cache2: dict = {}
+    pair = (FakeDF(), FakeDF())
+    entrymod._cache_put(cache2, "old", pair)
+    for i in range(entrymod._CACHE_CAP):
+        entrymod._cache_put(cache2, f"new{i}", FakeDF())
+    assert all(df.unpersisted for df in pair)
+
+    # flag values (store-written markers) evict without error
+    cache3: dict = {}
+    for i in range(entrymod._CACHE_CAP + 3):
+        entrymod._cache_put(cache3, i, True)
+    assert len(cache3) == entrymod._CACHE_CAP
