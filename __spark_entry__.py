@@ -774,6 +774,41 @@ def _q_community_lpa(spark, sf_dir):
     return community.community_sizes(_lpa_labels(spark, sf_dir), min_size=30)
 
 
+def _q_c8_store_lpa(spark, sf_dir):
+    """C8 against the PERSISTED graph store: the portable-hashed mirrored
+    message relation is written ONCE per (app, sf) bucketed+sorted on
+    ``src`` (``community.write_graph_store``), and the LPA loop runs via
+    ``community_detection_from_store`` — every superstep's message join
+    reads the store's bucket partitioning with zero edge-side Exchange
+    (plan-asserted in tests/test_graph_store.py). Labels are identical to
+    the in-memory organic path (a vertex's initial label IS its hashed
+    id), so the oracle is the SAME unrolled 5-superstep SQL fixpoint as
+    ``c8_community_lpa`` — the store path is proven end-to-end, not just
+    plan-shaped. The vector/BM25/LM store family's graph twin, driver-
+    gated at last (it was pytest-only through round 5)."""
+    import os as _os
+
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "graph_store_lpa_" + sfname.replace(".", "_")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "spark-warehouse", table
+    )
+    mirrored, n_est = _graph_lpa_mirrored(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, "graph_store", sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        community.write_graph_store(None, path, table=table, mirrored=mirrored)
+        _cache_put(_SIG_STORE_CACHE, key, True)
+    labels = community.community_detection_from_store(
+        spark,
+        table=table,
+        iterations=5,
+        delta=0.5,
+        portable_rounding=True,
+        n_edges=n_est,
+    )
+    return community.community_sizes(labels, min_size=30)
+
+
 def _q_s5_latest_publications(spark, sf_dir):
     """S5: upsert-by-(doi,title) store semantics — the analog corpus plus
     a 'second write' for every 10th publication; the last-write-wins view
@@ -2450,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c16_strength_planted": _q_c16_strength_planted,
         # round 6: composed C1->C14 lifecycle (fresh — _gate_order fronts it)
         "community_pipeline": _q_community_pipeline,
+        "c8_store_lpa": _q_c8_store_lpa,
         "dedup_increment": _q_dedup_increment,
         "text_rarity": _q_text_rarity,
         "c2_community_vertices": _q_community_vertices,
@@ -5246,6 +5282,10 @@ SELECT label, CAST(count(*) AS BIGINT) AS count
 FROM __LAB__ GROUP BY 1 HAVING count(*) >= 30
 """
     )
+    # the persisted-store LPA produces bit-identical labels (same
+    # portable-hashed mirrored relation, same loop), so it shares the
+    # unrolled-fixpoint oracle verbatim
+    d["c8_store_lpa"] = d["c8_community_lpa"]
     d["c16_community_strength"] = _lpa_oracle_sql(
         """
 , csizes AS (

@@ -112,6 +112,7 @@ def main() -> None:
         time.sleep(5)
 
     timings: dict[str, float] = {}
+    med: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
@@ -179,6 +180,12 @@ def main() -> None:
             extra += 1
         best = min(times)
         timings[name] = round(best, 3)
+        # median alongside min: a warm min that regresses while the
+        # median holds (or vice versa) separates sustained host load
+        # from a real plan change (the round-5 dedup_store_increment
+        # "+71%" took a 2-process measurement session to call — the
+        # median would have said "noise" immediately)
+        med[name] = round(sorted(times)[len(times) // 2], 3)
         total += best
         print(
             f"# {name}: {best:.3f}s cold {cold[name]:.3f}s ({n} rows; "
@@ -193,6 +200,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_med": med,
                 "queries_cold": cold,
                 "total_cold": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -292,6 +292,7 @@ def write_graph_store(
     path: str,
     table: str = "graph_edges_mirrored",
     n_buckets: int = 16,
+    mirrored: DataFrame | None = None,
 ) -> None:
     """Persist the aggregated mirrored LPA message relation bucketed AND
     sorted on ``src`` — the production shape of iterative graph analytics
@@ -302,10 +303,15 @@ def write_graph_store(
     Exchange (only the small per-superstep state shuffles, into the
     bucket partitioning). At real scale ``n_buckets`` is sized so each
     bucket is a few hundred MB of edges; re-bucketing only happens when
-    the graph outgrows it, not per job."""
+    the graph outgrows it, not per job.
+
+    ``mirrored``: a pre-aggregated mirrored relation to persist as-is
+    (e.g. one built with a portable hash via
+    :func:`aggregate_undirected_hashed` so an external engine can replay
+    the labels); default builds it from the raw ``edges`` multiset."""
+    rel = aggregate_undirected(edges) if mirrored is None else mirrored
     (
-        aggregate_undirected(edges)
-        .write.mode("overwrite")
+        rel.write.mode("overwrite")
         .option("path", path)
         .bucketBy(n_buckets, "src")
         .sortBy("src")
