@@ -409,6 +409,50 @@ def _q_dedup_store_increment(spark, sf_dir):
     )
 
 
+def _q_dedup_store_compact(spark, sf_dir):
+    """LSM maintenance of the signature store, driver-gated end-to-end:
+    build the 80%-corpus store, POISON it with a crash-replayed duplicate
+    append of a corpus slice (exactly the failure
+    ``append_signature_store``'s contract warns about — double-counted
+    shingle intersections inflate Jaccard up to divide-by-zero on probes
+    that pair against the duplicated docs), repair with
+    ``compact_signature_store`` (rebuild from distinct postings), then
+    run the 20% increment against the repaired store. Hash-matching the
+    SAME oracle as ``dedup_increment`` proves the repair restores exact
+    probe semantics; the corruption without the repair is pinned by
+    ``test_compact_signature_store_repairs_duplicate_append``."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "sig_store_compact_" + sfname.replace(".", "_")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "spark-warehouse", table
+    )
+    key = (spark.sparkContext.applicationId, "compact", sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        dedup.write_signature_store(
+            corpus, path, table=table, k=3, num_perm=64, bands=16
+        )
+        dup = corpus.filter(F.col("doc_id") % 5 == 0)
+        dedup.append_signature_store(
+            dup, path, table=table, k=3, num_perm=64, bands=16
+        )
+        dedup.compact_signature_store(
+            spark, path, table=table, num_perm=64, bands=16
+        )
+        _cache_put(_SIG_STORE_CACHE, key, True)
+    return dedup.minhash_lsh_increment_from_store(
+        spark, path, batch, table=table, k=3, num_perm=64, bands=16,
+        threshold=0.3,
+    )
+
+
 def _q_lm_store_score(spark, sf_dir):
     """The persisted-LM variant of ``text_perplexity``: the 80% corpus
     trains the Laplace bigram model ONCE (``write_lm_store`` — counts
@@ -2486,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: composed C1->C14 lifecycle (fresh — _gate_order fronts it)
         "community_pipeline": _q_community_pipeline,
         "c8_store_lpa": _q_c8_store_lpa,
+        "dedup_store_compact": _q_dedup_store_compact,
         "dedup_increment": _q_dedup_increment,
         "text_rarity": _q_text_rarity,
         "c2_community_vertices": _q_community_vertices,
@@ -5193,6 +5238,8 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the store-backed increment produces byte-identical output to the
     # raw-corpus increment (equivalence pytest-pinned) — same oracle
     d["dedup_store_increment"] = d["dedup_increment"]
+    # post-compaction probe must equal the clean increment exactly
+    d["dedup_store_compact"] = d["dedup_increment"]
     # the persisted-index BM25 search produces the same scores as the
     # raw-corpus search (equivalence pytest-pinned) — same oracle
     d["bm25_store_search"] = d["text_bm25"]

@@ -20,20 +20,30 @@ exact code it can reach:
   ``_CENTROID_CACHE`` would make fingerprints nondeterministic;
 - the entry's DuckDB oracle SQL.
 
-ALGO_VERSION: bump when this algorithm changes, then regenerate
-GATE_FINGERPRINTS.json for past rounds against their archived trees
-(``git worktree add <dir> <round-commit>`` and re-stamp — see
-tools/stamp_round.py). Stamps computed by a different version are
-ignored, which safely (if noisily) re-fronts everything.
+Sources are hashed in BEHAVIOR-NORMALIZED form (v3): parsed, docstrings
+dropped, re-serialized from the AST — so docstring, comment and
+formatting edits do not change a fingerprint (none can change results),
+while any executable change still does. The name scan that discovers
+reachable code runs over the same normalized source, so a docstring
+word can never create a dependency edge (round-6 finding: entries whose
+docstrings contained the bare word ``entry`` were re-fronted whenever
+any entry was added).
+
+ALGO_VERSION: bump when this algorithm changes. Regeneration of past
+rounds' stamps is automatic since round 6: ``archived_green_entries``
+drops mismatched-version stamps and re-stamps each archive against its
+git-worktree'd snapshot tree (tools/stamp_round.py).
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import re
+import textwrap
 
-ALGO_VERSION = 2
+ALGO_VERSION = 3
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 _ATTR_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
@@ -49,9 +59,33 @@ def _stable_repr(obj) -> str:
     return r
 
 
+def _behavior_source(src: str) -> str:
+    """AST-normalized source: docstrings removed, comments/formatting
+    gone by construction (they are not in the AST). Falls back to the
+    raw text when the fragment does not parse standalone."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return src
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(
+                node,
+                (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            )
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    return ast.unparse(tree)
+
+
 def _source_of(fn) -> str:
     try:
-        return inspect.getsource(fn)
+        return _behavior_source(inspect.getsource(fn))
     except (OSError, TypeError):
         return "nosource:" + getattr(fn, "__name__", repr(type(fn)))
 

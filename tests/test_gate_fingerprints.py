@@ -135,3 +135,31 @@ def test_worktree_stamping_reflects_archived_tree():
         open(os.path.join(here, "GATE_FINGERPRINTS.json"))
     )["CORRECTNESS_r05.json"]
     assert got["CORRECTNESS_r05.json"] == recorded
+
+
+def test_behavior_source_ignores_docs_comments_formatting():
+    """v3: docstring, comment, and formatting edits cannot change a
+    fingerprint — none can change results — while any executable change
+    still does."""
+    a = gfp._behavior_source(
+        'def f(x):\n    """Original docstring."""\n    # a comment\n'
+        "    return x + 1\n"
+    )
+    b = gfp._behavior_source(
+        'def f(x):\n    """Totally rewritten docs, new words like\n'
+        '    registry or anything else."""\n    return (x\n        + 1)\n'
+    )
+    c = gfp._behavior_source("def f(x):\n    return x + 2\n")
+    assert a == b
+    assert a != c
+    # the name scan runs over the normalized source, so a docstring word
+    # cannot create a dependency edge
+    assert "registry" not in b
+
+
+def test_behavior_source_keeps_string_constants():
+    # real string literals are executable values and must stay hashed
+    a = gfp._behavior_source("def f():\n    return 'keyword_name'\n")
+    b = gfp._behavior_source("def f():\n    return 'other_name'\n")
+    assert a != b
+    assert "keyword_name" in a
