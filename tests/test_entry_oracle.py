@@ -42,6 +42,26 @@ def test_bench_headliners_are_registered():
     assert not missing, missing
 
 
+def test_bench_output_line_fits_driver_buffer():
+    """The driver archives only the last 2000 chars of bench stdout and
+    parses the final line as JSON (BENCH_r04/r05 were "parsed": null once
+    the line outgrew that). The printed line must stay under budget even
+    with every headliner reporting a 4-digit-seconds timing."""
+    import json
+
+    import bench
+
+    fake = {n: 9999.999 for n in bench.HEADLINERS}
+    line, detail = bench.build_output(fake, fake, fake, "0.1")
+    assert len(line) <= bench._LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"]  # never compacted down to nothing
+    # the detail dict keeps the full warm/median/cold resolution
+    assert set(detail["queries"]) == set(bench.HEADLINERS)
+    assert set(detail["queries_cold"]) == set(bench.HEADLINERS)
+
+
 def test_coverage_totals_match_registry():
     """COVERAGE.md's gate-total claim is checked against the live
     registry so the documented counts can't drift."""
