@@ -2101,7 +2101,12 @@ def _planted_pipeline_pubs(spark, sf_dir):
             F.array(F.lit("irrelevant")).alias("fos"),
         )
     )
-    return planted.unionByName(noise)
+    # localCheckpoint the 35-row fixture: the composed lifecycle scans it
+    # once per LPA-superstep lineage branch (the round-6 plan audit found
+    # 44 re-evaluations of the 250-row orderkey window without this) —
+    # truncating here makes every downstream scan read 35 materialized
+    # rows instead of re-running the sort+window+groupBys each time
+    return planted.unionByName(noise).localCheckpoint()
 
 
 def _q_community_pipeline(spark, sf_dir):
