@@ -931,6 +931,134 @@ def _q_stream_yrwise_dist(spark, sf_dir):
     return _run_stream_aggregation(spark, sf_dir, "yrwise_dist")
 
 
+def _events_replay_stream(spark, sf_dir):
+    """The events table replayed as a 2-micro-batch parquet file stream
+    (split on event_id parity, so every aggregation's state must merge
+    across batches — the rows of any (window, type) or user group land in
+    BOTH files)."""
+    import tempfile
+
+    from scipi_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="scipi_stream_events_")
+    src = f"{d}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # event-time watermarks require TIMESTAMP (LTZ); the parquet ts is
+    # NTZ, so cast here (session tz is UTC — the rendered values the
+    # oracle compares are unchanged)
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _q_stream_tumbling_windows(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a REAL stream: events
+    replayed in 2 micro-batches through ``tumbling_window_counts``
+    (1-hour event-time windows, 2-hour watermark) into a complete-mode
+    sink — the canonical Structured Streaming windowed-state operator,
+    previously pytest-only. Every window's rows straddle both batches
+    (parity split), so the converged table proves cross-batch window
+    state merge; oracle = the batch hourly rollup."""
+    import uuid
+
+    from scipi_spark.streaming.pipelines import tumbling_window_counts
+
+    agg = tumbling_window_counts(_events_replay_stream(spark, sf_dir))
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _q_stream_user_stats(spark, sf_dir):
+    """The custom stateful operator (``applyInPandasWithState``, explicit
+    per-user GroupState — the reference's keyed-reduce-with-rich-state
+    analog, ``ScipiStream.java:146-207``) driver-gated end-to-end: the
+    2-batch replay emits one updated row per user per micro-batch;
+    ``n_events`` is strictly increasing per user, so the converged state
+    is the max-``n_events`` row. Must equal the batch per-user aggregate."""
+    import uuid
+
+    from scipi_spark.streaming.pipelines import stateful_user_stats
+
+    out = stateful_user_stats(_events_replay_stream(spark, sf_dir))
+    name = f"stream_ustats_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window as _W
+
+    # converged row = max n_events per user (strictly increasing across
+    # micro-batches); a per-user window avoids self-joining the memory
+    # sink view (whose plan can't be deduplicated for a self-join)
+    tbl = spark.table(name)
+    w = _W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    tbl = (
+        tbl.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return tbl.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+def _q_events_sliding_windows(spark, sf_dir):
+    """Hopping (sliding) event-time windows — 1-hour windows every 15
+    minutes, so each event lands in exactly 4 overlapping buckets. Runs
+    the STREAMING code path (``sliding_window_counts``) on the batch
+    frame (watermark is a no-op in batch — same dual-mode discipline as
+    the interval-join row); the oracle replays the bucket fan-out with a
+    4-row series join."""
+    from scipi_spark.sources.tables import load_events
+    from scipi_spark.streaming.pipelines import sliding_window_counts
+
+    ev = load_events(spark, sf_dir)
+    out = sliding_window_counts(ev, window="1 hour", slide="15 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
 def _media_analog(spark, sf_dir):
     """Deterministic media assets from the documents table: payload =
     utf-8 text bytes, media type cycling by doc_id, video durations from
@@ -2462,6 +2590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_yrwise_dist": _q_stream_yrwise_dist,
         "stream_dedup_exact": _q_stream_dedup,
         "stream_interval_join": _q_stream_interval_join,
+        # round 6: windowed-state + custom-stateful streaming gate rows
+        "stream_tumbling_windows": _q_stream_tumbling_windows,
+        "stream_user_stats": _q_stream_user_stats,
+        "events_sliding_windows": _q_events_sliding_windows,
         "grouped_topk_parts": _q_grouped_topk_parts,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
@@ -4498,6 +4630,43 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
                      AS avg_k
             FROM events GROUP BY 1, 2
+        """,
+        # converged complete-mode tumbling-window state == batch hourly
+        # rollup (windows are epoch-aligned 1-hour buckets = date_trunc)
+        "stream_tumbling_windows": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # the converged GroupState per user == the batch per-user aggregate
+        "stream_user_stats": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events GROUP BY 1
+        """,
+        # hopping windows: each event belongs to the 4 windows whose
+        # epoch-aligned 15-min starts cover it (window 1h / slide 15m) —
+        # start_i = slide_floor(ts) - i*15min for i in 0..3, all of which
+        # satisfy start <= ts < start + 1h by construction
+        "events_sliding_windows": """
+            WITH g AS (SELECT * FROM generate_series(0, 3) t(i)),
+            w AS (
+              SELECT TIMESTAMP '1970-01-01 00:00:00'
+                       + (CAST(floor(epoch(ts) / 900) AS BIGINT) - i)
+                         * 900 * INTERVAL '1 second' AS ws,
+                     event_type
+              FROM events CROSS JOIN g
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1, 2
         """,
         # gaps-and-islands rewrite of session windows: a new session starts
         # when the gap to the previous event is >= 30 min (Spark's session
