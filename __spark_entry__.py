@@ -1038,6 +1038,43 @@ def _q_stream_user_stats(spark, sf_dir):
     )
 
 
+def _q_stream_session_windows(spark, sf_dir):
+    """``F.session_window``'s STREAMING state-MERGE path (the hardest
+    streaming-state case: dynamic-length windows that coalesce as rows
+    arrive): the parity split interleaves every user's events across the
+    2 micro-batches, so nearly every session arrives in two partial
+    pieces the state store must merge. Complete-mode convergence must
+    equal batch sessionization — shares the gaps-and-islands oracle of
+    the batch twin verbatim."""
+    import uuid
+
+    from scipi_spark.streaming.pipelines import session_window_stats
+
+    out = session_window_stats(_events_replay_stream(spark, sf_dir))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_events_sliding_windows(spark, sf_dir):
     """Hopping (sliding) event-time windows — 1-hour windows every 15
     minutes, so each event lands in exactly 4 overlapping buckets. Runs
@@ -2593,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: windowed-state + custom-stateful streaming gate rows
         "stream_tumbling_windows": _q_stream_tumbling_windows,
         "stream_user_stats": _q_stream_user_stats,
+        "stream_session_windows": _q_stream_session_windows,
         "events_sliding_windows": _q_events_sliding_windows,
         "grouped_topk_parts": _q_grouped_topk_parts,
         "multimodal_features": _q_multimodal_features,
@@ -5495,6 +5533,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # mode aggregation state is cumulative; the year-keyed upsert keeps
     # each year's last update), so the oracle is the batch oracle verbatim
     d["stream_yrwise_dist"] = d["p9_yrwise_dist"]
+    # streaming session windows converge (state merges) to exactly the
+    # batch sessionization, so the gaps-and-islands oracle is shared
+    d["stream_session_windows"] = d["events_sessionize"]
     # organic LPA entries: the full 5-superstep fixpoint unrolled in SQL
     # over portable vertex hashes (no longer rows-only)
     d["c8_community_lpa"] = _lpa_oracle_sql(

@@ -26,6 +26,13 @@ Known-benign (entry, kind) pairs are whitelisted EXPLICITLY below with the
 reason, so a new flag is always a diff against an empty set. Exit code 1 on
 any unwhitelisted flag.
 
+The ``exchanges`` count per entry is ADVISORY: it is a raw count over the
+plan string, which re-prints the full build lineage of every cached
+subtree (``InMemoryRelation``) — an entry reusing a persisted graph shows
+its extraction shuffles once per cached-scan reference even though they
+executed once (checked for graph_triangles/c14: the live top-level plan
+is one hash Exchange + broadcast joins over InMemoryTableScans).
+
 Usage: python tools/plan_audit.py [sf_dir]   (writes PLAN_AUDIT.json)
 """
 
