@@ -95,6 +95,58 @@ def test_stream_upsert_sink_converges(spark, fixture_dir, tmp_path):
     assert got == want
 
 
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    """Crash-recovery proof for the upsert pipeline: run to completion on
+    the first chunk, STOP the query, deliver more input while it is down,
+    then restart from the SAME checkpoint. The restarted query must (a)
+    resume at the next batch id — the commit log shows batch 0 committed
+    before the restart and batch 1 only after, so the first file is never
+    re-read — and (b) converge to the full-corpus batch answer, which
+    requires the aggregation state recovered from the state store (batch
+    0's counts) to flow into batch 1's updates."""
+    import os
+
+    recs = _fixture_records()
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "chunk0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs[:30]) + "\n"
+    )
+    out = str(tmp_path / "kw_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = read_publications_stream(spark, str(src), max_files_per_trigger=1)
+    q = run_aggregation_upsert(spark, stream, "keyword_count", out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    commits = {n for n in os.listdir(os.path.join(ckpt, "commits")) if n.isdigit()}
+    assert commits == {"0"}
+
+    # input arrives while the query is down; restart from the checkpoint
+    (src / "chunk1.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs[30:]) + "\n"
+    )
+    stream2 = read_publications_stream(spark, str(src), max_files_per_trigger=1)
+    q2 = run_aggregation_upsert(spark, stream2, "keyword_count", out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    commits = {n for n in os.listdir(os.path.join(ckpt, "commits")) if n.isdigit()}
+    assert commits == {"0", "1"}
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            analytics.keyword_count(_batch_pubs(spark, str(src))).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_parquet_upsert_semantics(spark, tmp_path):
     path = str(tmp_path / "t")
     df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
