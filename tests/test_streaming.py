@@ -147,6 +147,70 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     assert got == want
 
 
+def test_watermark_finalizes_windows_once_and_drops_post_eviction_data(
+    spark, tmp_path
+):
+    """Late-data handling (SURVEY §2.7: absent in the reference, required
+    of the rebuild) — Spark's ACTUAL watermark contract, verified
+    empirically: a beyond-watermark row still aggregates while its
+    window's state LIVES (the guarantee is one-directional — within-
+    watermark data is never dropped), so the hard guarantees to pin are
+    (a) append mode emits each window EXACTLY ONCE, when the watermark
+    passes its end, and (b) a row arriving after its window was
+    finalized and evicted is dropped — it cannot resurrect the window or
+    emit a duplicate. Batch 0 fills the 00:00 window; batch 1 (09:00)
+    advances the watermark to 08:30, finalizing+evicting it; batch 2's
+    00:20 straggler must vanish."""
+    rows_by_batch = [
+        [
+            (1, "2024-01-01 00:10:00", 7, "click", 1.0),
+            (2, "2024-01-01 00:40:00", 8, "click", 1.0),
+            (3, "2024-01-01 05:00:00", 7, "click", 1.0),
+        ],
+        [(4, "2024-01-01 09:00:00", 8, "click", 1.0)],
+        [(5, "2024-01-01 00:20:00", 9, "click", 1.0)],  # post-eviction
+    ]
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double"
+    )
+    src = str(tmp_path / "events")
+    for i, rows in enumerate(rows_by_batch):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        tumbling_window_counts(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mem_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = [
+        ((str(r["window_start"]), r["event_type"]), r["n_events"])
+        for r in spark.table("mem_late").collect()
+    ]
+    # each finalized window appears EXACTLY once (no duplicate emission,
+    # no resurrection by the post-eviction straggler), with the counts it
+    # had at finalization; the 09:00 window never finalizes (watermark
+    # stalls at 08:30 once input ends)
+    assert sorted(emitted) == [
+        (("2024-01-01 00:00:00", "click"), 2),
+        (("2024-01-01 05:00:00", "click"), 1),
+    ], emitted
+
+
 def test_parquet_upsert_semantics(spark, tmp_path):
     path = str(tmp_path / "t")
     df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
