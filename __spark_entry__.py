@@ -194,7 +194,7 @@ def _q_ingest_dblp(spark, sf_dir):
     if key not in _RAW_JSON_CACHE:
         pubs = publications_analog(spark, sf_dir)
         okey = F.col("doi").cast("long")
-        _RAW_JSON_CACHE[key] = pubs.select(
+        raw = pubs.select(
             F.to_json(
                 F.struct(
                     F.concat(F.lit("d"), F.col("doi")).alias("key"),
@@ -209,7 +209,8 @@ def _q_ingest_dblp(spark, sf_dir):
                     F.col("authors"),
                 )
             ).alias("value")
-        ).persist()
+        )
+        _cache_put(_RAW_JSON_CACHE, key, raw.persist())
     raw = _RAW_JSON_CACHE[key]
     raw.persist()  # re-register after an external clearCache()
     out = ingest.ingest_dblp(raw)
@@ -372,6 +373,13 @@ def _q_dedup_increment(spark, sf_dir):
 
 
 _SIG_STORE_CACHE: dict = {}
+#: The store-flag cache holds booleans ("this (app, purpose, sf) store is
+#: written"), not persisted DataFrames, so its cap is sized to hold every
+#: purpose (sig, compact, lm, bm25, ann, graph_store) across 3 SF dirs at
+#: once — at the default cap of 6 (== purposes per sf_dir) a session
+#: touching a second sf_dir would evict the first dir's flags and silently
+#: re-run full store writes on every revisit (round-6 advice).
+_STORE_FLAG_CAP = 18
 
 
 def _q_dedup_store_increment(spark, sf_dir):
@@ -402,7 +410,7 @@ def _q_dedup_store_increment(spark, sf_dir):
         dedup.write_signature_store(
             corpus, path, table=table, k=3, num_perm=64, bands=16
         )
-        _cache_put(_SIG_STORE_CACHE, key, True)
+        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
     return dedup.minhash_lsh_increment_from_store(
         spark, path, batch, table=table, k=3, num_perm=64, bands=16,
         threshold=0.3,
@@ -446,7 +454,7 @@ def _q_dedup_store_compact(spark, sf_dir):
         dedup.compact_signature_store(
             spark, path, table=table, num_perm=64, bands=16
         )
-        _cache_put(_SIG_STORE_CACHE, key, True)
+        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
     return dedup.minhash_lsh_increment_from_store(
         spark, path, batch, table=table, k=3, num_perm=64, bands=16,
         threshold=0.3,
@@ -477,7 +485,7 @@ def _q_lm_store_score(spark, sf_dir):
     key = (spark.sparkContext.applicationId, "lm", sf_dir)
     if key not in _SIG_STORE_CACHE:
         textops.write_lm_store(corpus, path, table=table)
-        _cache_put(_SIG_STORE_CACHE, key, True)
+        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
     return textops.score_from_lm_store(batch, path, table=table)
 
 
@@ -841,7 +849,7 @@ def _q_c8_store_lpa(spark, sf_dir):
     key = (spark.sparkContext.applicationId, "graph_store", sf_dir)
     if key not in _SIG_STORE_CACHE:
         community.write_graph_store(None, path, table=table, mirrored=mirrored)
-        _cache_put(_SIG_STORE_CACHE, key, True)
+        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
     labels = community.community_detection_from_store(
         spark,
         table=table,
@@ -2015,7 +2023,7 @@ def _q_bm25_store_search(spark, sf_dir):
     if key not in _SIG_STORE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         textops.write_text_index_store(docs, path, table=table)
-        _cache_put(_SIG_STORE_CACHE, key, True)
+        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
     return textops.bm25_from_store(spark, path, BM25_QUERY, table=table, topk=10)
 
 
@@ -2356,7 +2364,7 @@ def _q_knn_store_search(spark, sf_dir):
     key = (spark.sparkContext.applicationId, "ann", sf_dir)
     if key not in _SIG_STORE_CACHE:
         similarity.write_ann_store(emb, path, table=table, bits=6, tables=16)
-        _cache_put(_SIG_STORE_CACHE, key, True)
+        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
     probe = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
     return similarity.knn_from_store(
         probe, table=table, k=KNN_K, bits=6, tables=16

@@ -69,6 +69,11 @@ HEADLINERS = [
     # round-6: the persisted graph store's LPA (cold pays the one-time
     # bucketed store write; warm measures the Exchange-free loop)
     "c8_store_lpa",
+    # round-7: the reference's flagship composed batch job (C1 relevance
+    # filter -> C8 LPA -> C10 top-3 collect -> C14 decoration joins,
+    # SURVEY §3.2) — end-to-end cost was unrecorded before (only the
+    # c8/c14 pieces were benched); round-6 verdict #7
+    "community_pipeline",
 ]
 
 
@@ -114,10 +119,24 @@ def main() -> None:
         spark._jvm.System.gc()
         time.sleep(5)
 
+    from scipi_spark.taskmetrics import TaskTimer
+
+    timer = TaskTimer(spark)
     timings: dict[str, float] = {}
     med: dict[str, float] = {}
     cold: dict[str, float] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Contention-robust cost (round-6 verdict #1): executor task time per
+    # query — the sum of per-task run time over the query's own stages,
+    # measured as a status-store delta around each execution. A host-load
+    # burst stretches wall clock while cores idle; task time only grows
+    # with work actually done, so it is the cross-round comparison metric
+    # (SCALE.md). task = min over warm samples; task_spread = [min, med,
+    # max] over the >=3 warm samples; cpu = JVM-only on-CPU floor.
+    task: dict[str, float] = {}
+    task_spread: dict[str, list[float]] = {}
+    task_cold: dict[str, float] = {}
+    cpu: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in HEADLINERS:
         fn = qs[name]
         # Drop blocks cached by PREVIOUS headliners (operator-internal
@@ -151,34 +170,44 @@ def main() -> None:
         # It is timed and reported separately (queries_cold) — the warm
         # steady-state min stays the headline, but the cold number ends
         # the warm/cold ambiguity across rounds (round-3 verdict #7).
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 3)
+        w, tr, tc = timer.measure(lambda: fn(spark, sf_dir).count())
+        cold[name] = round(w, 3)
+        task_cold[name] = round(tr, 3)
 
         # Steady-state cost = the MINIMUM over timed warm runs. This host
         # is shared and external load bursts land on random queries
         # (observed: the same entry at 2.3s and 17.6s across runs with
         # identical plans); a single sample is a lottery draw. Always
-        # take >= 2 timed samples, and while the two fastest disagree by
-        # >50% (+0.5s floor for sub-second jitter) the distribution is
-        # stall-contaminated — take up to 2 extra samples so min()
-        # estimates the query's cost, not the host's mood.
+        # take >= 3 timed samples (the verdict's 3-pass spread), and
+        # while the two fastest disagree by >50% (+0.5s floor for
+        # sub-second jitter) the distribution is stall-contaminated —
+        # take up to 2 extra samples so min() estimates the query's
+        # cost, not the host's mood.
         times: list[float] = []
+        tasks: list[float] = []
+        cpus: list[float] = []
         n = 0
-        for _ in range(max(repeats, 2)):
+
+        def run_sample() -> None:
+            nonlocal n
             settle()
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
+            got = [0]
+            w, tr, tc = timer.measure(
+                lambda: got.__setitem__(0, fn(spark, sf_dir).count())
+            )
+            n = got[0]
+            times.append(w)
+            tasks.append(tr)
+            cpus.append(tc)
+
+        for _ in range(max(repeats, 3)):
+            run_sample()
         extra = 0
         while extra < 2:
             s = sorted(times)
             if s[1] <= 1.5 * s[0] + 0.5:
                 break
-            settle()
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
+            run_sample()
             extra += 1
         best = min(times)
         timings[name] = round(best, 3)
@@ -188,13 +217,32 @@ def main() -> None:
         # "+71%" took a 2-process measurement session to call — the
         # median would have said "noise" immediately)
         med[name] = round(sorted(times)[len(times) // 2], 3)
+        st = sorted(tasks)
+        task[name] = round(st[0], 3)
+        task_spread[name] = [
+            round(st[0], 3),
+            round(st[len(st) // 2], 3),
+            round(st[-1], 3),
+        ]
+        cpu[name] = round(min(cpus), 3)
         print(
-            f"# {name}: {best:.3f}s cold {cold[name]:.3f}s ({n} rows; "
-            f"samples {[round(t, 2) for t in sorted(times)]})",
+            f"# {name}: {best:.3f}s task {task[name]:.3f}s cpu "
+            f"{cpu[name]:.3f}s cold {cold[name]:.3f}s/{task_cold[name]:.3f}s "
+            f"({n} rows; wall {[round(t, 2) for t in sorted(times)]} "
+            f"task {[round(t, 2) for t in st]})",
             file=sys.stderr,
         )
 
-    line, detail = build_output(timings, med, cold, sf)
+    line, detail = build_output(
+        timings,
+        med,
+        cold,
+        sf,
+        task=task,
+        task_spread=task_spread,
+        task_cold=task_cold,
+        cpu=cpu,
+    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
@@ -216,8 +264,19 @@ def build_output(
     med: dict[str, float],
     cold: dict[str, float],
     sf: str,
+    task: dict[str, float] | None = None,
+    task_spread: dict[str, list[float]] | None = None,
+    task_cold: dict[str, float] | None = None,
+    cpu: dict[str, float] | None = None,
 ) -> tuple[str, dict]:
-    """Return (printed JSON line <= _LINE_BUDGET chars, full detail dict)."""
+    """Return (printed JSON line <= _LINE_BUDGET chars, full detail dict).
+
+    The printed line carries the per-query EXECUTOR TASK TIME (the
+    contention-robust metric, round-6 verdict #1) plus the wall totals;
+    per-query wall is the first thing shed when the line outgrows the
+    driver's buffer — full wall/median/cold/spread resolution always
+    lives in BENCH_DETAIL.json."""
+    task = task or {}
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -227,25 +286,36 @@ def build_output(
         "queries": timings,
         "queries_med": med,
         "queries_cold": cold,
+        "queries_task": task,
+        "queries_task_spread": task_spread or {},
+        "queries_task_cold": task_cold or {},
+        "queries_cpu": cpu or {},
         "total_cold": round(sum(cold.values()), 3),
+        "task_total": round(sum(task.values()), 3),
         "sf": sf_val,
     }
     line_obj = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": dict(timings),
+        "task_total": detail["task_total"],
+        "queries_task": {k: round(v, 2) for k, v in task.items()},
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "total_cold": detail["total_cold"],
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(line_obj)
-    if len(line) > _LINE_BUDGET:  # shed precision, then the cheap tail
-        line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    if len(line) > _LINE_BUDGET and line_obj["queries_task"]:
+        # per-query wall is redundant with the detail file; task time is
+        # the metric the verdict reads — shed wall first, whole
+        del line_obj["queries"]
+        line_obj["wall_detail"] = "BENCH_DETAIL.json"
         line = json.dumps(line_obj)
-    while len(line) > _LINE_BUDGET and len(line_obj["queries"]) > 5:
-        drop = min(line_obj["queries"], key=line_obj["queries"].get)
-        del line_obj["queries"][drop]
+    shed_key = "queries_task" if line_obj.get("queries_task") else "queries"
+    while len(line) > _LINE_BUDGET and len(line_obj[shed_key]) > 5:
+        drop = min(line_obj[shed_key], key=line_obj[shed_key].get)
+        del line_obj[shed_key][drop]
         line_obj["queries_omitted"] = line_obj.get("queries_omitted", 0) + 1
         line = json.dumps(line_obj)
     return line, detail

@@ -52,14 +52,27 @@ def test_bench_output_line_fits_driver_buffer():
     import bench
 
     fake = {n: 9999.999 for n in bench.HEADLINERS}
-    line, detail = bench.build_output(fake, fake, fake, "0.1")
+    spread = {n: [9999.999, 9999.999, 9999.999] for n in bench.HEADLINERS}
+    line, detail = bench.build_output(
+        fake, fake, fake, "0.1",
+        task=fake, task_spread=spread, task_cold=fake, cpu=fake,
+    )
     assert len(line) <= bench._LINE_BUDGET
     parsed = json.loads(line)
     assert parsed["unit"] == "sec"
-    assert parsed["queries"]  # never compacted down to nothing
-    # the detail dict keeps the full warm/median/cold resolution
+    # the contention-robust per-query task time survives shedding —
+    # it is what the verdict reads out of BENCH_rN.json
+    assert parsed["queries_task"]
+    # the detail dict keeps the full warm/median/cold/spread resolution
     assert set(detail["queries"]) == set(bench.HEADLINERS)
     assert set(detail["queries_cold"]) == set(bench.HEADLINERS)
+    assert set(detail["queries_task"]) == set(bench.HEADLINERS)
+    assert set(detail["queries_task_spread"]) == set(bench.HEADLINERS)
+
+    # legacy call shape (no task dicts) still produces a valid line
+    line2, _ = bench.build_output(fake, fake, fake, "0.1")
+    assert len(line2) <= bench._LINE_BUDGET
+    assert json.loads(line2)["queries"]
 
 
 def test_coverage_totals_match_registry():

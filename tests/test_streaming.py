@@ -175,11 +175,26 @@ def test_watermark_finalizes_windows_once_and_drops_post_eviction_data(
         "value double"
     )
     src = str(tmp_path / "events")
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    # FileStreamSource with maxFilesPerTrigger=1 replays files oldest-mtime
+    # first; three back-to-back writes can tie on filesystem mtime
+    # granularity and reorder the micro-batches (changing watermark
+    # advancement and flaking the exact-emission assert), so each batch's
+    # files get an explicit, strictly increasing mtime (round-6 advice).
+    base = _time.time()
+    stamped: set[str] = set()
     for i, rows in enumerate(rows_by_batch):
         df = spark.createDataFrame(rows, schema).withColumn(
             "ts", F.to_timestamp("ts")
         )
         df.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        for f in _glob.glob(_os.path.join(src, "part-*.parquet")):
+            if f not in stamped:
+                _os.utime(f, (base + 10 * i, base + 10 * i))
+                stamped.add(f)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)

@@ -9,7 +9,6 @@ Usage: python tools/refront_report.py
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 
@@ -17,29 +16,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fresh_entries() -> list[str]:
-    """fresh = fingerprint differs from every archived stamp (a revert
-    to an older round's code is NOT fresh — membership against the set
-    of all rounds' stamps, not just the latest)."""
+    """fresh = not driver-proven = exactly the complement of the gate's
+    own ``archived_green_entries`` (stamp matches AND the archived row was
+    GREEN). Delegating — instead of re-implementing the membership test —
+    keeps this report from diverging from the gate: the old local version
+    counted a stamp from a round whose row FAILED as not-fresh, while the
+    gate correctly re-fronted the entry (round-6 advice)."""
     import __spark_entry__ as E
-    import gate_fingerprints as GF
 
     q = E.queries()
     o = E.oracle_sql()
-    fps = GF.entry_fingerprints(q, o)
-    stamped: dict[str, set[str]] = {}
-    fp_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "GATE_FINGERPRINTS.json",
-    )
-    try:
-        stamps = json.load(open(fp_path))
-    except FileNotFoundError:
-        stamps = {}
-    for rnd, m in stamps.items():
-        if rnd.startswith("CORRECTNESS"):
-            for name, fp in m.items():
-                stamped.setdefault(name, set()).add(fp)
-    return [k for k in q if fps.get(k) not in stamped.get(k, set())]
+    archived = E.archived_green_entries(q, o)
+    return [k for k in q if k not in archived]
 
 
 if __name__ == "__main__":
