@@ -33,6 +33,7 @@ from scipi_spark.operators import (
     textops,
 )
 from scipi_spark.plans import relational
+from scipi_spark.sources import io
 from scipi_spark.sources.tables import load_table, publications_analog
 
 # Analog-scale parameters: the reference thresholds (hyper>=100 authors)
@@ -214,6 +215,71 @@ def _q_ingest_dblp(spark, sf_dir):
     raw = _RAW_JSON_CACHE[key]
     raw.persist()  # re-register after an external clearCache()
     out = ingest.ingest_dblp(raw)
+    return out.select(
+        "doi",
+        "title",
+        "year",
+        F.size("keywords").cast("long").alias("n_keywords"),
+        F.size("authors").cast("long").alias("n_authors"),
+    )
+
+
+def _xml_chunks_fixture(spark, sf_dir) -> str:
+    """Write the poisoned DBLP analog corpus as record-boundary-split XML
+    chunk files (once per app+sf, executor-side writes — no driver
+    collect; ``sources/io.py:write_dblp_xml_chunks``) and return the
+    chunk glob. Same poison rules as the JSON fixture so the two S9
+    transports share one oracle."""
+    import glob as _glob
+    import shutil as _shutil
+
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "xml_chunks_" + sfname.replace(".", "_"),
+    )
+    key = (spark.sparkContext.applicationId, "xmlchunks", sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        _shutil.rmtree(out_dir, ignore_errors=True)  # drop stale chunks
+        pubs = publications_analog(spark, sf_dir)
+        okey = F.col("doi").cast("long")
+        raw = pubs.select(
+            F.concat(F.lit("d"), F.col("doi")).alias("key"),
+            F.when(okey % 7 == 0, "###").otherwise(F.col("title")).alias(
+                "title"
+            ),
+            F.when(okey % 11 == 0, "20x").otherwise(F.col("year")).alias(
+                "year"
+            ),
+            F.col("venue").alias("conference"),
+            F.col("publisher"),
+            F.col("authors"),
+        )
+        io.write_dblp_xml_chunks(raw, out_dir, records_per_chunk=2000).count()
+        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
+    pattern = os.path.join(out_dir, "chunk_*.xml")
+    if not _glob.glob(pattern):  # another app's flag never wrote here
+        _SIG_STORE_CACHE.pop(key, None)
+        return _xml_chunks_fixture(spark, sf_dir)
+    return pattern
+
+
+def _q_xml_ingest_distributed(spark, sf_dir):
+    """S9 end-to-end on the DISTRIBUTED transport (round-6 verdict #5):
+    XML chunk files -> parallel iterparse (``read_dblp_xml_distributed``,
+    one task per chunk; reference ``DblpParser.java:40-160``) -> S10
+    producer shape (``to_kafka_json``) -> P2 parse -> P5 7-rule
+    validation. Row-level projection identical to ``p2_p5_ingest_dblp``,
+    so the oracle is shared: the producer's own drop rule (missing
+    title/conference/year) is a strict subset of P5's, and the poisoned
+    rows ('###' titles clean to NULL, '20x' years) provably drop. P7
+    composes on top unchanged (``stream_keyword_count`` proves that
+    chain)."""
+    raw = io.read_dblp_xml_distributed(
+        spark, _xml_chunks_fixture(spark, sf_dir)
+    )
+    out = ingest.ingest_dblp(io.to_kafka_json(raw))
     return out.select(
         "doi",
         "title",
@@ -1002,6 +1068,85 @@ def _q_stream_tumbling_windows(spark, sf_dir):
     )
 
 
+def _q_stream_watermark_finalize(spark, sf_dir):
+    """The watermark/late-data CONTRACT as a driver-gated replay (round-6
+    verdict #6; pytest twin at tests/test_streaming.py): 3 mtime-ordered
+    micro-batches — evens, odds, then PLANTED STRAGGLERS (copies of every
+    earliest-hour row, hundreds of hours late). Append mode emits a
+    window exactly once, when the watermark (max event time - 30 min)
+    passes its end; the stragglers arrive after their window was
+    finalized and evicted, so they must neither resurrect it nor emit a
+    duplicate — if Spark (or a future code change) let them through, the
+    memory table would carry duplicate window rows and the oracle's
+    row-count/hash both break. Oracle = the batch hourly aggregate of
+    the non-straggler rows over exactly the finalized windows
+    (window_end <= max_ts - 30 min)."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+    import uuid
+
+    from scipi_spark.sources.tables import load_events
+    from scipi_spark.streaming.pipelines import tumbling_window_counts
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first_hour = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h")
+    )  # 1-row aggregate, broadcast back — the whitelisted corpus-stats idiom
+    stragglers = ev.join(
+        F.broadcast(first_hour),
+        F.date_trunc("hour", F.col("ts")) == F.col("h"),
+    ).drop("h")
+
+    d = tempfile.mkdtemp(prefix="scipi_stream_wm_")
+    src = f"{d}/src"
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        stragglers,
+    ]
+    # FileStreamSource replays oldest-mtime first; pin the batch order
+    # explicitly (same fix as the pytest twin: back-to-back writes can
+    # tie on mtime granularity and reorder micro-batches)
+    base = _time.time()
+    stamped: set[str] = set()
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        for f in _glob.glob(os.path.join(src, "part-*.parquet")):
+            if f not in stamped:
+                os.utime(f, (base + 10 * i, base + 10 * i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = tumbling_window_counts(stream, window="1 hour", watermark="30 minutes")
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_stream_user_stats(spark, sf_dir):
     """The custom stateful operator (``applyInPandasWithState``, explicit
     per-user GroupState — the reference's keyed-reduce-with-rich-state
@@ -1155,6 +1300,68 @@ def _q_multimodal_frames(spark, sf_dir):
 
     media = _media_analog(spark, sf_dir)
     return multimodal.sample_frames(media, every_ms=1000)
+
+
+def _media_real_assets(spark, sf_dir):
+    """Deterministic REAL media files generated distributed (mapInPandas):
+    even doc_ids become PCM16 WAV (mono, 8 kHz, 200-249 samples from a
+    doc_id-seeded integer formula), odd doc_ids become an image with
+    pixel[y][x][c] = (doc_id + 7x + 13y + 29c) % 256 — packed as binary
+    PPM (doc_id % 4 == 1) or 24-bit BMP (doc_id % 4 == 3), so both
+    containers are exercised against one SQL-expressible ground truth."""
+    import numpy as _np
+    import pandas as pd
+
+    from scipi_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    n = 200 + did % 50
+                    i = _np.arange(n, dtype=_np.int64)
+                    samples = ((did * 31 + i * 17) % 65521 - 32760).astype(
+                        "<i2"
+                    )
+                    fmt = "wav"
+                    payload = multimodal.encode_wav(samples, 8000)
+                else:
+                    w, h = 8 + did % 8, 6 + did % 5
+                    y, x, c = _np.indices((h, w, 3), dtype=_np.int64)
+                    pix = ((did + 7 * x + 13 * y + 29 * c) % 256).astype(
+                        "uint8"
+                    )
+                    if did % 4 == 1:
+                        fmt, payload = "ppm", multimodal.encode_ppm(pix)
+                    else:
+                        fmt, payload = "bmp", multimodal.encode_bmp(pix)
+                out["asset_id"].append(did)
+                out["format"].append(fmt)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen, schema="asset_id long, format string, payload binary"
+    )
+
+
+def _q_multimodal_decode_real(spark, sf_dir):
+    """The de-stubbed decode path (round-6 verdict #3): generate real
+    WAV/PPM/BMP files distributed, then decode them with the REAL
+    zero-dependency kernels (stdlib ``wave``, numpy header parsing —
+    ``operators/multimodal.py``) inside an Arrow mapInPandas stage and
+    emit statistics of the decoded values. The oracle replays the
+    generating formulas in SQL, so a single flipped bit anywhere in
+    encode->bytes->decode breaks the match. Compressed formats (PNG/
+    JPEG) remain NotImplementedError — they need codec libraries this
+    container lacks."""
+    from scipi_spark.operators import multimodal
+
+    return multimodal.media_stats(_media_real_assets(spark, sf_dir))
 
 
 def _q_pipeline_clean_corpus(spark, sf_dir):
@@ -2637,12 +2844,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         # round 6: windowed-state + custom-stateful streaming gate rows
         "stream_tumbling_windows": _q_stream_tumbling_windows,
+        "stream_watermark_finalize": _q_stream_watermark_finalize,
         "stream_user_stats": _q_stream_user_stats,
         "stream_session_windows": _q_stream_session_windows,
         "events_sliding_windows": _q_events_sliding_windows,
         "grouped_topk_parts": _q_grouped_topk_parts,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_decode_real": _q_multimodal_decode_real,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "pipeline_training_data": _q_pipeline_training_data,
         "dedup_clusters": _q_dedup_clusters,
@@ -2729,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_p5_ingest_oag": _q_ingest_oag,
         "p5_reject_audit": _q_p5_reject_audit,
         "p2_p5_ingest_dblp": _q_ingest_dblp,
+        "xml_ingest_distributed": _q_xml_ingest_distributed,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
@@ -3139,6 +3349,28 @@ def _lpa_oracle_sql(final_select: str, iterations: int = 5, delta: float = 0.5) 
     return sql + final_select.replace("__LAB__", prev)
 
 
+#: ground truth for the DBLP ingest pipeline (P2 parse + P5 validation
+#: over the poisoned analog corpus) — shared verbatim by the JSON
+#: transport (p2_p5_ingest_dblp) and the distributed-XML transport
+#: (xml_ingest_distributed): the transport must not change the rows.
+_DBLP_INGEST_SQL = r"""
+    WITH per_order AS (
+      SELECT l.l_orderkey AS okey,
+             CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_authors
+      FROM lineitem l
+      GROUP BY 1
+    )
+    SELECT 'd' || CAST(o.o_orderkey AS VARCHAR) AS doi,
+           lower(regexp_replace(regexp_replace(o.o_orderpriority,
+                 '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')) AS title,
+           CAST(year(o.o_orderdate) AS VARCHAR) AS year,
+           CAST(1 AS BIGINT) AS n_keywords,
+           n_authors
+    FROM orders o JOIN per_order p ON o.o_orderkey = p.okey
+    WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey % 11 <> 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "p7_keyword_count": """
@@ -3262,22 +3494,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderkey % 7 = 0 OR o.o_orderkey % 11 = 0
             GROUP BY 1
         """,
-        "p2_p5_ingest_dblp": r"""
-            WITH per_order AS (
-              SELECT l.l_orderkey AS okey,
-                     CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_authors
-              FROM lineitem l
-              GROUP BY 1
-            )
-            SELECT 'd' || CAST(o.o_orderkey AS VARCHAR) AS doi,
-                   lower(regexp_replace(regexp_replace(o.o_orderpriority,
-                         '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')) AS title,
-                   CAST(year(o.o_orderdate) AS VARCHAR) AS year,
-                   CAST(1 AS BIGINT) AS n_keywords,
-                   n_authors
-            FROM orders o JOIN per_order p ON o.o_orderkey = p.okey
-            WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey % 11 <> 0
-        """,
+        "p2_p5_ingest_dblp": _DBLP_INGEST_SQL,
+        # identical ground truth through the distributed XML transport:
+        # same analog corpus, same poison, same P2+P5 semantics
+        "xml_ingest_distributed": _DBLP_INGEST_SQL,
         "text_token_count": r"""
             SELECT doc_id,
                    CAST(len(list_filter(string_split_regex(text, '\s+'),
@@ -4687,6 +4907,22 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        # append-mode emission set = exactly the finalized windows
+        # (window_end <= max event time - 30 min watermark), counted over
+        # the non-straggler rows — a straggler that resurrected its
+        # evicted window would add duplicate rows and break the compare
+        "stream_watermark_finalize": """
+            WITH mx AS (SELECT max(ts) AS m FROM events)
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events, mx
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                    <= m - INTERVAL 30 MINUTE
+            GROUP BY 1, 2
+        """,
         # the converged GroupState per user == the batch per-user aggregate
         "stream_user_stats": """
             SELECT user_id,
@@ -4903,6 +5139,52 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
             FROM (SELECT doc_id AS asset_id,
                          unnest(range(0, (doc_id % 7) * 1500, 1000)) AS i
                   FROM documents WHERE doc_id % 3 = 2)
+        """,
+        # replay of the WAV/PPM/BMP generating formulas: the Spark side
+        # must recover exactly these statistics FROM THE DECODED BYTES
+        "multimodal_decode_real": """
+            WITH wav AS (
+              SELECT doc_id, 200 + doc_id % 50 AS nsamp
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            wav_samples AS (
+              SELECT doc_id, nsamp,
+                     ((doc_id * 31 + i * 17) % 65521) - 32760 AS v
+              FROM (SELECT doc_id, nsamp, unnest(range(0, nsamp)) AS i
+                    FROM wav)
+            ),
+            wav_stats AS (
+              SELECT doc_id AS asset_id, 'wav' AS fmt,
+                     CAST(nsamp AS BIGINT) AS n,
+                     CAST(8000 AS BIGINT) AS d1, CAST(1 AS BIGINT) AS d2,
+                     CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+                     CAST(MAX(ABS(v)) AS BIGINT) AS peak
+              FROM wav_samples GROUP BY doc_id, nsamp
+            ),
+            img AS (
+              SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM img),
+            xys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y
+                    FROM xs),
+            pix AS (
+              SELECT doc_id, w, h,
+                     (doc_id + 7 * x + 13 * y + 29 * c) % 256 AS v
+              FROM (SELECT doc_id, w, h, x, y, unnest([0, 1, 2]) AS c
+                    FROM xys)
+            ),
+            img_stats AS (
+              SELECT doc_id AS asset_id,
+                     CASE WHEN doc_id % 4 = 1 THEN 'ppm' ELSE 'bmp' END
+                       AS fmt,
+                     CAST(w * h * 3 AS BIGINT) AS n,
+                     CAST(w AS BIGINT) AS d1, CAST(h AS BIGINT) AS d2,
+                     CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+                     CAST(MAX(v) AS BIGINT) AS peak
+              FROM pix GROUP BY doc_id, w, h
+            )
+            SELECT * FROM wav_stats UNION ALL SELECT * FROM img_stats
         """,
         # first-arrival-per-fingerprint over originals+copies converges to
         # the distinct fingerprint set of the original corpus

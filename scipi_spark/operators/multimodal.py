@@ -3,11 +3,20 @@ pipelines: opaque ``binary`` payloads + typed metadata structs, with
 decode / feature-extraction / resize / frame-sampling as Arrow-batched
 ``mapInPandas`` stages.
 
-The decode kernels are STUBS in this environment (no image/audio libs in
-the container): ``decode_image`` raises ``NotImplementedError`` unless a
-real decoder is injected, and ``fake_decode`` provides a deterministic
-stand-in so the Spark-side plumbing — schema, partitioning, UDF
-signatures, Arrow batch shapes — is real and tested end-to-end.
+Decode kernels (round-6 verdict #3 de-stubbed the zero-dependency ones):
+
+- REAL, pure-stdlib/numpy: PCM16 WAV (:func:`decode_audio`, RIFF parsed
+  by the stdlib ``wave`` module), binary PPM/P6 and 24-bit uncompressed
+  BMP (:func:`decode_image`, fixed headers + ``np.frombuffer``). The
+  matching encoders (:func:`encode_wav` hand-packs the RIFF header with
+  ``struct`` so decode is verified against an independent writer;
+  :func:`encode_ppm`; :func:`encode_bmp` incl. 4-byte row padding and
+  bottom-up row order) make fixtures and round-trip tests self-contained.
+- STILL STUBS: compressed formats (JPEG/PNG/MP3/MP4) genuinely require
+  codec libraries absent from this container — ``decode_image`` raises
+  ``NotImplementedError`` for those magics, and ``fake_decode`` remains
+  the deterministic stand-in for plumbing tests that don't care about
+  pixel truth.
 
 Scale notes: payload columns ride through pipelines as opaque bytes;
 operators that don't touch them never deserialize them (columnar Parquet
@@ -18,8 +27,12 @@ partition."""
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -57,13 +70,148 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode — requires an imaging library not present in this
-    container. Inject a decoder into the pipeline functions instead."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow); "
-        "pass decoder=fake_decode for plumbing tests"
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3), got {arr.shape}")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER):
+    BGR byte order, rows bottom-up, each row padded to 4 bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3), got {arr.shape}")
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    body = bytearray()
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].tobytes() + pad  # RGB -> BGR
+    data_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
     )
+    return header + bytes(body)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 samples, shape (n,) mono or (n, channels) -> PCM16 WAV.
+
+    The RIFF container is packed by hand with ``struct`` (not the stdlib
+    ``wave`` writer) so that :func:`decode_audio` — which parses via
+    ``wave`` — is verified against an independently-written file, not a
+    mirror of itself."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    data = arr.tobytes()  # interleaved frames
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH",
+            b"fmt ",
+            16,
+            1,  # PCM
+            channels,
+            sample_rate,
+            byte_rate,
+            block_align,
+            16,  # bits per sample
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode for the zero-dependency uncompressed formats:
+    binary PPM (P6) and 24-bit uncompressed BMP -> (h, w, 3) uint8 RGB.
+    Compressed formats (PNG/JPEG/...) require codec libraries absent
+    from this container and still raise ``NotImplementedError``."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        f"unsupported image magic {payload[:4]!r}: only PPM (P6) and "
+        "24-bit BMP decode without a codec library; pass "
+        "decoder=fake_decode for plumbing tests"
+    )
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' comments run to end-of-line
+    tokens: list[bytes] = []
+    pos = 2  # past 'P6'
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} != 255")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    _, _, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    (
+        hdr_size,
+        w,
+        h,
+        _planes,
+        bpp,
+        compression,
+    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]  # bottom-up -> natural row order
+    return img.copy()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV -> ((n_frames, channels) int16 array, sample_rate),
+    parsed by the stdlib ``wave`` module (an independent reader of the
+    hand-packed :func:`encode_wav` RIFF container)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only PCM16 supported (sampwidth={wf.getsampwidth()})"
+            )
+        channels = wf.getnchannels()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    arr = np.frombuffer(frames, dtype="<i2").reshape(-1, channels)
+    return arr, rate
 
 
 def fake_decode(payload: bytes) -> list[float]:
@@ -94,6 +242,63 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n", T.LongType()),  # decoded scalar count
+        T.StructField("d1", T.LongType()),  # wav: sample_rate | image: width
+        T.StructField("d2", T.LongType()),  # wav: channels | image: height
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("peak", T.LongType()),  # wav: max |sample| | image: max byte
+    ]
+)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL zero-dependency kernels
+    (PCM16 WAV / PPM / BMP) inside an Arrow-batched mapInPandas stage and
+    emit per-asset statistics of the DECODED values — the end-to-end
+    proof that the binary formats round-trip, not just that bytes flow.
+
+    Input needs (asset_id, format, payload). Mean is computed as exact
+    integer sum / count (both fit float64 exactly at fixture sizes), so
+    a SQL oracle that replays the generating formula matches bit-for-bit.
+
+    Scale: identical shape to :func:`extract_features` — one Arrow batch
+    of payloads in flight per task, no shuffle, output is 7 scalars per
+    asset."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in MEDIA_STATS_SCHEMA}
+            for aid, fmt, payload in zip(
+                pdf["asset_id"], pdf["format"], pdf["payload"]
+            ):
+                if fmt == "wav":
+                    arr, rate = decode_audio(payload)
+                    vals = arr.astype(np.int64).ravel()
+                    d1, d2 = rate, arr.shape[1]
+                    peak = int(np.abs(vals).max()) if len(vals) else 0
+                else:  # ppm | bmp
+                    img = decode_image(payload)
+                    vals = img.astype(np.int64).ravel()
+                    d1, d2 = img.shape[1], img.shape[0]
+                    peak = int(vals.max()) if len(vals) else 0
+                out["asset_id"].append(aid)
+                out["fmt"].append(fmt)
+                out["n"].append(len(vals))
+                out["d1"].append(d1)
+                out["d2"].append(d2)
+                out["mean"].append(int(vals.sum()) / len(vals) if len(vals) else 0.0)
+                out["peak"].append(peak)
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "format", "payload").mapInPandas(
+        run, schema=MEDIA_STATS_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

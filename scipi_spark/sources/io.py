@@ -141,6 +141,71 @@ def read_dblp_xml_distributed(
     return paths.repartition(n).mapInPandas(parse, DBLP_RAW_SCHEMA)
 
 
+def write_dblp_xml_chunks(
+    df: DataFrame, out_dir: str, records_per_chunk: int = 5000
+) -> DataFrame:
+    """Distributed XML chunk sink — the inverse of
+    :func:`read_dblp_xml_distributed` and the writer half of the
+    record-boundary-splitting scheme that makes the multi-GB dblp archive
+    parallelizable: every executor task serializes its rows into
+    independently well-formed ``<dblp>...</dblp>`` chunk files (values
+    XML-escaped via ``xml.sax.saxutils``), at most ``records_per_chunk``
+    records per file.
+
+    No driver collect anywhere: each Arrow batch writes its own chunk
+    (tmp-file + atomic rename), so the write scales with executors, not
+    driver memory — on a cluster ``out_dir`` is shared storage. Returns
+    a (path, n) DataFrame; trigger with ``.count()``.
+
+    Input columns: key, title, year, conference, publisher,
+    authors (array<string>) — the DBLP_RAW_SCHEMA shape minus citations
+    (optional column, written as ``<cite>`` elements when present)."""
+    import os
+    import uuid
+    from xml.sax.saxutils import escape, quoteattr
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    has_cites = "citations" in df.columns
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), records_per_chunk):
+                sub = pdf.iloc[start : start + records_per_chunk]
+                if not len(sub):
+                    continue
+                parts = ["<dblp>"]
+                for _, r in sub.iterrows():
+                    parts.append(f"<article key={quoteattr(str(r['key']))}>")
+                    for a in r["authors"] if r["authors"] is not None else []:
+                        parts.append(f"<author>{escape(str(a))}</author>")
+                    for col, tag in (
+                        ("title", "title"),
+                        ("year", "year"),
+                        ("conference", "journal"),
+                        ("publisher", "publisher"),
+                    ):
+                        if r[col] is not None:
+                            parts.append(
+                                f"<{tag}>{escape(str(r[col]))}</{tag}>"
+                            )
+                    if has_cites and r["citations"] is not None:
+                        for c in r["citations"]:
+                            parts.append(f"<cite>{escape(str(c))}</cite>")
+                    parts.append("</article>")
+                parts.append("</dblp>")
+                name = os.path.join(
+                    out_dir, f"chunk_{uuid.uuid4().hex}.xml"
+                )
+                with open(name + ".tmp", "w") as fh:
+                    fh.write("\n".join(parts))
+                os.rename(name + ".tmp", name)
+                yield pd.DataFrame({"path": [name], "n": [len(sub)]})
+
+    return df.mapInPandas(dump, "path string, n long")
+
+
 def to_kafka_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """S10: shape rows into Kafka producer records — (key, value) with the
     row serialized as one JSON document, ready for

@@ -161,6 +161,92 @@ def test_sample_frames(spark):
     ]
 
 
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mono = (rng.randint(-32768, 32768, size=300)).astype("<i2")
+    arr, rate = mm.decode_audio(mm.encode_wav(mono, 8000))
+    assert rate == 8000 and arr.shape == (300, 1)
+    assert (arr[:, 0] == mono).all()
+
+    stereo = rng.randint(-32768, 32768, size=(100, 2)).astype("<i2")
+    arr, rate = mm.decode_audio(mm.encode_wav(stereo, 44100))
+    assert rate == 44100 and arr.shape == (100, 2)
+    assert (arr == stereo).all()
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 9, 3)).astype("uint8")
+    assert (mm.decode_image(mm.encode_ppm(img)) == img).all()
+    # a '#' comment inside the header must be skipped
+    payload = mm.encode_ppm(img)
+    commented = b"P6\n# made by a test\n" + payload[3:]
+    assert (mm.decode_image(commented) == img).all()
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    import numpy as np
+    import struct
+
+    rng = np.random.RandomState(13)
+    # width 9 -> row stride 27 bytes, padded to 28: exercises the 4-byte
+    # row padding and the bottom-up row order
+    img = rng.randint(0, 256, size=(6, 9, 3)).astype("uint8")
+    payload = mm.encode_bmp(img)
+    assert (mm.decode_image(payload) == img).all()
+
+    # negative biHeight = top-down row order; rebuild the raster to match
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - w * 3)
+    body = b"".join(img[y, :, ::-1].tobytes() + pad for y in range(h))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    assert (mm.decode_image(header + body) == img).all()
+
+
+def test_decode_image_rejects_unsupported():
+    import numpy as np
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\nfake")
+    # 16-bit PPM (maxval 65535) needs wide-sample handling we don't claim
+    img = np.zeros((2, 2, 3), dtype="uint8")
+    wide = mm.encode_ppm(img).replace(b"\n255\n", b"\n65535\n")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(wide)
+
+
+def test_media_stats_real_decode(spark):
+    import numpy as np
+
+    samples = np.array([[-5, 5], [10, -10], [32760, -32760]], dtype="<i2")
+    img = np.arange(5 * 4 * 3, dtype="uint8").reshape(5, 4, 3)
+    rows = [
+        (1, "wav", bytearray(mm.encode_wav(samples, 16000))),
+        (2, "ppm", bytearray(mm.encode_ppm(img))),
+        (3, "bmp", bytearray(mm.encode_bmp(img))),
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id long, format string, payload binary"
+    )
+    got = {r["asset_id"]: r.asDict() for r in mm.media_stats(media).collect()}
+    assert got[1]["n"] == 6 and got[1]["d1"] == 16000 and got[1]["d2"] == 2
+    assert got[1]["mean"] == 0.0 and got[1]["peak"] == 32760
+    for aid in (2, 3):
+        assert got[aid]["n"] == 60
+        assert got[aid]["d1"] == 4 and got[aid]["d2"] == 5
+        assert got[aid]["mean"] == float(np.arange(60).mean())
+        assert got[aid]["peak"] == 59
+
+
 def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     import glob
     import os
