@@ -124,10 +124,14 @@ def _media_df(spark):
     return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
 
 
-def test_decode_stub_raises(spark):
+def test_default_decoder_rejects_compressed_formats(spark):
+    """The default extract_features decoder is the REAL decode_image,
+    which still refuses compressed formats (PNG here) — the error must
+    name the unsupported magic, not silently fake features."""
+    png_only = _media_df(spark).filter("asset_id in (1, 2)")
     with pytest.raises(Exception) as ei:
-        mm.extract_features(_media_df(spark)).collect()
-    assert "NotImplementedError" in str(ei.value) or "imaging library" in str(ei.value)
+        mm.extract_features(png_only).collect()
+    assert "NotImplementedError" in str(ei.value) or "magic" in str(ei.value)
 
 
 def test_extract_features_fake_decoder(spark):
@@ -245,6 +249,60 @@ def test_media_stats_real_decode(spark):
         assert got[aid]["d1"] == 4 and got[aid]["d2"] == 5
         assert got[aid]["mean"] == float(np.arange(60).mean())
         assert got[aid]["peak"] == 59
+
+
+def test_audio_features_order_sensitive(spark):
+    import numpy as np
+
+    # 6 samples, frame 2: zc pairs (+,-),(-,+),(+,+)... computed by hand
+    v = np.array([100, -50, 25, 25, -75, 60], dtype="<i2")
+    media = spark.createDataFrame(
+        [(9, "wav", bytearray(mm.encode_wav(v, 8000))), (10, "ppm", b"P6x")],
+        "asset_id long, format string, payload binary",
+    )
+    rows = mm.audio_features(media, frame_size=2).collect()
+    assert len(rows) == 1  # non-wav filtered before decode
+    r = rows[0].asDict()
+    assert r["asset_id"] == 9
+    assert r["n_samples"] == 6 and r["n_frames"] == 3
+    # sign flips: 100/-50, -50/25, 25/-75, -75/60 -> 4
+    assert r["zero_crossings"] == 4
+    assert r["energy"] == int((v.astype(np.int64) ** 2).sum())
+    # frame energies: 100^2+50^2=12500, 25^2+25^2=1250, 75^2+60^2=9225
+    assert r["peak_frame_energy"] == 12500
+
+    # PERMUTED samples (rolled by one): energy identical, zero crossings
+    # and frame peak change with order — the features see sample order
+    rolled = np.roll(v.astype(np.int64), 1).astype("<i2")
+    w = mm.audio_features(
+        spark.createDataFrame(
+            [(9, "wav", bytearray(mm.encode_wav(rolled, 8000)))],
+            "asset_id long, format string, payload binary",
+        ),
+        frame_size=2,
+    ).collect()[0]
+    assert w["energy"] == r["energy"]
+    assert w["peak_frame_energy"] == 60 * 60 + 100 * 100  # 13600 != 12500
+    assert w["zero_crossings"] == 3
+
+
+def test_resize_payload_real_for_decodable_formats():
+    import numpy as np
+
+    img = np.arange(8 * 6 * 3, dtype="uint8").reshape(8, 6, 3)
+    for enc in (mm.encode_ppm, mm.encode_bmp):
+        small = mm.resize_payload(enc(img), 3, 4)
+        out = mm.decode_image(small)
+        assert out.shape == (4, 3, 3)
+        # nearest-neighbor: every output pixel is an exact source pixel
+        ys = (np.arange(4) * (8 / 4)).astype(int)
+        xs = (np.arange(3) * (6 / 3)).astype(int)
+        assert (out == img[ys][:, xs]).all()
+    # upscale round-trips too (index mapping, no interpolation artifacts)
+    big = mm.decode_image(mm.resize_payload(mm.encode_ppm(img), 12, 16))
+    assert big.shape == (16, 12, 3)
+    # compressed formats pass through untouched
+    assert mm.resize_payload(b"\x89PNGfake", 3, 4) == b"\x89PNGfake"
 
 
 def test_write_training_shards_layout_and_determinism(spark, tmp_path):
