@@ -1349,6 +1349,58 @@ def _media_real_assets(spark, sf_dir):
     )
 
 
+def _video_real_assets(spark, sf_dir):
+    """Deterministic REAL y4m videos generated distributed: per doc, a
+    C444 YUV4MPEG2 stream with 2-5 frames of (8-11)x(6-8) pixels,
+    fps 10-14 from doc_id arithmetic, pixel[f][y][x][c] =
+    (doc_id + 3f + 7x + 13y + 29c) % 256 — SQL-replayable ground truth
+    for the real frame-grab kernel."""
+    import numpy as _np
+    import pandas as pd
+
+    from scipi_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 4, 6 + did % 3
+                nf, fps = 2 + did % 4, 10 + did % 5
+                f, y, x, c = _np.indices((nf, h, w, 3), dtype=_np.int64)
+                frames = (
+                    (did + 3 * f + 7 * x + 13 * y + 29 * c) % 256
+                ).astype("uint8")
+                out["asset_id"].append(did)
+                out["format"].append("y4m")
+                out["payload"].append(multimodal.encode_y4m(frames, fps=fps))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen, schema="asset_id long, format string, payload binary"
+    )
+
+
+def _q_multimodal_video_frames(spark, sf_dir):
+    """REAL video frame sampling: y4m streams decoded by the pure-numpy
+    C444 parser (``operators/multimodal.py:decode_y4m``), every 2nd
+    frame grabbed, per-frame plane statistics emitted as exact integers
+    with timestamps from the container's own frame rate. The oracle
+    replays the generating formula per sampled frame, so frame count,
+    frame ORDER (the 3f term makes planes frame-dependent), plane
+    layout, and fps parsing are all load-bearing. This closes the last
+    multimodal modality: image (PPM/BMP), audio (WAV), and video (y4m)
+    all decode for real; only codec-compressed formats remain
+    environment-gated stubs."""
+    from scipi_spark.operators import multimodal
+
+    return multimodal.video_frame_stats(
+        _video_real_assets(spark, sf_dir), every_n=2
+    )
+
+
 def _q_multimodal_audio_features(spark, sf_dir):
     """Frame-level audio features over the REALLY-decoded WAV assets
     (zero crossings, total energy, peak 64-sample-frame energy — all
@@ -2868,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_audio_features": _q_multimodal_audio_features,
+        "multimodal_video_frames": _q_multimodal_video_frames,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "pipeline_training_data": _q_pipeline_training_data,
         "dedup_clusters": _q_dedup_clusters,
@@ -5243,6 +5296,44 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
             SELECT a.doc_id AS asset_id, n_samples, n_frames,
                    zero_crossings, energy, peak_frame_energy
             FROM agg a JOIN pk p ON a.doc_id = p.doc_id
+        """,
+        # per-sampled-frame replay of the y4m formula: the 3f term makes
+        # every plane frame-dependent, so frame order/count, plane
+        # layout, and the container's fps all must decode correctly
+        "multimodal_video_frames": """
+            WITH vid AS (
+              SELECT doc_id, 8 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+                     2 + doc_id % 4 AS nf, 10 + doc_id % 5 AS fps
+              FROM documents
+            ),
+            fidx AS (
+              SELECT doc_id, w, h, fps, unnest(range(0, nf, 2)) AS f
+              FROM vid
+            ),
+            xs AS (
+              SELECT doc_id, w, h, fps, f, unnest(range(0, w)) AS x
+              FROM fidx
+            ),
+            xys AS (
+              SELECT doc_id, w, h, fps, f, x, unnest(range(0, h)) AS y
+              FROM xs
+            ),
+            px AS (
+              SELECT doc_id, w, h, fps, f,
+                     (doc_id + 3 * f + 7 * x + 13 * y) % 256 AS py,
+                     (doc_id + 3 * f + 7 * x + 13 * y + 29) % 256 AS pcb,
+                     (doc_id + 3 * f + 7 * x + 13 * y + 58) % 256 AS pcr
+              FROM xys
+            )
+            SELECT doc_id AS asset_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(floor(f * 1000 / fps) AS BIGINT) AS frame_ms,
+                   CAST(w * h AS BIGINT) AS n_px,
+                   CAST(sum(py) AS BIGINT) AS y_sum,
+                   CAST(sum(pcb) AS BIGINT) AS cb_sum,
+                   CAST(sum(pcr) AS BIGINT) AS cr_sum,
+                   CAST(max(py) AS BIGINT) AS y_peak
+            FROM px GROUP BY doc_id, f, w, h, fps
         """,
         # first-arrival-per-fingerprint over originals+copies converges to
         # the distinct fingerprint set of the original corpus

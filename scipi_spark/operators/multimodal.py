@@ -198,6 +198,123 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img.copy()
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 -> YUV4MPEG2 (y4m) stream, C444 (three full
+    planes per frame, plane-major — no chroma subsampling, so pixel
+    values round-trip exactly). y4m is the standard uncompressed video
+    interchange container (mjpegtools/ffmpeg), all-header + raw planes:
+    the video analog of PPM."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3), got {arr.shape}")
+    n, h, w, _ = arr.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)
+    body = bytearray()
+    for f in range(n):
+        body += b"FRAME\n"
+        for c in range(3):
+            body += arr[f, :, :, c].tobytes()
+    return head + bytes(body)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """YUV4MPEG2 -> ((n, h, w, 3) uint8 frame stack, fps). C444 only —
+    subsampled colour (C420/C422) needs upsampling policy decisions and
+    is refused explicitly. Frame headers may carry parameters
+    (``FRAME Ixxx\\n``); only the marker is required."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise NotImplementedError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    colour = b"420jpeg"  # the spec's default when C is absent
+    for tok in header[1:]:
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fps_num, fps_den = map(int, val.split(b":"))
+        elif tag == b"C":
+            colour = val
+    if w is None or h is None:
+        raise ValueError("missing W/H in y4m header")
+    if not colour.startswith(b"444"):
+        raise NotImplementedError(f"only C444 supported (C{colour.decode()})")
+    frame_bytes = w * h * 3
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: missing FRAME marker")
+        pos = fnl + 1
+        planes = np.frombuffer(
+            payload, dtype=np.uint8, count=frame_bytes, offset=pos
+        )
+        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        pos += frame_bytes
+    stack = (
+        np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
+    )
+    return stack, fps_num / fps_den
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("cb_sum", T.LongType()),
+        T.StructField("cr_sum", T.LongType()),
+        T.StructField("y_peak", T.LongType()),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling: decode the y4m payload, grab every
+    ``every_n``-th frame, and emit that frame's exact per-plane integer
+    statistics plus its timestamp from the container's frame rate
+    (``frame_ms = floor(idx * 1000 / fps)``). This is the de-stubbed
+    frame-grab kernel that :func:`sample_frames` only planned
+    (metadata-driven row explosion) — here the rows come from the
+    DECODED frames, so frame count, frame order, and plane content are
+    all proven. Same Arrow-batched mapInPandas shape as
+    :func:`media_stats`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in VIDEO_FRAME_STATS_SCHEMA
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames, fps = decode_y4m(payload)
+                for idx in range(0, frames.shape[0], every_n):
+                    fr = frames[idx].astype(np.int64)
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ms"].append(int(idx * 1000 // fps))
+                    out["n_px"].append(fr.shape[0] * fr.shape[1])
+                    out["y_sum"].append(int(fr[:, :, 0].sum()))
+                    out["cb_sum"].append(int(fr[:, :, 1].sum()))
+                    out["cr_sum"].append(int(fr[:, :, 2].sum()))
+                    out["y_peak"].append(int(fr[:, :, 0].max()))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(media.format == "y4m")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=VIDEO_FRAME_STATS_SCHEMA)
+    )
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM16 WAV -> ((n_frames, channels) int16 array, sample_rate),
     parsed by the stdlib ``wave`` module (an independent reader of the

@@ -286,6 +286,53 @@ def test_audio_features_order_sensitive(spark):
     assert w["zero_crossings"] == 3
 
 
+def test_y4m_roundtrip_and_variants():
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    frames = rng.randint(0, 256, size=(4, 6, 8, 3)).astype("uint8")
+    payload = mm.encode_y4m(frames, fps=30)
+    out, fps = mm.decode_y4m(payload)
+    assert fps == 30.0 and out.shape == (4, 6, 8, 3)
+    assert (out == frames).all()
+    # frame headers may carry parameters after the marker
+    out2, _ = mm.decode_y4m(payload.replace(b"FRAME\n", b"FRAME Ix\n"))
+    assert (out2 == frames).all()
+    # zero-frame stream decodes to an empty stack
+    empty, _ = mm.decode_y4m(mm.encode_y4m(frames[:0], fps=30))
+    assert empty.shape == (0, 6, 8, 3)
+    # subsampled colour is refused, not garbled
+    with pytest.raises(NotImplementedError):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\x00" * 6)
+
+
+def test_video_frame_stats_real_grab(spark):
+    import numpy as np
+
+    f, y, x, c = np.indices((5, 2, 3, 3), dtype=np.int64)
+    frames = ((10 * f + x + 100 * y + 7 * c) % 256).astype("uint8")
+    media = spark.createDataFrame(
+        [
+            (1, "y4m", bytearray(mm.encode_y4m(frames, fps=10))),
+            (2, "wav", b"RIFFnotvideo"),
+        ],
+        "asset_id long, format string, payload binary",
+    )
+    rows = {
+        r["frame_idx"]: r.asDict()
+        for r in mm.video_frame_stats(media, every_n=2).collect()
+    }
+    assert set(rows) == {0, 2, 4}  # every 2nd of 5 frames; wav filtered
+    for idx, r in rows.items():
+        fr = frames[idx].astype(np.int64)
+        assert r["asset_id"] == 1 and r["n_px"] == 6
+        assert r["frame_ms"] == idx * 100  # fps 10
+        assert r["y_sum"] == int(fr[:, :, 0].sum())
+        assert r["cb_sum"] == int(fr[:, :, 1].sum())
+        assert r["cr_sum"] == int(fr[:, :, 2].sum())
+        assert r["y_peak"] == int(fr[:, :, 0].max())
+
+
 def test_resize_payload_real_for_decodable_formats():
     import numpy as np
 
