@@ -183,9 +183,27 @@ def main() -> None:
         # sub-second jitter) the distribution is stall-contaminated —
         # take up to 2 extra samples so min() estimates the query's
         # cost, not the host's mood.
+        #
+        # The warm DataFrame is built ONCE and re-counted: rebuilding it
+        # per sample let Python GC drop the previous call's operator-
+        # internal persists between samples (settle()'s explicit GC),
+        # so every other sample re-paid extraction — the r7 first pass
+        # measured 17/43 headliners above the 1.3x task-spread target
+        # from exactly this, not from host noise. One object, N
+        # executions = the steady-state a resident pipeline actually
+        # runs at; re-materialization cost stays visible in the cold
+        # column.
         times: list[float] = []
         tasks: list[float] = []
         cpus: list[float] = []
+        warm_df = fn(spark, sf_dir)
+        # one untimed priming execution: the warm DataFrame's OWN
+        # operator-internal persists materialize here (new RDD ids — the
+        # cold run's blocks don't carry over), so the timed samples all
+        # measure the same hot-cache steady state instead of sample 1
+        # absorbing the materialization (second r7 pass: the worst
+        # spreads were exactly first-sample effects)
+        warm_df.count()
         n = 0
 
         def run_sample() -> None:
@@ -193,7 +211,7 @@ def main() -> None:
             settle()
             got = [0]
             w, tr, tc = timer.measure(
-                lambda: got.__setitem__(0, fn(spark, sf_dir).count())
+                lambda: got.__setitem__(0, warm_df.count())
             )
             n = got[0]
             times.append(w)
@@ -209,6 +227,7 @@ def main() -> None:
                 break
             run_sample()
             extra += 1
+        del warm_df  # release before the next headliner's cache drop
         best = min(times)
         timings[name] = round(best, 3)
         # median alongside min: a warm min that regresses while the
