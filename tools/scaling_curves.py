@@ -13,6 +13,13 @@ largest SFs is the headline: slope 1.0 = linear, 2.0 = quadratic.
 tests/test_entry_oracle.py pins SCALING.json to the live registry and
 asserts every slope stays under the near-linear band.
 
+Deliberately UNLIKE bench.py's warm samples, each timed run here
+rebuilds and re-executes the query: the curves exist to show how the
+WORK grows with rows, and measuring re-counts of one primed DataFrame
+would mostly time cache hits (verified: under the primed methodology
+c8_store_lpa collapses from 38 task-s to 0.3 — the label cache, not the
+superstep loop — and the scaling signal disappears).
+
 Input-rows attribution (the table whose cardinality drives each entry;
 TESTDATA.md: lineitem/orders/events scale 100x across these SFs,
 documents 10x, embeddings 4x):
