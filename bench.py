@@ -302,6 +302,9 @@ def build_output(
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        # warm = min over >=3 re-counts of one primed DataFrame (hot-cache
+        # steady state); cold = cache-cleared single run (SCALE.md r7)
+        "warm_semantics": "hot-cache min; cold col = uncached run",
         "queries": timings,
         "queries_med": med,
         "queries_cold": cold,
@@ -317,6 +320,7 @@ def build_output(
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "warm_semantics": detail["warm_semantics"],
         "task_total": detail["task_total"],
         "queries_task": {k: round(v, 2) for k, v in task.items()},
         "queries": {k: round(v, 2) for k, v in timings.items()},
