@@ -289,6 +289,27 @@ def _q_xml_ingest_distributed(spark, sf_dir):
     )
 
 
+def _q_udtf_word_lens(spark, sf_dir):
+    """The user-registered-table-function surface (SURVEY §2.7 — absent
+    in the reference, required of a full engine): a Python UDTF
+    registered at session scope and invoked FROM SQL with LATERAL over
+    the documents table — one row per whitespace token with its position
+    and length. Arrow-optimized (plan node ArrowEvalPythonUDTF, batched
+    transfer). Oracle replays the tokenization with DuckDB list
+    functions; positions make the row set order-sensitive per doc."""
+    from scipi_spark.functions.text import register_word_lens_udtf
+
+    register_word_lens_udtf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.wlen
+        FROM udtf_docs_v d, LATERAL word_lens(d.text) s
+        """
+    )
+
+
 def _q_text_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -3009,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_p5_ingest_dblp": _q_ingest_dblp,
         "xml_ingest_distributed": _q_xml_ingest_distributed,
         "text_token_count": _q_text_token_count,
+        "udtf_word_lens": _q_udtf_word_lens,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
@@ -3567,6 +3589,22 @@ def oracle_sql() -> dict[str, str]:
         # identical ground truth through the distributed XML transport:
         # same analog corpus, same poison, same P2+P5 semantics
         "xml_ingest_distributed": _DBLP_INGEST_SQL,
+        # the registered-UDTF surface: per-token (pos, wlen) replayed
+        # with 1-based list indexing over the same whitespace split
+        "udtf_word_lens": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            xs AS (
+              SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM toks
+            )
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                   CAST(length(t[pos + 1]) AS INTEGER) AS wlen
+            FROM xs
+        """,
         "text_token_count": r"""
             SELECT doc_id,
                    CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -80,3 +80,31 @@ def validate_topics_py(items: list[str] | None, max_len: int = MAX_TOPIC_LEN):
         if c is not None and len(c) <= max_len and c not in out:
             out.append(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# UDTF registration surface (SURVEY §2.7: absent in the reference —
+# its "UDFs" are hardcoded map/flatMap/reduce classes; a full engine
+# exposes user-registered table functions callable from SQL)
+# ---------------------------------------------------------------------------
+
+def register_word_lens_udtf(spark) -> None:
+    """Register the ``word_lens(text)`` Python UDTF: one output row per
+    whitespace token — (pos, wlen). Arrow-optimized (``useArrow=True``:
+    the plan node is ArrowEvalPythonUDTF — batched Arrow transfer, never
+    the row-pickling BatchEvalPython path the plan audit forbids).
+    Callable from SQL via LATERAL:
+
+        SELECT d.doc_id, s.pos, s.wlen
+        FROM documents d, LATERAL word_lens(d.text) s
+
+    Idempotent: re-registration replaces the previous definition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, wlen int", useArrow=True)
+    class WordLens:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield i, len(w)
+
+    spark.udtf.register("word_lens", WordLens)

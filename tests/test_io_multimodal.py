@@ -286,6 +286,26 @@ def test_audio_features_order_sensitive(spark):
     assert w["zero_crossings"] == 3
 
 
+def test_registered_udtf_lateral_sql(spark):
+    """The UDTF registration surface: register once, call from SQL with
+    LATERAL, re-register idempotently; the plan must use the Arrow
+    transfer node, never row-pickling BatchEvalPython."""
+    from scipi_spark.functions.text import register_word_lens_udtf
+
+    register_word_lens_udtf(spark)
+    register_word_lens_udtf(spark)  # idempotent replace
+    spark.createDataFrame(
+        [(1, "a bb  ccc"), (2, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_t")
+    df = spark.sql(
+        "SELECT doc_id, s.pos, s.wlen FROM udtf_t, LATERAL word_lens(text) s"
+    )
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, 0, 1), (1, 1, 2), (1, 2, 3)]  # NULL text -> 0 rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan and "BatchEvalPython " not in plan
+
+
 def test_y4m_roundtrip_and_variants():
     import numpy as np
 
