@@ -289,6 +289,31 @@ def _q_xml_ingest_distributed(spark, sf_dir):
     )
 
 
+def _q_udaf_grouped_median(spark, sf_dir):
+    """The registered-UDAF surface (§2.7 twin of ``udtf_word_lens``): a
+    pandas GROUPED_AGG median registered at session scope and called
+    from SQL GROUP BY over the events table (plan node
+    ArrowAggregatePython — one hash Exchange on the group key, Arrow
+    batches to the Python worker). Median interpolates even counts, the
+    same convention as DuckDB's ``median``; rounded to 6dp on both
+    sides. (Spark disallows mixing a pandas UDAF with built-in
+    aggregates in one GROUP BY — INVALID_PANDAS_UDF_PLACEMENT — so the
+    projection is the UDAF alone.)"""
+    from scipi_spark.functions.sqlext import register_median_udaf
+    from scipi_spark.sources.tables import load_events
+
+    register_median_udaf(spark)
+    load_events(spark, sf_dir).createOrReplaceTempView("udaf_events_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(median_val(value), 6) AS med_value
+        FROM udaf_events_v
+        GROUP BY event_type
+        """
+    )
+
+
 def _q_udtf_word_lens(spark, sf_dir):
     """The user-registered-table-function surface (SURVEY §2.7 — absent
     in the reference, required of a full engine): a Python UDTF
@@ -3031,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_ingest_distributed": _q_xml_ingest_distributed,
         "text_token_count": _q_text_token_count,
         "udtf_word_lens": _q_udtf_word_lens,
+        "udaf_grouped_median": _q_udaf_grouped_median,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
@@ -3589,6 +3615,14 @@ def oracle_sql() -> dict[str, str]:
         # identical ground truth through the distributed XML transport:
         # same analog corpus, same poison, same P2+P5 semantics
         "xml_ingest_distributed": _DBLP_INGEST_SQL,
+        # the registered-UDAF surface: DuckDB's median uses the same
+        # even-count interpolation as pandas Series.median
+        "udaf_grouped_median": """
+            SELECT event_type,
+                   round(median(value), 6) AS med_value
+            FROM events
+            GROUP BY event_type
+        """,
         # the registered-UDTF surface: per-token (pos, wlen) replayed
         # with 1-based list indexing over the same whitespace split
         "udtf_word_lens": r"""

@@ -306,6 +306,24 @@ def test_registered_udtf_lateral_sql(spark):
     assert "ArrowEvalPythonUDTF" in plan and "BatchEvalPython " not in plan
 
 
+def test_registered_udaf_grouped_sql(spark):
+    """The UDAF registration surface: a pandas GROUPED_AGG median
+    registered once and called from SQL GROUP BY, Arrow aggregate node
+    in the plan, even-count interpolation verified."""
+    from scipi_spark.functions.sqlext import register_median_udaf
+
+    register_median_udaf(spark)
+    register_median_udaf(spark)  # idempotent replace
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 10.0), ("b", 4.0), ("b", 6.0)],
+        "k string, v double",
+    ).createOrReplaceTempView("udaf_t")
+    df = spark.sql("SELECT k, median_val(v) AS med FROM udaf_t GROUP BY k")
+    assert sorted(map(tuple, df.collect())) == [("a", 2.0), ("b", 5.0)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AggregatePython" in plan and "Arrow" in plan
+
+
 def test_y4m_roundtrip_and_variants():
     import numpy as np
 
