@@ -240,7 +240,15 @@ def _xml_chunks_fixture(spark, sf_dir) -> str:
         "xml_chunks_" + sfname.replace(".", "_"),
     )
     key = (spark.sparkContext.applicationId, "xmlchunks", sf_dir)
-    if key not in _SIG_STORE_CACHE:
+    pattern = os.path.join(out_dir, "chunk_*.xml")
+    # bounded retry (round-7 advice): at most one rewrite attempt — if the
+    # glob is STILL empty after a fresh write, fail loudly instead of
+    # recursing until RecursionError (an empty input frame or an
+    # unwritable out_dir would otherwise loop forever).
+    for attempt in range(2):
+        if key in _SIG_STORE_CACHE and _glob.glob(pattern):
+            return pattern
+        _SIG_STORE_CACHE.pop(key, None)
         _shutil.rmtree(out_dir, ignore_errors=True)  # drop stale chunks
         pubs = publications_analog(spark, sf_dir)
         okey = F.col("doi").cast("long")
@@ -258,11 +266,12 @@ def _xml_chunks_fixture(spark, sf_dir) -> str:
         )
         io.write_dblp_xml_chunks(raw, out_dir, records_per_chunk=2000).count()
         _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
-    pattern = os.path.join(out_dir, "chunk_*.xml")
-    if not _glob.glob(pattern):  # another app's flag never wrote here
-        _SIG_STORE_CACHE.pop(key, None)
-        return _xml_chunks_fixture(spark, sf_dir)
-    return pattern
+        if _glob.glob(pattern):
+            return pattern
+    raise RuntimeError(
+        f"write_dblp_xml_chunks produced no chunk files under {out_dir!r} "
+        "after a rewrite — empty input frame or unwritable directory"
+    )
 
 
 def _q_xml_ingest_distributed(spark, sf_dir):
@@ -487,11 +496,13 @@ def _q_dedup_increment(spark, sf_dir):
 _SIG_STORE_CACHE: dict = {}
 #: The store-flag cache holds booleans ("this (app, purpose, sf) store is
 #: written"), not persisted DataFrames, so its cap is sized to hold every
-#: purpose (sig, compact, lm, bm25, ann, graph_store) across 3 SF dirs at
-#: once — at the default cap of 6 (== purposes per sf_dir) a session
-#: touching a second sf_dir would evict the first dir's flags and silently
-#: re-run full store writes on every revisit (round-6 advice).
-_STORE_FLAG_CAP = 18
+#: purpose (sig, compact, lm, bm25, ann, graph_store, xmlchunks, sinks)
+#: across 3 SF dirs at once, with slack for a purpose added later — at a
+#: cap equal to the purposes-per-sf count, a session touching a second
+#: sf_dir would evict the first dir's flags and silently re-run full
+#: store writes (including rmtree+rewrite of the XML chunk fixture) on
+#: every revisit (round-6 + round-7 advice).
+_STORE_FLAG_CAP = 10 * 3
 
 
 def _q_dedup_store_increment(spark, sf_dir):

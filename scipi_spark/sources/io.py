@@ -161,13 +161,28 @@ def write_dblp_xml_chunks(
     authors (array<string>) — the DBLP_RAW_SCHEMA shape minus citations
     (optional column, written as ``<cite>`` elements when present)."""
     import os
+    import re
     import uuid
-    from xml.sax.saxutils import escape, quoteattr
+    from xml.sax.saxutils import escape as _sax_escape, quoteattr as _sax_quoteattr
 
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
     has_cites = "citations" in df.columns
+
+    # xml.sax.saxutils escapes markup but passes XML-1.0-INVALID control
+    # characters (e.g. \x00-\x08) through verbatim, producing chunks
+    # iterparse cannot re-read; strip them before escaping (round-7 advice).
+    _xml_bad = re.compile(
+        "[^\x09\x0a\x0d\x20-\ud7ff\ue000-\ufffd"
+        "\U00010000-\U0010ffff]"
+    )
+
+    def escape(s):
+        return _sax_escape(_xml_bad.sub("", s))
+
+    def quoteattr(s):
+        return _sax_quoteattr(_xml_bad.sub("", s))
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -198,7 +213,9 @@ def write_dblp_xml_chunks(
                 name = os.path.join(
                     out_dir, f"chunk_{uuid.uuid4().hex}.xml"
                 )
-                with open(name + ".tmp", "w") as fh:
+                # explicit utf-8: executors under a C/POSIX locale would
+                # otherwise raise UnicodeEncodeError on non-ASCII titles
+                with open(name + ".tmp", "w", encoding="utf-8") as fh:
                     fh.write("\n".join(parts))
                 os.rename(name + ".tmp", name)
                 yield pd.DataFrame({"path": [name], "n": [len(sub)]})

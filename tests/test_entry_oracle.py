@@ -117,6 +117,14 @@ def test_coverage_totals_match_registry():
     assert m, "COVERAGE.md gate-totals line missing"
     assert int(m.group(1)) == len(QUERIES)
     assert int(m.group(2)) == len(ORACLES)
+    # README's prose count drifted once (round-7 verdict #3) — parse the
+    # sentence too so it can't drift again.
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    r = re.search(r"independent (\d+)-entry\s*\nDuckDB-oracle sweep", readme)
+    assert r, "README evidence-chain sentence missing or reworded"
+    assert int(r.group(1)) == len(QUERIES), (
+        f"README says {r.group(1)} entries, registry has {len(QUERIES)}"
+    )
 
 
 def test_no_driver_evidence_holes():
