@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from scipi_spark.sources import storectl
+
 
 # ---------------------------------------------------------------------------
 # C1 — relevance filter
@@ -293,6 +295,7 @@ def write_graph_store(
     table: str = "graph_edges_mirrored",
     n_buckets: int = 16,
     mirrored: DataFrame | None = None,
+    build_key: str = "graph-v1",
 ) -> None:
     """Persist the aggregated mirrored LPA message relation bucketed AND
     sorted on ``src`` — the production shape of iterative graph analytics
@@ -310,12 +313,12 @@ def write_graph_store(
     :func:`aggregate_undirected_hashed` so an external engine can replay
     the labels); default builds it from the raw ``edges`` multiset."""
     rel = aggregate_undirected(edges) if mirrored is None else mirrored
-    (
-        rel.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(n_buckets, "src")
-        .sortBy("src")
-        .saveAsTable(table)
+    root = path.rstrip("/")
+    build = storectl.new_build_dir(root)
+    storectl.write_bucketed(rel, build + "/edges", ["src"], ["src"], n_buckets)
+    ver = storectl.publish(root, build, build_key)
+    storectl.register_bucketed(
+        rel.sparkSession, table, ver + "/edges", ["src"], ["src"], n_buckets
     )
 
 
@@ -327,13 +330,28 @@ def community_detection_from_store(
     checkpoint: bool = True,
     portable_rounding: bool = False,
     n_edges: int | None = None,
+    path: str | None = None,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """LPA over a persisted bucketed edge store: no extraction, no edge
     aggregation, no edge-side repartition — the loop's message join reads
     the store's bucket partitioning directly. Returns hashed ids
     (``restore_names=False``; a vertex's initial label IS its hashed id,
     so labels are identical to the name-restored variant). ``n_edges``
-    defaults to the store's metadata row count (a footer read, no scan)."""
+    defaults to the store's metadata row count (a footer read, no scan).
+    ``path``: store root for reading a store written by ANOTHER process
+    (resolves the live version via the atomic CURRENT pointer and
+    registers ``table`` here); omit when this session wrote it."""
+    if path is not None:
+        ver = storectl.current_dir(path.rstrip("/"))
+        if ver is None:
+            raise FileNotFoundError(
+                f"no published graph store under {path!r} — "
+                "write_graph_store first"
+            )
+        storectl.register_bucketed(
+            spark, table, ver + "/edges", ["src"], ["src"], n_buckets
+        )
     mirrored = spark.table(table)
     if n_edges is None:
         n_edges = mirrored.count()

@@ -30,6 +30,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from scipi_spark.sources import storectl
+
 from scipi_spark.operators.textops import fingerprint, normalize_text, word_shingles
 
 
@@ -843,6 +845,7 @@ def write_signature_store(
     num_perm: int = 64,
     bands: int = 16,
     n_buckets: int = 16,
+    build_key: str = "sig-v1",
 ) -> None:
     """Persist a corpus's LSH state once so later increments probe it
     with ZERO corpus-side recompute:
@@ -858,32 +861,42 @@ def write_signature_store(
       O(|corpus|).
 
     The signature coefficients are fixed-seed (:func:`_minhash_coeffs`),
-    so signatures computed at probe time match the stored ones."""
+    so signatures computed at probe time match the stored ones.
+
+    Publication is atomic and cross-process safe (``sources.storectl``):
+    all three artifacts stage in a private build dir and go live only
+    when the CURRENT pointer flips, so a probe concurrent with a rebuild
+    reads the old or the new COMPLETE store — never 0 rows."""
     assert num_perm % bands == 0
     r = num_perm // bands
     coeffs, p = _minhash_coeffs(num_perm)
     spark = df.sparkSession
+    root = path.rstrip("/")
+    build = storectl.new_build_dir(root)
     # materialized: both parquet writes drain the one checkpointed table
     # instead of each replaying the scan+shingle+explode chain
     sizes, postings = _shingle_index(
         df, id_col, text_col, k, None, materialize=True
     )
-    postings.write.mode("overwrite").parquet(path.rstrip("/") + "/postings")
-    sizes.write.mode("overwrite").parquet(path.rstrip("/") + "/sizes")
+    postings.write.mode("overwrite").parquet(build + "/postings")
+    sizes.write.mode("overwrite").parquet(build + "/sizes")
     # signatures from the COMPACT stored postings, not the raw text scan
-    stored = spark.read.parquet(path.rstrip("/") + "/postings")
+    stored = spark.read.parquet(build + "/postings")
     sigs = _signatures_from_postings(
         stored.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
         coeffs,
         p,
     )
-    (
-        _band_rows(sigs, bands, r)
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "band", "bh")
-        .sortBy("band", "bh")
-        .option("path", path.rstrip("/") + "/bands")
-        .saveAsTable(table)
+    storectl.write_bucketed(
+        _band_rows(sigs, bands, r),
+        build + "/bands",
+        ["band", "bh"],
+        ["band", "bh"],
+        n_buckets,
+    )
+    ver = storectl.publish(root, build, build_key)
+    storectl.register_bucketed(
+        spark, table, ver + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
     )
 
 
@@ -951,20 +964,30 @@ def append_signature_store(
     ``batch_state``: a precomputed :func:`batch_lsh_state` triple — pass
     it when the caller already probed with the same batch so the
     shingle/minhash/band work is not repeated."""
-    base = path.rstrip("/")
+    root = path.rstrip("/")
     if batch_state is None:
         batch_state = batch_lsh_state(
             batch, id_col, text_col, k, num_perm, bands
         )
     sizes, postings, band_rows = batch_state
-    postings.write.mode("append").parquet(base + "/postings")
-    sizes.write.mode("append").parquet(base + "/sizes")
-    (
-        band_rows.write.mode("append")
-        .bucketBy(n_buckets, "band", "bh")
-        .sortBy("band", "bh")
-        .option("path", base + "/bands")
-        .saveAsTable(table)
+    # atomic append: hardlink-clone the live version (metadata only),
+    # add the batch's files to the clone, publish as a new version —
+    # readers of the old version are undisturbed until the pointer flips
+    build, _cur = storectl.clone_current(root)
+    postings.write.mode("append").parquet(build + "/postings")
+    sizes.write.mode("append").parquet(build + "/sizes")
+    storectl.append_bucketed(
+        band_rows, build + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
+    )
+    meta = storectl.current_meta(root) or {}
+    ver = storectl.publish(root, build, meta.get("build_key", "sig-v1"))
+    storectl.register_bucketed(
+        batch.sparkSession,
+        table,
+        ver + "/bands",
+        ["band", "bh"],
+        ["band", "bh"],
+        n_buckets,
     )
 
 
@@ -975,6 +998,7 @@ def compact_signature_store(
     num_perm: int = 64,
     bands: int = 16,
     n_buckets: int = 16,
+    build_key: str | None = None,
 ) -> None:
     """Rebuild the signature store from its own postings with duplicate
     rows dropped — the repair for a crash-replayed append or a
@@ -993,29 +1017,39 @@ def compact_signature_store(
     assert num_perm % bands == 0
     r = num_perm // bands
     coeffs, p = _minhash_coeffs(num_perm)
-    base = path.rstrip("/")
+    root = path.rstrip("/")
+    cur = storectl.current_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published signature store under {root!r}")
     postings = (
-        spark.read.parquet(base + "/postings")
+        spark.read.parquet(cur + "/postings")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    postings.write.mode("overwrite").parquet(base + "/postings")
+    build = storectl.new_build_dir(root)
+    postings.write.mode("overwrite").parquet(build + "/postings")
     sizes = postings.groupBy("doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )
-    sizes.write.mode("overwrite").parquet(base + "/sizes")
+    sizes.write.mode("overwrite").parquet(build + "/sizes")
     sigs = _signatures_from_postings(
         postings.select("doc", F.pmod(F.col("sh"), F.lit(p)).alias("h0")),
         coeffs,
         p,
     )
-    (
-        _band_rows(sigs, bands, r)
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "band", "bh")
-        .sortBy("band", "bh")
-        .option("path", base + "/bands")
-        .saveAsTable(table)
+    storectl.write_bucketed(
+        _band_rows(sigs, bands, r),
+        build + "/bands",
+        ["band", "bh"],
+        ["band", "bh"],
+        n_buckets,
+    )
+    if build_key is None:
+        meta = storectl.current_meta(root) or {}
+        build_key = meta.get("build_key", "sig-v1")
+    ver = storectl.publish(root, build, build_key)
+    storectl.register_bucketed(
+        spark, table, ver + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
     )
 
 
@@ -1031,6 +1065,7 @@ def minhash_lsh_increment_from_store(
     bands: int = 16,
     threshold: float = 0.5,
     batch_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """The probe side of :func:`write_signature_store`: near-dup pairs
     between ``batch`` and the stored corpus (plus batch-batch pairs),
@@ -1039,10 +1074,19 @@ def minhash_lsh_increment_from_store(
     candidates probe the bucketed band table shuffle-free on the corpus
     side, and the verify reads only the stored postings."""
     assert num_perm % bands == 0
-    base = path.rstrip("/")
+    root = path.rstrip("/")
+    ver = storectl.current_dir(root)
+    if ver is None:
+        raise FileNotFoundError(
+            f"no published signature store under {root!r} — "
+            "write_signature_store first"
+        )
+    storectl.register_bucketed(
+        spark, table, ver + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
+    )
     corpus_bands = spark.table(table)
-    corpus_postings = spark.read.parquet(base + "/postings")
-    corpus_sizes = spark.read.parquet(base + "/sizes")
+    corpus_postings = spark.read.parquet(ver + "/postings")
+    corpus_sizes = spark.read.parquet(ver + "/sizes")
 
     if batch_state is None:
         batch_state = batch_lsh_state(

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scipi_spark.sources import storectl
+
 
 def _as_double(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -306,6 +308,7 @@ def write_ann_store(
     dim: int = 64,
     seed: int = 42,
     n_buckets: int = 16,
+    build_key: str = "ann-v1",
 ) -> None:
     """Persist a corpus's hyperplane-LSH ANN state once so later query
     batches probe it with ZERO corpus-side recompute — the vector-store
@@ -321,7 +324,13 @@ def write_ann_store(
 
     Hyperplanes are fixed-seed, so signatures computed at probe time
     match the stored ones; every query batch is then O(|batch| x bucket
-    occupancy) instead of re-hashing the corpus per search."""
+    occupancy) instead of re-hashing the corpus per search.
+
+    Publication is atomic and cross-process safe (``sources.storectl``):
+    both tables stage in a private build dir, and readers — this process
+    or any other — resolve the store through the CURRENT pointer, so a
+    probe concurrent with a rebuild sees the old or the new COMPLETE
+    store, never a half-written one."""
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
     base = (
@@ -330,22 +339,57 @@ def write_ann_store(
         .withColumn("sigs", sigs_udf(F.col("e")))
         .localCheckpoint(eager=True)
     )
-    (
-        base.select("vec_id", F.posexplode("sigs").alias("t", "sig"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "t", "sig")
-        .sortBy("t", "sig")
-        .option("path", path.rstrip("/") + "/sigs")
-        .saveAsTable(table)
+    root = path.rstrip("/")
+    build = storectl.new_build_dir(root)
+    storectl.write_bucketed(
+        base.select("vec_id", F.posexplode("sigs").alias("t", "sig")),
+        build + "/sigs",
+        ["t", "sig"],
+        ["t", "sig"],
+        n_buckets,
     )
-    (
-        base.select("vec_id", "e")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "vec_id")
-        .sortBy("vec_id")
-        .option("path", path.rstrip("/") + "/vectors")
-        .saveAsTable(table + "_vectors")
+    storectl.write_bucketed(
+        base.select("vec_id", "e"),
+        build + "/vectors",
+        ["vec_id"],
+        ["vec_id"],
+        n_buckets,
     )
+    ver = storectl.publish(root, build, build_key)
+    _register_ann(embeddings.sparkSession, table, ver, n_buckets)
+
+
+def _register_ann(spark, table: str, ver: str, n_buckets: int) -> None:
+    storectl.register_bucketed(
+        spark, table, ver + "/sigs", ["t", "sig"], ["t", "sig"], n_buckets
+    )
+    storectl.register_bucketed(
+        spark,
+        table + "_vectors",
+        ver + "/vectors",
+        ["vec_id"],
+        ["vec_id"],
+        n_buckets,
+    )
+
+
+def open_ann_store(
+    spark,
+    path: str,
+    table: str = "ann_store_sigs",
+    n_buckets: int = 16,
+    build_key: str | None = None,
+) -> str | None:
+    """Resolve the live version of an ANN store written by any process
+    and register its catalog tables in THIS session — the reader half of
+    the atomic-publish protocol. Returns the version dir, or None when
+    no complete version exists (or ``build_key`` mismatches, meaning the
+    on-disk store was built with a different recipe)."""
+    ver = storectl.current_dir(path.rstrip("/"), build_key)
+    if ver is None:
+        return None
+    _register_ann(spark, table, ver, n_buckets)
+    return ver
 
 
 def append_ann_store(
@@ -371,7 +415,12 @@ def append_ann_store(
     twice; the scoring join then duplicates that candidate's scored rows
     and the per-query top-k window under-fills with distinct neighbors —
     repair with :func:`compact_ann_store` (one ``distinct()`` over the
-    stored vectors, then a rewrite of both derived tables)."""
+    stored vectors, then a rewrite of both derived tables).
+
+    Atomicity: the append hardlink-clones the current version (metadata
+    only — no data bytes copy), adds the batch's files to the clone, and
+    publishes it as a NEW version; concurrent readers keep the old
+    complete version until the pointer flips."""
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
     base = (
@@ -380,22 +429,25 @@ def append_ann_store(
         .withColumn("sigs", sigs_udf(F.col("e")))
         .localCheckpoint(eager=True)
     )
-    (
-        base.select("vec_id", F.posexplode("sigs").alias("t", "sig"))
-        .write.mode("append")
-        .bucketBy(n_buckets, "t", "sig")
-        .sortBy("t", "sig")
-        .option("path", path.rstrip("/") + "/sigs")
-        .saveAsTable(table)
+    root = path.rstrip("/")
+    build, _cur = storectl.clone_current(root)
+    storectl.append_bucketed(
+        base.select("vec_id", F.posexplode("sigs").alias("t", "sig")),
+        build + "/sigs",
+        ["t", "sig"],
+        ["t", "sig"],
+        n_buckets,
     )
-    (
-        base.select("vec_id", "e")
-        .write.mode("append")
-        .bucketBy(n_buckets, "vec_id")
-        .sortBy("vec_id")
-        .option("path", path.rstrip("/") + "/vectors")
-        .saveAsTable(table + "_vectors")
+    storectl.append_bucketed(
+        base.select("vec_id", "e"),
+        build + "/vectors",
+        ["vec_id"],
+        ["vec_id"],
+        n_buckets,
     )
+    meta = storectl.current_meta(root) or {}
+    ver = storectl.publish(root, build, meta.get("build_key", "ann-v1"))
+    _register_ann(embeddings.sparkSession, table, ver, n_buckets)
 
 
 def compact_ann_store(
@@ -407,6 +459,7 @@ def compact_ann_store(
     dim: int = 64,
     seed: int = 42,
     n_buckets: int = 16,
+    build_key: str | None = None,
 ) -> None:
     """Rebuild the ANN store from its own stored vectors with duplicate
     ids dropped — the repair for a crash-replayed append. The vectors
@@ -415,10 +468,19 @@ def compact_ann_store(
     bucketed tables restores exact probe semantics; raw upstream
     embeddings are never touched. Among duplicate rows for one id the
     kept row is arbitrary — the append contract means they are replays
-    of the same vector."""
-    base_path = path.rstrip("/")
+    of the same vector.
+
+    Compaction builds a brand-new version from the live version's
+    vectors and publishes it atomically — the live store never degrades
+    mid-repair, and a compactor crash leaves the old version intact.
+    ``build_key`` (default: inherited from the live version) stamps the
+    published marker so callers can gate on "repaired" state."""
+    root = path.rstrip("/")
+    cur = storectl.current_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published ANN store under {root!r}")
     vectors = (
-        spark.read.parquet(base_path + "/vectors")
+        spark.read.parquet(cur + "/vectors")
         .dropDuplicates(["vec_id"])
         .localCheckpoint(eager=True)
     )
@@ -427,22 +489,26 @@ def compact_ann_store(
     signed = vectors.withColumn("sigs", sigs_udf(F.col("e"))).localCheckpoint(
         eager=True
     )
-    (
-        signed.select("vec_id", F.posexplode("sigs").alias("t", "sig"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "t", "sig")
-        .sortBy("t", "sig")
-        .option("path", base_path + "/sigs")
-        .saveAsTable(table)
+    build = storectl.new_build_dir(root)
+    storectl.write_bucketed(
+        signed.select("vec_id", F.posexplode("sigs").alias("t", "sig")),
+        build + "/sigs",
+        ["t", "sig"],
+        ["t", "sig"],
+        n_buckets,
     )
-    (
-        signed.select("vec_id", "e")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "vec_id")
-        .sortBy("vec_id")
-        .option("path", base_path + "/vectors")
-        .saveAsTable(table + "_vectors")
+    storectl.write_bucketed(
+        signed.select("vec_id", "e"),
+        build + "/vectors",
+        ["vec_id"],
+        ["vec_id"],
+        n_buckets,
     )
+    if build_key is None:
+        meta = storectl.current_meta(root) or {}
+        build_key = meta.get("build_key", "ann-v1")
+    ver = storectl.publish(root, build, build_key)
+    _register_ann(spark, table, ver, n_buckets)
 
 
 def knn_from_store(
@@ -456,6 +522,8 @@ def knn_from_store(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    path: str | None = None,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Approximate top-k against a persisted :func:`write_ann_store`
     index: the query batch is signed with the same fixed-seed planes,
@@ -464,8 +532,18 @@ def knn_from_store(
     joining the candidate ids back to the bucketed vectors table. Same
     (bits, tables, multiprobe) semantics — and, for queries drawn from
     the indexed corpus, the same output — as :func:`knn_lsh`
-    (equivalence pytest-pinned)."""
+    (equivalence pytest-pinned).
+
+    ``path``: store root for probing an index written by ANOTHER process
+    (resolves the live version through the atomic CURRENT pointer and
+    registers the catalog tables here); omit it when this session just
+    wrote/opened the store under ``table``."""
     spark = queries.sparkSession
+    if path is not None:
+        if open_ann_store(spark, path, table=table, n_buckets=n_buckets) is None:
+            raise FileNotFoundError(
+                f"no published ANN store under {path!r} — write_ann_store first"
+            )
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
     q = (

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from scipi_spark.sources import storectl
+
 #: Tiny English function-word list for the n-gram/stopword language heuristic.
 EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with"]
 
@@ -691,6 +693,7 @@ def write_text_index_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
+    build_key: str = "bm25-v1",
 ) -> None:
     """Persist the corpus's BM25 state once so later searches probe it
     with ZERO corpus-side recompute (the search-index twin of
@@ -710,23 +713,27 @@ def write_text_index_store(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
     )
+    root = path.rstrip("/")
+    build = storectl.new_build_dir(root)
     terms = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
-    (
-        terms.groupBy("term", "doc")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "term")
-        .sortBy("term")
-        .option("path", path.rstrip("/") + "/postings")
-        .saveAsTable(table)
+    storectl.write_bucketed(
+        terms.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf")),
+        build + "/postings",
+        ["term"],
+        ["term"],
+        n_buckets,
     )
     lens = df.select(
         F.col(id_col).alias("doc"), F.size(toks).cast("long").alias("dl")
     )
-    lens.write.mode("overwrite").parquet(path.rstrip("/") + "/doclen")
+    lens.write.mode("overwrite").parquet(build + "/doclen")
     lens.agg(
         F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+    ).write.mode("overwrite").parquet(build + "/stats")
+    ver = storectl.publish(root, build, build_key)
+    storectl.register_bucketed(
+        df.sparkSession, table, ver + "/postings", ["term"], ["term"], n_buckets
+    )
 
 
 def bm25_from_store(
@@ -738,6 +745,7 @@ def bm25_from_store(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Top-k BM25 against a persisted index (:func:`write_text_index_store`)
     — same scores as :func:`bm25_search` without touching the corpus text:
@@ -747,10 +755,19 @@ def bm25_from_store(
     against the tiny query-term posting set. O(postings of the query's
     terms), not O(corpus)."""
     q = [t for t in query_terms if t]
+    ver = storectl.current_dir(path.rstrip("/"))
+    if ver is None:
+        raise FileNotFoundError(
+            f"no published text index under {path!r} — "
+            "write_text_index_store first"
+        )
+    storectl.register_bucketed(
+        spark, table, ver + "/postings", ["term"], ["term"], n_buckets
+    )
     tf = spark.table(table).filter(F.col("term").isin(q))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    lens = spark.read.parquet(path.rstrip("/") + "/doclen")
-    stats = spark.read.parquet(path.rstrip("/") + "/stats")
+    lens = spark.read.parquet(ver + "/doclen")
+    stats = spark.read.parquet(ver + "/stats")
 
     idf = F.log(
         F.lit(1.0)
@@ -857,6 +874,7 @@ def write_lm_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
+    build_key: str = "lm-v1",
 ) -> None:
     """Persist the Laplace-smoothed bigram LM ONCE so later batches are
     perplexity-scored with zero training-corpus recompute — the model
@@ -874,27 +892,36 @@ def write_lm_store(
       on w1, same property for the context join;
     - ``<path>/vocab`` — the 1-row vocabulary size V."""
     bi = _doc_bigrams(df, id_col, text_col).localCheckpoint(eager=True)
-    (
-        bi.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "w1", "w2")
-        .sortBy("w1", "w2")
-        .option("path", path.rstrip("/") + "/bigrams")
-        .saveAsTable(table)
+    root = path.rstrip("/")
+    build = storectl.new_build_dir(root)
+    storectl.write_bucketed(
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2")),
+        build + "/bigrams",
+        ["w1", "w2"],
+        ["w1", "w2"],
+        n_buckets,
     )
-    (
-        bi.groupBy("w1")
-        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "w1")
-        .sortBy("w1")
-        .option("path", path.rstrip("/") + "/ctx")
-        .saveAsTable(table + "_ctx")
+    storectl.write_bucketed(
+        bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1")),
+        build + "/ctx",
+        ["w1"],
+        ["w1"],
+        n_buckets,
     )
     df.select(F.explode(tokens(text_col)).alias("w")).agg(
         F.count_distinct(F.col("w")).cast("double").alias("v")
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/vocab")
+    ).write.mode("overwrite").parquet(build + "/vocab")
+    ver = storectl.publish(root, build, build_key)
+    _register_lm(df.sparkSession, table, ver, n_buckets)
+
+
+def _register_lm(spark, table: str, ver: str, n_buckets: int) -> None:
+    storectl.register_bucketed(
+        spark, table, ver + "/bigrams", ["w1", "w2"], ["w1", "w2"], n_buckets
+    )
+    storectl.register_bucketed(
+        spark, table + "_ctx", ver + "/ctx", ["w1"], ["w1"], n_buckets
+    )
 
 
 def score_from_lm_store(
@@ -903,6 +930,7 @@ def score_from_lm_store(
     table: str = "lm_store_bigrams",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Per-document cross-entropy of a NEW batch under a persisted
     :func:`write_lm_store` model: P(w2|w1) = (c2 + 1) / (c1 + V) with
@@ -916,10 +944,16 @@ def score_from_lm_store(
     move (plan-asserted Exchange-free on the store side). Output is
     (doc_id, n_bigrams, xent)."""
     spark = batch.sparkSession
+    ver = storectl.current_dir(path.rstrip("/"))
+    if ver is None:
+        raise FileNotFoundError(
+            f"no published LM store under {path!r} — write_lm_store first"
+        )
+    _register_lm(spark, table, ver, n_buckets)
     bi = _doc_bigrams(batch, id_col, text_col)
     bc = spark.table(table)
     uc = spark.table(table + "_ctx")
-    vrow = spark.read.parquet(path.rstrip("/") + "/vocab")
+    vrow = spark.read.parquet(ver + "/vocab")
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))

@@ -420,3 +420,109 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
         for r in spark.read.parquet(p1 + "/shard=0").select("doc_id").collect()
     ]
     assert rows0 != sorted(rows0)
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    """Every PNG spec filter (fixed 0-4 and the cycling default) must
+    round-trip both truecolor and truecolor-alpha exactly."""
+    import numpy as np
+
+    from scipi_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    for ch in (3, 4):
+        for ft in (None, 0, 1, 2, 3, 4):
+            pix = rng.integers(0, 256, (13, 9, ch), dtype=np.uint8)
+            out = M.decode_image(M.encode_png(pix, filter_type=ft))
+            assert out.shape == pix.shape and (out == pix).all(), (ch, ft)
+
+
+def test_png_decode_hand_packed_independent():
+    """Decoder checked against a PNG whose filtered bytes are computed
+    HERE with independent arithmetic — encoder/decoder bugs that would
+    cancel in a round-trip cannot cancel against this."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from scipi_spark.operators import multimodal as M
+
+    raw0 = np.array([10, 200, 30, 60, 90, 255, 7, 8, 9], dtype=np.int64)
+    raw1 = np.array([11, 199, 31, 61, 91, 0, 17, 250, 3], dtype=np.int64)
+    # row0 Sub: filt[i] = raw[i] - raw[i-3]; row1 Up: filt[i] = raw1 - raw0
+    f0 = [1] + [int((raw0[i] - (raw0[i - 3] if i >= 3 else 0)) % 256) for i in range(9)]
+    f1 = [2] + [int((raw1[i] - raw0[i]) % 256) for i in range(9)]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        M.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(f0 + f1)))
+        + chunk(b"IEND", b"")
+    )
+    out = M.decode_image(png)
+    exp = np.stack([raw0.reshape(3, 3), raw1.reshape(3, 3)]).astype(np.uint8)
+    assert (out == exp).all()
+
+
+def test_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest
+
+    from scipi_spark.operators import multimodal as M
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for depth, colour, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        png = (
+            M.PNG_SIGNATURE
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 2, 2, depth, colour, 0, 0, interlace),
+            )
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            M.decode_image(png)
+
+
+def test_media_stats_png_alpha(spark):
+    """media_stats over a mixed RGB/RGBA PNG frame: n counts 3 vs 4
+    channels, dims come from IHDR, values from the real unfilter."""
+    import numpy as np
+    import pandas as pd
+
+    from scipi_spark.operators import multimodal as M
+
+    rows = []
+    for aid, ch in ((1, 3), (2, 4)):
+        y, x, c = np.indices((5, 7, ch))
+        pix = ((aid + 7 * x + 13 * y + 29 * c) % 256).astype("uint8")
+        rows.append((aid, "png", M.encode_png(pix)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["asset_id", "format", "payload"])
+    )
+    got = {r["asset_id"]: r for r in M.media_stats(media).collect()}
+    for aid, ch in ((1, 3), (2, 4)):
+        y, x, c = np.indices((5, 7, ch))
+        vals = (aid + 7 * x + 13 * y + 29 * c) % 256
+        r = got[aid]
+        assert r["n"] == 5 * 7 * ch and r["d1"] == 7 and r["d2"] == 5
+        assert r["peak"] == int(vals.max())
+        assert abs(r["mean"] - vals.mean()) < 1e-9
