@@ -226,26 +226,23 @@ def _q_ingest_dblp(spark, sf_dir):
 
 def _xml_chunks_fixture(spark, sf_dir) -> str:
     """Write the poisoned DBLP analog corpus as record-boundary-split XML
-    chunk files (once per app+sf, executor-side writes — no driver
-    collect; ``sources/io.py:write_dblp_xml_chunks``) and return the
-    chunk glob. Same poison rules as the JSON fixture so the two S9
-    transports share one oracle."""
+    chunk files (executor-side writes — no driver collect;
+    ``sources/io.py:write_dblp_xml_chunks``) and return the chunk glob.
+    Same poison rules as the JSON fixture so the two S9 transports share
+    one oracle.
+
+    Published through storectl like the persisted stores (round-7
+    advice + verdict #1 follow-through): chunks stage in a private build
+    dir and go live via the atomic CURRENT pointer, so a concurrent
+    verification process never globs a half-written (or just-rmtree'd)
+    chunk set, and an empty write fails loudly instead of retrying."""
     import glob as _glob
-    import shutil as _shutil
 
     sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out_dir = _store_root("xml_chunks_" + sfname.replace(".", "_"))
-    key = (spark.sparkContext.applicationId, "xmlchunks", sf_dir)
-    pattern = os.path.join(out_dir, "chunk_*.xml")
-    # bounded retry (round-7 advice): at most one rewrite attempt — if the
-    # glob is STILL empty after a fresh write, fail loudly instead of
-    # recursing until RecursionError (an empty input frame or an
-    # unwritable out_dir would otherwise loop forever).
-    for attempt in range(2):
-        if key in _SIG_STORE_CACHE and _glob.glob(pattern):
-            return pattern
-        _SIG_STORE_CACHE.pop(key, None)
-        _shutil.rmtree(out_dir, ignore_errors=True)  # drop stale chunks
+    root = _store_root("xml_chunks_" + sfname.replace(".", "_"))
+    bkey = "xmlchunks-v1"
+    ver = storectl.current_dir(root, bkey)
+    if ver is None:
         pubs = publications_analog(spark, sf_dir)
         okey = F.col("doi").cast("long")
         raw = pubs.select(
@@ -260,14 +257,15 @@ def _xml_chunks_fixture(spark, sf_dir) -> str:
             F.col("publisher"),
             F.col("authors"),
         )
-        io.write_dblp_xml_chunks(raw, out_dir, records_per_chunk=2000).count()
-        _cache_put(_SIG_STORE_CACHE, key, True, cap=_STORE_FLAG_CAP)
-        if _glob.glob(pattern):
-            return pattern
-    raise RuntimeError(
-        f"write_dblp_xml_chunks produced no chunk files under {out_dir!r} "
-        "after a rewrite — empty input frame or unwritable directory"
-    )
+        build = storectl.new_build_dir(root)
+        io.write_dblp_xml_chunks(raw, build, records_per_chunk=2000).count()
+        if not _glob.glob(os.path.join(build, "chunk_*.xml")):
+            raise RuntimeError(
+                f"write_dblp_xml_chunks produced no chunk files under "
+                f"{build!r} — empty input frame or unwritable directory"
+            )
+        ver = storectl.publish(root, build, bkey)
+    return os.path.join(ver, "chunk_*.xml")
 
 
 def _q_xml_ingest_distributed(spark, sf_dir):
@@ -489,16 +487,10 @@ def _q_dedup_increment(spark, sf_dir):
     )
 
 
-_SIG_STORE_CACHE: dict = {}
-#: The store-flag cache holds booleans ("this (app, purpose, sf) store is
-#: written"), not persisted DataFrames, so its cap is sized to hold every
-#: purpose (sig, compact, lm, bm25, ann, graph_store, xmlchunks, sinks)
-#: across 3 SF dirs at once, with slack for a purpose added later — at a
-#: cap equal to the purposes-per-sf count, a session touching a second
-#: sf_dir would evict the first dir's flags and silently re-run full
-#: store writes (including rmtree+rewrite of the XML chunk fixture) on
-#: every revisit (round-6 + round-7 advice).
-_STORE_FLAG_CAP = 10 * 3
+# The process-local store-flag cache (_SIG_STORE_CACHE) is GONE as of r8:
+# every "is this store written?" check now reads the on-disk
+# storectl completeness marker (build_key-matched), which is correct
+# across processes and crashes — the flag cache was the round-7 race.
 
 
 def _store_root(store_name: str) -> str:
@@ -1511,6 +1503,72 @@ def _png_real_assets(spark, sf_dir):
     return docs.mapInPandas(
         gen, schema="asset_id long, format string, payload binary"
     )
+
+
+def _q_sink_roundtrip(spark, sf_dir):
+    """The sink family driver-gated at last (round-7 verdict #4 — S7/A10/
+    C15 CSV and the training-shard writer were the only §2 rows still
+    pytest-only; reference ``ScipiBatchAssociation.java:296-324``): the
+    documents projection — with CSV-HOSTILE content planted on every 5th
+    doc (embedded comma, quotes, newline, backslash) — is written to a
+    fresh temp dir as (a) an RFC-4180 CSV sink and (b) 4 deterministic
+    md5-bucketed training shards, then BOTH are read back from disk and
+    aggregated per (sink, group): row count, id sum, text-length sum and
+    an md5-prefix content-hash sum. The oracle computes identical
+    aggregates straight from the parquet view, so one lost row, one
+    mangled escape, or one mis-bucketed shard anywhere in
+    write->files->read breaks the hash. Shard groups ARE per-file groups
+    (one file per shard, pytest-pinned)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.sources.io import read_csv, write_csv, write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    hostile = F.concat(F.col("text"), F.lit(', "csv" test\nline2 \\'))
+    proj = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, hostile)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    base = _tempfile.mkdtemp(prefix="scipi_sink_rt_")
+    try:
+        write_csv(proj, base + "/csv")
+        write_training_shards(proj, base + "/shards", n_shards=4)
+        back_csv = read_csv(
+            spark, base + "/csv",
+            schema="doc_id long, source string, text string",
+        )
+        back_sh = spark.read.parquet(base + "/shards")
+        hv = F.conv(
+            F.substring(F.md5(F.concat_ws("|", "source", "text")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+        def _roundtrip_agg(df, sink_name, grp):
+            return (
+                df.groupBy(grp.cast("long").alias("grp"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("doc_id").cast("long").alias("sum_id"),
+                    F.sum(F.length("text")).cast("long").alias("sum_len"),
+                    F.sum(hv).cast("long").alias("sum_h"),
+                )
+                .select(F.lit(sink_name).alias("sink"), "*")
+            )
+
+        out = _roundtrip_agg(back_csv, "csv", F.col("doc_id") % 4).unionByName(
+            _roundtrip_agg(back_sh, "shards", F.col("shard"))
+        )
+        # the temp files must outlive the returned (lazy) plan: pin the
+        # aggregates eagerly, then the sink dir can go
+        out = out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def _q_multimodal_decode_png(spark, sf_dir):
@@ -3029,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_decode_png": _q_multimodal_decode_png,
+        "sink_roundtrip": _q_sink_roundtrip,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
@@ -5347,6 +5406,36 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         """,
         # replay of the WAV/PPM/BMP generating formulas: the Spark side
         # must recover exactly these statistics FROM THE DECODED BYTES
+        "sink_roundtrip": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ', "csv" test' || chr(10) || 'line2 \\'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, source, text,
+                     CAST(('0x' || substr(md5(source || '|' || text), 1, 8))
+                          AS BIGINT) AS hv,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 4 AS shard
+              FROM base
+            )
+            SELECT 'csv' AS sink, doc_id % 4 AS grp,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                   CAST(sum(hv) AS BIGINT) AS sum_h
+            FROM h GROUP BY doc_id % 4
+            UNION ALL
+            SELECT 'shards' AS sink, shard AS grp,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                   CAST(sum(hv) AS BIGINT) AS sum_h
+            FROM h GROUP BY shard
+        """,
         "multimodal_decode_png": """
             WITH img AS (
               SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,

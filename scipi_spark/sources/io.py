@@ -23,12 +23,39 @@ from scipi_spark.schemas import DBLP_RAW_SCHEMA
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
-    """S7: overwrite CSV sink (arrays joined with '|' since CSV is flat)."""
+    """S7: overwrite CSV sink (arrays joined with '|' since CSV is flat).
+
+    Quoting is RFC 4180 (``escape='"'`` → embedded quotes double as
+    ``""``), so fields containing commas, quotes or newlines survive the
+    roundtrip through :func:`read_csv` — the default backslash escape is
+    a Spark-ism other CSV consumers trip over."""
     flat = df
     for field in df.schema.fields:
         if field.dataType.typeName() == "array":
             flat = flat.withColumn(field.name, F.array_join(field.name, "|"))
-    flat.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+    (
+        flat.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """Read back a :func:`write_csv` sink: RFC-4180 quote doubling plus
+    ``multiLine`` so quoted embedded newlines reassemble. multiLine makes
+    each file non-splittable — fine for result sinks; bulk training data
+    goes through the parquet shard sink instead."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
 
 
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:

@@ -38,6 +38,15 @@ Invariants:
     was built with the same recipe — this replaces the process-local
     "already written" flag with cross-process on-disk truth.
 
+Concurrency contract: any number of READERS run against any number of
+writers; two concurrent REBUILDS both publish complete versions and the
+last pointer flip wins (idempotent rebuilds make that harmless). Two
+concurrent APPENDS of different batches are a lost-update race (both
+clone the same base; the second flip drops the first batch) — appends
+are single-writer by contract, same as the LSM append contract the
+store docstrings already state; a real multi-writer deployment would
+serialize appends through a queue or move to a MERGE-capable format.
+
 On a cluster the same layout works on any filesystem with atomic rename
 (HDFS); on S3 the CURRENT pointer would move to a conditional-PUT object
 or a real table format — the reader/writer protocol here is unchanged.

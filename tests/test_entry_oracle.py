@@ -60,6 +60,9 @@ def test_bench_output_line_fits_driver_buffer():
     assert len(line) <= bench._LINE_BUDGET
     parsed = json.loads(line)
     assert parsed["unit"] == "sec"
+    # r8: the hot-cache warm total is named for its methodology so it can
+    # never again be compared to r1-r6's rebuild-per-sample totals
+    assert parsed["metric"] == "headline_queries_hot_cache_total"
     # the contention-robust per-query task time survives shedding —
     # it is what the verdict reads out of BENCH_rN.json
     assert parsed["queries_task"]

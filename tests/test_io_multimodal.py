@@ -526,3 +526,26 @@ def test_media_stats_png_alpha(spark):
         assert r["n"] == 5 * 7 * ch and r["d1"] == 7 and r["d2"] == 5
         assert r["peak"] == int(vals.max())
         assert abs(r["mean"] - vals.mean()) < 1e-9
+
+
+def test_csv_sink_rfc4180_hostile_roundtrip(spark, tmp_path):
+    """S7 CSV sink with RFC-4180 quoting: embedded commas, quotes,
+    newlines and backslashes survive write->read byte-identically."""
+    import pandas as pd
+
+    from scipi_spark.sources.io import read_csv, write_csv
+
+    rows = [
+        (1, 'plain text'),
+        (2, 'comma, inside'),
+        (3, 'quote " and "" doubled'),
+        (4, 'newline\nsecond line'),
+        (5, 'backslash \\ and \\n literal'),
+        (6, 'all: ,"\n\\ mixed'),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "text"]))
+    p = str(tmp_path / "csv_sink")
+    write_csv(df, p)
+    back = read_csv(spark, p, schema="id long, text string")
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
