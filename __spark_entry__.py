@@ -1722,6 +1722,163 @@ def _q_stream_dedup(spark, sf_dir):
     return spark.table(name).select("fp")
 
 
+def _stream_two_batches(spark, frames, src_dir):
+    """Write ``frames`` as one parquet file each under ``src_dir`` with
+    STRICTLY increasing mtimes (FileStreamSource replays oldest-mtime
+    first; back-to-back writes tie on mtime granularity and reorder
+    micro-batches — the rule every replay entry follows) and return a
+    maxFilesPerTrigger=1 stream of them."""
+    import glob as _glob
+    import time as _time
+
+    base = _time.time()
+    stamped: set[str] = set()
+    for i, b in enumerate(frames):
+        b.coalesce(1).write.mode("append" if i else "overwrite").parquet(
+            src_dir
+        )
+        for f in _glob.glob(os.path.join(src_dir, "part-*.parquet")):
+            if f not in stamped:
+                os.utime(f, (base + 10 * i, base + 10 * i))
+                stamped.add(f)
+    return (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def _q_stream_ann_store_probe(spark, sf_dir):
+    """Streaming similarity search against the persisted ANN store with
+    INDEX INGESTION, driver-gated end-to-end (it was pytest-only): the
+    80% corpus is indexed, then two real micro-batches of embeddings
+    (80-90th and 90-100th percentile ids) each probe for their top-5
+    neighbors and FOLD their own vectors into the store, so batch 2 can
+    retrieve batch 1's folded copies. Every store mutation goes through
+    the atomic versioned publish. Oracle = exact brute-force cosine
+    top-5 in SQL with exactly the ingestion-order visibility: batch-1
+    queries rank the corpus, batch-2 queries rank corpus + batch 1
+    (recall is 1.0 in this 16-table regime, as for ``knn_store_search``,
+    so the approximate path sits under the exact hash gate). Returned
+    hits are the query_id % 7 == 0 slice. The store is built in a fresh
+    temp dir each run: folding MUTATES it, so a folded store must never
+    be reused as the pristine corpus index."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.streaming.pipelines import run_streaming_ann_against_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cuts = emb.agg(
+        F.floor(F.expr("percentile(vec_id, 0.8)")).cast("long").alias("c8"),
+        F.floor(F.expr("percentile(vec_id, 0.9)")).cast("long").alias("c9"),
+    ).collect()[0]
+    c8, c9 = cuts["c8"], cuts["c9"]
+    corpus = emb.filter(F.col("vec_id") < c8)
+    b1 = emb.filter((F.col("vec_id") >= c8) & (F.col("vec_id") < c9))
+    b2 = emb.filter(F.col("vec_id") >= c9)
+
+    d = _tempfile.mkdtemp(prefix="scipi_stream_annstore_")
+    table = "ann_stream_" + os.path.basename(d)[-8:]
+    try:
+        similarity.write_ann_store(
+            corpus, f"{d}/store", table=table, bits=6, tables=16
+        )
+        stream = _stream_two_batches(spark, [b1, b2], f"{d}/src")
+        q = run_streaming_ann_against_store(
+            stream,
+            f"{d}/store",
+            f"{d}/out",
+            f"{d}/ckpt",
+            table=table,
+            k=5,
+            bits=6,
+            tables=16,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        hits = (
+            spark.read.parquet(f"{d}/out")
+            .filter(F.col("query_id") % 7 == 0)
+            .select("query_id", "vec_id", "cosine")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # per-call unique catalog names would otherwise accumulate in a
+        # long-lived session (hits are checkpointed — drop is safe)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_vectors")
+        _shutil.rmtree(d, ignore_errors=True)
+    return hits
+
+
+def _q_stream_dedup_store_probe(spark, sf_dir):
+    """Streaming near-dup detection against the persisted signature
+    store with state folding, driver-gated end-to-end (pytest-only
+    before): the 80% corpus's LSH state is indexed, then the remaining
+    docs arrive as two real micro-batches (80-90th, 90-100th percentile
+    ids); each probes the bucketed store — corpus side Exchange-free —
+    appends its pairs to the sink, and folds its own signatures so
+    batch 2 pairs against batch 1. The streamed pair union equals the
+    one-shot batch increment over the full 20% slice exactly
+    (pytest-pinned), so the oracle IS ``dedup_increment``'s exact-
+    Jaccard SQL, shared verbatim. Store in a fresh temp dir per run
+    (folding mutates it)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.streaming.pipelines import (
+        run_streaming_dedup_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c8"),
+        F.floor(F.expr("percentile(doc_id, 0.9)")).cast("long").alias("c9"),
+    ).collect()[0]
+    c8, c9 = cuts["c8"], cuts["c9"]
+    corpus = docs.filter(F.col("doc_id") < c8).select("doc_id", "text")
+    b1 = docs.filter(
+        (F.col("doc_id") >= c8) & (F.col("doc_id") < c9)
+    ).select("doc_id", "text")
+    b2 = docs.filter(F.col("doc_id") >= c9).select("doc_id", "text")
+
+    d = _tempfile.mkdtemp(prefix="scipi_stream_sigstore_")
+    table = "sig_stream_" + os.path.basename(d)[-8:]
+    try:
+        dedup.write_signature_store(
+            corpus, f"{d}/store", table=table, k=3, num_perm=64, bands=16
+        )
+        stream = _stream_two_batches(spark, [b1, b2], f"{d}/src")
+        q = run_streaming_dedup_against_store(
+            stream,
+            f"{d}/store",
+            f"{d}/out",
+            f"{d}/ckpt",
+            table=table,
+            k=3,
+            num_perm=64,
+            bands=16,
+            threshold=0.3,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = (
+            spark.read.parquet(f"{d}/out")
+            .select("doc_a", "doc_b", "jaccard")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _shutil.rmtree(d, ignore_errors=True)
+    return pairs
+
+
 def _q_grouped_topk_parts(spark, sf_dir):
     """Grouped top-k: the 3 highest-volume parts per brand (ties broken by
     part key). Aggregation shuffle + per-group window rank, k-pruned."""
@@ -3088,6 +3245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_decode_png": _q_multimodal_decode_png,
         "sink_roundtrip": _q_sink_roundtrip,
+        "stream_ann_store_probe": _q_stream_ann_store_probe,
+        "stream_dedup_store_probe": _q_stream_dedup_store_probe,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "pipeline_clean_corpus": _q_pipeline_clean_corpus,
@@ -5406,6 +5565,45 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         """,
         # replay of the WAV/PPM/BMP generating formulas: the Spark side
         # must recover exactly these statistics FROM THE DECODED BYTES
+        # exact brute-force cosine with INGESTION-ORDER visibility:
+        # batch-1 queries (80-90th pct ids) rank the <80th-pct corpus;
+        # batch-2 queries (>=90th) rank corpus + batch 1 (folded);
+        # self excluded, ties broken by vec_id — knn_store_search's
+        # formula with per-batch corpus scopes
+        "stream_ann_store_probe": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            cut AS (
+              SELECT CAST(floor(quantile_cont(vec_id, 0.8)) AS BIGINT) AS c8,
+                     CAST(floor(quantile_cont(vec_id, 0.9)) AS BIGINT) AS c9
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id AS query_id, e AS qe,
+                     CASE WHEN vec_id >= (SELECT c9 FROM cut)
+                          THEN (SELECT c9 FROM cut)
+                          ELSE (SELECT c8 FROM cut) END AS visible_below
+              FROM base
+              WHERE vec_id >= (SELECT c8 FROM cut) AND vec_id % 7 = 0
+            ),
+            scored AS (
+              SELECT q.query_id, b.vec_id,
+                     round(list_inner_product(q.qe, b.e)
+                           / (sqrt(list_inner_product(q.qe, q.qe))
+                              * sqrt(list_inner_product(b.e, b.e))), 6)
+                       AS cosine
+              FROM q, base b
+              WHERE b.vec_id < q.visible_below AND b.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored
+            )
+            SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
         "sink_roundtrip": """
             WITH base AS (
               SELECT doc_id, source,
@@ -6137,6 +6335,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the store-backed increment produces byte-identical output to the
     # raw-corpus increment (equivalence pytest-pinned) — same oracle
     d["dedup_store_increment"] = d["dedup_increment"]
+    # the streamed per-batch pair union equals the one-shot increment
+    # exactly (pytest-pinned set equality), so the oracle is shared
+    d["stream_dedup_store_probe"] = d["dedup_increment"]
     # post-compaction probe must equal the clean increment exactly
     d["dedup_store_compact"] = d["dedup_increment"]
     # the persisted-index BM25 search produces the same scores as the
