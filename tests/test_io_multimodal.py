@@ -219,7 +219,13 @@ def test_bmp_roundtrip_padding_and_topdown():
 def test_decode_image_rejects_unsupported():
     import numpy as np
 
+    # JPEG stays codec-gated (r8: PNG graduated from this list to a
+    # real decoder — see test_png_* — so the unsupported magic moved)
     with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff\xe0fake-jpeg")
+    # a PNG signature followed by garbage is a CORRUPT stream, not an
+    # unsupported format — it must fail loudly, never decode
+    with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nfake")
     # 16-bit PPM (maxval 65535) needs wide-sample handling we don't claim
     img = np.zeros((2, 2, 3), dtype="uint8")
