@@ -1748,6 +1748,76 @@ def _stream_two_batches(spark, frames, src_dir):
     )
 
 
+def _q_ann_store_time_travel(spark, sf_dir):
+    """MVCC time travel over the versioned ANN store, driver-gated: v1
+    indexes the <80th-percentile corpus; an append folds the 80-90th
+    slice and publishes v2 as CURRENT while v1 stays on disk (immutable;
+    storectl's retention-window GC). The >=90th-percentile queries probe
+    BOTH snapshots — v1 pinned via ``storectl.list_versions`` +
+    ``open_ann_store(version_dir=...)``, v2 via the live registration —
+    and the oracle ranks each query against exactly that snapshot's
+    corpus. One appended vector leaking into the pinned v1 (version
+    mutation), or missing from CURRENT (lost append), breaks the hash:
+    the snapshot-isolation semantics of the store are verified, not just
+    its mechanics. The table-format snapshot-read pattern (Iceberg
+    ``VERSION AS OF``) on POSIX primitives."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cuts = emb.agg(
+        F.floor(F.expr("percentile(vec_id, 0.8)")).cast("long").alias("c8"),
+        F.floor(F.expr("percentile(vec_id, 0.9)")).cast("long").alias("c9"),
+    ).collect()[0]
+    c8, c9 = cuts["c8"], cuts["c9"]
+    d = _tempfile.mkdtemp(prefix="scipi_ann_tt_")
+    suffix = os.path.basename(d)[-8:]
+    t_v1, t_cur = "ann_tt_v1_" + suffix, "ann_tt_cur_" + suffix
+    try:
+        store = f"{d}/store"
+        similarity.write_ann_store(
+            emb.filter(F.col("vec_id") < c8), store, table=t_cur,
+            bits=6, tables=16,
+        )
+        similarity.append_ann_store(
+            emb.filter((F.col("vec_id") >= c8) & (F.col("vec_id") < c9)),
+            store, table=t_cur, bits=6, tables=16,
+        )
+        versions = storectl.list_versions(store)
+        similarity.open_ann_store(
+            spark, store, table=t_v1, version_dir=versions[0]
+        )
+        probe = emb.filter(
+            (F.col("vec_id") >= c9) & (F.col("vec_id") % 7 == 0)
+        )
+        hits_v1 = similarity.knn_from_store(
+            probe, table=t_v1, k=5, bits=6, tables=16
+        )
+        hits_cur = similarity.knn_from_store(
+            probe, table=t_cur, k=5, bits=6, tables=16
+        )
+        out = (
+            hits_v1.select(
+                F.lit("v1").alias("snapshot"), "query_id", "vec_id", "cosine"
+            )
+            .unionByName(
+                hits_cur.select(
+                    F.lit("current").alias("snapshot"),
+                    "query_id",
+                    "vec_id",
+                    "cosine",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for t in (t_v1, t_cur):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_vectors")
+        _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _q_stream_ann_store_probe(spark, sf_dir):
     """Streaming similarity search against the persisted ANN store with
     INDEX INGESTION, driver-gated end-to-end (it was pytest-only): the
@@ -3246,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png": _q_multimodal_decode_png,
         "sink_roundtrip": _q_sink_roundtrip,
         "stream_ann_store_probe": _q_stream_ann_store_probe,
+        "ann_store_time_travel": _q_ann_store_time_travel,
         "stream_dedup_store_probe": _q_stream_dedup_store_probe,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_video_frames": _q_multimodal_video_frames,
@@ -5570,6 +5641,43 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         # batch-2 queries (>=90th) rank corpus + batch 1 (folded);
         # self excluded, ties broken by vec_id — knn_store_search's
         # formula with per-batch corpus scopes
+        # snapshot-scoped exact kNN: the pinned v1 ranks the <80th-pct
+        # corpus, CURRENT ranks <90th (post-append) — same queries
+        "ann_store_time_travel": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            cut AS (
+              SELECT CAST(floor(quantile_cont(vec_id, 0.8)) AS BIGINT) AS c8,
+                     CAST(floor(quantile_cont(vec_id, 0.9)) AS BIGINT) AS c9
+              FROM embeddings
+            ),
+            snaps AS (
+              SELECT 'v1' AS snapshot, (SELECT c8 FROM cut) AS vb
+              UNION ALL
+              SELECT 'current', (SELECT c9 FROM cut)
+            ),
+            q AS (
+              SELECT vec_id AS query_id, e AS qe FROM base
+              WHERE vec_id >= (SELECT c9 FROM cut) AND vec_id % 7 = 0
+            ),
+            scored AS (
+              SELECT s.snapshot, q.query_id, b.vec_id,
+                     round(list_inner_product(q.qe, b.e)
+                           / (sqrt(list_inner_product(q.qe, q.qe))
+                              * sqrt(list_inner_product(b.e, b.e))), 6)
+                       AS cosine
+              FROM q, snaps s, base b
+              WHERE b.vec_id < s.vb AND b.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT snapshot, query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY snapshot, query_id
+                                        ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored
+            )
+            SELECT snapshot, query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
         "stream_ann_store_probe": """
             WITH base AS (
               SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

@@ -379,13 +379,23 @@ def open_ann_store(
     table: str = "ann_store_sigs",
     n_buckets: int = 16,
     build_key: str | None = None,
+    version_dir: str | None = None,
 ) -> str | None:
     """Resolve the live version of an ANN store written by any process
     and register its catalog tables in THIS session — the reader half of
     the atomic-publish protocol. Returns the version dir, or None when
     no complete version exists (or ``build_key`` mismatches, meaning the
-    on-disk store was built with a different recipe)."""
-    ver = storectl.current_dir(path.rstrip("/"), build_key)
+    on-disk store was built with a different recipe).
+
+    ``version_dir``: pin a specific snapshot from
+    ``storectl.list_versions`` instead of CURRENT — time travel over the
+    immutable version history (e.g. probe the pre-append index while the
+    appended one serves live traffic)."""
+    ver = (
+        version_dir
+        if version_dir is not None
+        else storectl.current_dir(path.rstrip("/"), build_key)
+    )
     if ver is None:
         return None
     _register_ann(spark, table, ver, n_buckets)

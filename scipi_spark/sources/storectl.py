@@ -186,6 +186,20 @@ def current_dir(root: str, build_key: str | None = None) -> str | None:
     return d
 
 
+def list_versions(root: str) -> list[str]:
+    """COMPLETE (marker-bearing) version directories, oldest → newest —
+    the time-travel surface: any returned dir can be registered and
+    queried as an immutable point-in-time snapshot until the GC
+    retention window passes it. The last element is the dir CURRENT
+    points at (or will, modulo a concurrent in-flight publish)."""
+    out = []
+    for name in _versions(root):
+        d = os.path.join(root, name)
+        if os.path.exists(os.path.join(d, MARKER)):
+            out.append(d)
+    return out
+
+
 def current_meta(root: str) -> dict | None:
     """The live version's marker json, or None — used by append paths to
     carry the original build_key forward into the version they publish."""

@@ -189,3 +189,58 @@ def test_two_process_rebuild_race(spark, tmp_path):
     # 3 queries x k=5 from a complete store; a mid-rebuild read of the
     # old layout returned 0 here
     assert counts == [15] * len(counts), counts
+
+
+def test_list_versions_ordering_and_completeness(tmp_path):
+    root = tmp_path / "store"
+    assert storectl.list_versions(str(root)) == []
+    v1 = _write_dummy_version(root, "k", "one")
+    v2 = _write_dummy_version(root, "k", "two")
+    assert storectl.list_versions(str(root)) == [v1, v2]
+    # an unpublished build and a marker-less dir are both invisible
+    storectl.new_build_dir(str(root))
+    os.remove(os.path.join(v1, storectl.MARKER))
+    assert storectl.list_versions(str(root)) == [v2]
+
+
+def test_ann_version_pinning_snapshot_isolation(spark, tmp_path):
+    """Time travel: after an append publishes v2, the pinned v1 must
+    return exactly the pre-append results (immutability), while CURRENT
+    sees the appended vectors."""
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators import similarity
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(60).collect()]
+    half = ids[len(ids) // 2]
+    store = str(tmp_path / "tt_store")
+    similarity.write_ann_store(
+        emb.filter(F.col("vec_id") < half), store, table="tt_cur",
+        bits=6, tables=4,
+    )
+    probe = emb.filter(F.col("vec_id").isin(ids[-3:]))
+    before = set(
+        map(tuple, similarity.knn_from_store(
+            probe, table="tt_cur", k=5, bits=6, tables=4
+        ).collect())
+    )
+    similarity.append_ann_store(
+        emb.filter((F.col("vec_id") >= half) & (F.col("vec_id") < ids[-3])),
+        store, table="tt_cur", bits=6, tables=4,
+    )
+    vers = storectl.list_versions(store)
+    assert len(vers) >= 2
+    similarity.open_ann_store(spark, store, table="tt_v1", version_dir=vers[0])
+    pinned = set(
+        map(tuple, similarity.knn_from_store(
+            probe, table="tt_v1", k=5, bits=6, tables=4
+        ).collect())
+    )
+    assert pinned == before  # v1 is immutable under the append
+    after = set(
+        map(tuple, similarity.knn_from_store(
+            probe, table="tt_cur", k=5, bits=6, tables=4
+        ).collect())
+    )
+    assert after != before  # CURRENT sees the appended vectors
