@@ -3039,6 +3039,46 @@ def _q_knn_store_search(spark, sf_dir):
     )
 
 
+def _q_ann_store_compact(spark, sf_dir):
+    """LSM maintenance of the ANN vector store, driver-gated end-to-end
+    (the ANN twin of ``dedup_store_compact``; round-8 verdict #4): build
+    the full-corpus index, POISON it with a crash-replayed duplicate
+    append of a corpus slice (exactly the failure ``append_ann_store``'s
+    contract warns about — duplicated vec_ids duplicate scored candidate
+    rows and the per-query top-k window under-fills with distinct
+    neighbors), repair with ``compact_ann_store`` (rebuild both bucketed
+    tables from the distinct stored vectors; signatures are a pure
+    fixed-seed function of them), then probe. Hash-matching the SAME
+    brute-force oracle as ``knn_store_search`` proves the repair
+    restores exact probe semantics; the corruption without the repair
+    is pinned by ``test_compact_ann_store_repairs_duplicate_append``.
+    Every step publishes through storectl's atomic versioned pointer, so
+    the live store never degrades mid-repair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "ann_store_compact_" + sfname.replace(".", "_")
+    path = _store_root(table)
+    bkey = "ann-compact-v1:b6t16"
+    # the final build_key lands only on the COMPACTED version's marker,
+    # so a crash mid-sequence (poisoned but not yet repaired) re-runs
+    # the whole build→poison→repair chain instead of reusing a store
+    # that still carries the duplicate append
+    if storectl.current_dir(path, bkey) is None:
+        similarity.write_ann_store(
+            emb, path, table=table, bits=6, tables=16,
+            build_key=bkey + ":building",
+        )
+        dup = emb.filter(F.col("vec_id") % 5 == 0)
+        similarity.append_ann_store(dup, path, table=table, bits=6, tables=16)
+        similarity.compact_ann_store(
+            spark, path, table=table, bits=6, tables=16, build_key=bkey
+        )
+    probe = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+    return similarity.knn_from_store(
+        probe, table=table, k=KNN_K, bits=6, tables=16, path=path
+    )
+
+
 def _q_knn_ivf(spark, sf_dir):
     """IVF ANN. The test embeddings are quasi-uniform (no planted cluster
     structure), so cell margins are thin and the gate row probes 6 of 8
@@ -3378,6 +3418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "length_buckets": _q_length_buckets,
         "knn_store_search": _q_knn_store_search,
+        # round 9: ANN store compaction repair, gated end-to-end
+        # (round-8 verdict #4; fresh — _gate_order fronts it)
+        "ann_store_compact": _q_ann_store_compact,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -6448,6 +6491,10 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     d["stream_dedup_store_probe"] = d["dedup_increment"]
     # post-compaction probe must equal the clean increment exactly
     d["dedup_store_compact"] = d["dedup_increment"]
+    # post-compaction ANN probe must equal the clean store search exactly
+    # (same corpus after duplicates drop; recall 1.0 regime, see
+    # knn_store_search) — same brute-force oracle
+    d["ann_store_compact"] = d["knn_store_search"]
     # the persisted-index BM25 search produces the same scores as the
     # raw-corpus search (equivalence pytest-pinned) — same oracle
     d["bm25_store_search"] = d["text_bm25"]

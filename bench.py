@@ -130,8 +130,10 @@ def main() -> None:
     # measured as a status-store delta around each execution. A host-load
     # burst stretches wall clock while cores idle; task time only grows
     # with work actually done, so it is the cross-round comparison metric
-    # (SCALE.md). task = min over warm samples; task_spread = [min, med,
-    # max] over the >=3 warm samples; cpu = JVM-only on-CPU floor.
+    # (SCALE.md). task = min over warm samples; task_spread = trimmed
+    # [min, med, max] over the >=3 warm samples (published as
+    # queries_task_spread_trimmed + untrimmed queries_task_max);
+    # cpu = JVM-only on-CPU floor.
     task: dict[str, float] = {}
     task_spread: dict[str, list[float]] = {}
     task_samples: dict[str, list[float]] = {}
@@ -214,9 +216,20 @@ def main() -> None:
         warm_df.count()
         n = 0
 
+        # Heavy entries (no internal persist worth anything — the warm
+        # re-count re-executes a 10-40 task-s shuffle) get the FULL
+        # settle between samples: each re-count writes a fresh set of
+        # shuffle files whose cleanup otherwise lands inside the NEXT
+        # timed sample (r8 driver pass: 16 heavy entries at ±2x task
+        # spread, per-entry rationale in SCALE.md). Light entries keep
+        # the Python-GC-only settle — for them the explicit JVM
+        # System.gc pause IS the noise (round-7 verdict #3, measured at
+        # sf0.001).
+        heavy = task_cold[name] > 5.0
+
         def run_sample() -> None:
             nonlocal n
-            settle(full=False)
+            settle(full=heavy)
             got = [0]
             w, tr, tc = timer.measure(
                 lambda: got.__setitem__(0, warm_df.count())
@@ -337,7 +350,14 @@ def build_output(
         "queries_med": med,
         "queries_cold": cold,
         "queries_task": task,
-        "queries_task_spread": task_spread or {},
+        # _trimmed: with >=4 samples the single worst one is dropped
+        # before [min, med, max] (round-8 advice: the old unsuffixed name
+        # read as the observed max); the true untrimmed per-query max is
+        # queries_task_max, raw samples in queries_task_samples
+        "queries_task_spread_trimmed": task_spread or {},
+        "queries_task_max": {
+            k: v[-1] if v else None for k, v in (task_samples or {}).items()
+        },
         "queries_task_samples": task_samples or {},
         "queries_task_cold": task_cold or {},
         "queries_cpu": cpu or {},

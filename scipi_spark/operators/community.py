@@ -296,6 +296,8 @@ def write_graph_store(
     n_buckets: int = 16,
     mirrored: DataFrame | None = None,
     build_key: str = "graph-v1",
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Persist the aggregated mirrored LPA message relation bucketed AND
     sorted on ``src`` — the production shape of iterative graph analytics
@@ -316,7 +318,7 @@ def write_graph_store(
     root = path.rstrip("/")
     build = storectl.new_build_dir(root)
     storectl.write_bucketed(rel, build + "/edges", ["src"], ["src"], n_buckets)
-    ver = storectl.publish(root, build, build_key)
+    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
     storectl.register_bucketed(
         rel.sparkSession, table, ver + "/edges", ["src"], ["src"], n_buckets
     )

@@ -25,6 +25,7 @@ permutation seeds); no Python UDFs anywhere on the hot path.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -846,6 +847,8 @@ def write_signature_store(
     bands: int = 16,
     n_buckets: int = 16,
     build_key: str = "sig-v1",
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Persist a corpus's LSH state once so later increments probe it
     with ZERO corpus-side recompute:
@@ -894,7 +897,7 @@ def write_signature_store(
         ["band", "bh"],
         n_buckets,
     )
-    ver = storectl.publish(root, build, build_key)
+    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
     storectl.register_bucketed(
         spark, table, ver + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
     )
@@ -941,6 +944,8 @@ def append_signature_store(
     bands: int = 16,
     n_buckets: int = 16,
     batch_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Fold a new batch into an existing signature store: postings/sizes
     append to their parquet tables, band rows append to the bucketed
@@ -972,15 +977,27 @@ def append_signature_store(
     sizes, postings, band_rows = batch_state
     # atomic append: hardlink-clone the live version (metadata only),
     # add the batch's files to the clone, publish as a new version —
-    # readers of the old version are undisturbed until the pointer flips
-    build, _cur = storectl.clone_current(root)
-    postings.write.mode("append").parquet(build + "/postings")
-    sizes.write.mode("append").parquet(build + "/sizes")
-    storectl.append_bucketed(
-        band_rows, build + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
-    )
-    meta = storectl.current_meta(root) or {}
-    ver = storectl.publish(root, build, meta.get("build_key", "sig-v1"))
+    # readers of the old version are undisturbed until the pointer flips.
+    # The whole clone→append→publish runs under the store's append lock,
+    # so concurrent appenders serialize and both batches land (publish's
+    # expect_base check backstops a bypassed lock by failing loudly).
+    with storectl.append_lock(root):
+        build, cur = storectl.clone_current(root)
+        postings.write.mode("append").parquet(build + "/postings")
+        sizes.write.mode("append").parquet(build + "/sizes")
+        storectl.append_bucketed(
+            band_rows, build + "/bands", ["band", "bh"], ["band", "bh"],
+            n_buckets,
+        )
+        meta = storectl.current_meta(root) or {}
+        ver = storectl.publish(
+            root,
+            build,
+            meta.get("build_key", "sig-v1"),
+            keep=keep,
+            retain_s=retain_s,
+            expect_base=os.path.basename(cur),
+        )
     storectl.register_bucketed(
         batch.sparkSession,
         table,
@@ -999,6 +1016,8 @@ def compact_signature_store(
     bands: int = 16,
     n_buckets: int = 16,
     build_key: str | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Rebuild the signature store from its own postings with duplicate
     rows dropped — the repair for a crash-replayed append or a
@@ -1047,7 +1066,7 @@ def compact_signature_store(
     if build_key is None:
         meta = storectl.current_meta(root) or {}
         build_key = meta.get("build_key", "sig-v1")
-    ver = storectl.publish(root, build, build_key)
+    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
     storectl.register_bucketed(
         spark, table, ver + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
     )

@@ -273,15 +273,78 @@ def encode_png(
     )
 
 
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trans: np.ndarray | None = None,
+    filter_type: int | None = None,
+    level: int = 6,
+) -> bytes:
+    """(h, w) uint8 palette indices + (n<=256, 3) uint8 palette -> 8-bit
+    indexed-color PNG (colour type 3, PLTE chunk; optional tRNS alpha
+    per palette entry). Scanline filters operate on the index bytes
+    (bpp=1 per the spec); ``filter_type=None`` cycles all five filters
+    row-by-row like :func:`encode_png`, so decoding exercises every
+    unfilter path."""
+    import zlib
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    plte = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"expected (h, w) index array, got {idx.shape}")
+    if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= plte.shape[0] <= 256:
+        raise ValueError(f"expected (n<=256, 3) palette, got {plte.shape}")
+    if idx.max(initial=0) >= plte.shape[0]:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    rows = idx.astype(np.int32)
+    prev = np.zeros(w, dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        raw = rows[y]
+        left = np.concatenate([np.zeros(1, dtype=np.int32), raw[:-1]])
+        upleft = np.concatenate([np.zeros(1, dtype=np.int32), prev[:-1]])
+        ft = (y % 5) if filter_type is None else filter_type
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = raw - left
+        elif ft == 2:
+            filt = raw - prev
+        elif ft == 3:
+            filt = raw - ((left + prev) >> 1)
+        elif ft == 4:
+            filt = raw - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out += bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    chunks = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    chunks += _png_chunk(b"PLTE", plte.tobytes())
+    if trans is not None:
+        tr = np.asarray(trans, dtype=np.uint8)
+        if tr.ndim != 1 or tr.shape[0] > plte.shape[0]:
+            raise ValueError(f"bad tRNS shape {tr.shape}")
+        chunks += _png_chunk(b"tRNS", tr.tobytes())
+    return (
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """8-bit truecolor(+alpha) PNG -> (h, w, 3|4) uint8 — stdlib zlib
-    inflate + per-scanline unfilter (None/Sub/Up/Average/Paeth).
+    """8-bit truecolor(+alpha) or palette PNG -> (h, w, 3|4) uint8 —
+    stdlib zlib inflate + per-scanline unfilter (None/Sub/Up/Average/
+    Paeth), then a PLTE lookup for indexed-color images (plus tRNS
+    alpha when present, emitting RGBA).
 
     Up is vectorized across the row; Sub/Average/Paeth carry an
     intra-row serial dependency by definition, so those rows reconstruct
     byte-by-byte — exact and dependency-free, sized for metadata-scale
     assets; wire a codec library through ``decoder=`` for bulk frames.
-    Palette/interlaced/16-bit PNGs raise ``NotImplementedError``."""
+    Interlaced/16-bit/grayscale PNGs raise ``NotImplementedError``."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
@@ -289,6 +352,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
     pos = 8
     w = h = None
     colour = None
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -299,21 +364,30 @@ def _decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, colour, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or colour not in (2, 6) or interlace != 0:
+            if depth != 8 or colour not in (2, 3, 6) or interlace != 0:
                 raise NotImplementedError(
-                    "only 8-bit truecolor(+alpha) non-interlaced PNG "
-                    f"(depth={depth}, colour={colour}, "
+                    "only 8-bit truecolor(+alpha)/palette non-interlaced "
+                    f"PNG (depth={depth}, colour={colour}, "
                     f"interlace={interlace})"
                 )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    ch = 3 if colour == 2 else 4
-    bpp = ch
-    rowbytes = w * ch
+    if colour == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        ch, bpp, rowbytes = 1, 1, w  # filters run over index bytes
+    else:
+        ch = 3 if colour == 2 else 4
+        bpp = ch
+        rowbytes = w * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if len(raw) != h * (rowbytes + 1):
         raise ValueError("PNG inflated size mismatch")
@@ -347,6 +421,16 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter byte {ft}")
         img[y] = recon.astype(np.uint8)
         prev = recon
+    if colour == 3:
+        idx = img.reshape(h, w)
+        if idx.max(initial=0) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]  # (h, w, 3) lookup
+        if trns is None:
+            return rgb.copy()
+        alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha[: trns.shape[0]] = trns  # entries beyond tRNS are opaque
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2).copy()
     return img.reshape(h, w, ch).copy()
 
 

@@ -20,6 +20,7 @@ bit-identical to the DuckDB oracle's ``list_inner_product`` on DOUBLE[].
 
 from __future__ import annotations
 
+import os
 import random
 
 import pandas as pd
@@ -309,6 +310,8 @@ def write_ann_store(
     seed: int = 42,
     n_buckets: int = 16,
     build_key: str = "ann-v1",
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Persist a corpus's hyperplane-LSH ANN state once so later query
     batches probe it with ZERO corpus-side recompute — the vector-store
@@ -355,7 +358,7 @@ def write_ann_store(
         ["vec_id"],
         n_buckets,
     )
-    ver = storectl.publish(root, build, build_key)
+    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
     _register_ann(embeddings.sparkSession, table, ver, n_buckets)
 
 
@@ -413,6 +416,8 @@ def append_ann_store(
     dim: int = 64,
     seed: int = 42,
     n_buckets: int = 16,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Fold a new embedding batch into an existing ANN store: signature
     rows and vectors append under the SAME bucket specs, so the probe's
@@ -440,23 +445,35 @@ def append_ann_store(
         .localCheckpoint(eager=True)
     )
     root = path.rstrip("/")
-    build, _cur = storectl.clone_current(root)
-    storectl.append_bucketed(
-        base.select("vec_id", F.posexplode("sigs").alias("t", "sig")),
-        build + "/sigs",
-        ["t", "sig"],
-        ["t", "sig"],
-        n_buckets,
-    )
-    storectl.append_bucketed(
-        base.select("vec_id", "e"),
-        build + "/vectors",
-        ["vec_id"],
-        ["vec_id"],
-        n_buckets,
-    )
-    meta = storectl.current_meta(root) or {}
-    ver = storectl.publish(root, build, meta.get("build_key", "ann-v1"))
+    # serialized across processes: concurrent appenders queue on the
+    # store's append lock so both batches land; publish's expect_base
+    # check turns a bypassed lock into a loud StoreConflictError instead
+    # of a silently dropped batch
+    with storectl.append_lock(root):
+        build, cur = storectl.clone_current(root)
+        storectl.append_bucketed(
+            base.select("vec_id", F.posexplode("sigs").alias("t", "sig")),
+            build + "/sigs",
+            ["t", "sig"],
+            ["t", "sig"],
+            n_buckets,
+        )
+        storectl.append_bucketed(
+            base.select("vec_id", "e"),
+            build + "/vectors",
+            ["vec_id"],
+            ["vec_id"],
+            n_buckets,
+        )
+        meta = storectl.current_meta(root) or {}
+        ver = storectl.publish(
+            root,
+            build,
+            meta.get("build_key", "ann-v1"),
+            keep=keep,
+            retain_s=retain_s,
+            expect_base=os.path.basename(cur),
+        )
     _register_ann(embeddings.sparkSession, table, ver, n_buckets)
 
 
@@ -470,6 +487,8 @@ def compact_ann_store(
     seed: int = 42,
     n_buckets: int = 16,
     build_key: str | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Rebuild the ANN store from its own stored vectors with duplicate
     ids dropped — the repair for a crash-replayed append. The vectors
@@ -517,7 +536,7 @@ def compact_ann_store(
     if build_key is None:
         meta = storectl.current_meta(root) or {}
         build_key = meta.get("build_key", "ann-v1")
-    ver = storectl.publish(root, build, build_key)
+    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
     _register_ann(spark, table, ver, n_buckets)
 
 

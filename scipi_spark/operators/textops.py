@@ -694,6 +694,8 @@ def write_text_index_store(
     text_col: str = "text",
     n_buckets: int = 16,
     build_key: str = "bm25-v1",
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Persist the corpus's BM25 state once so later searches probe it
     with ZERO corpus-side recompute (the search-index twin of
@@ -730,7 +732,7 @@ def write_text_index_store(
     lens.agg(
         F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
     ).write.mode("overwrite").parquet(build + "/stats")
-    ver = storectl.publish(root, build, build_key)
+    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
     storectl.register_bucketed(
         df.sparkSession, table, ver + "/postings", ["term"], ["term"], n_buckets
     )
@@ -875,6 +877,8 @@ def write_lm_store(
     text_col: str = "text",
     n_buckets: int = 16,
     build_key: str = "lm-v1",
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
     """Persist the Laplace-smoothed bigram LM ONCE so later batches are
     perplexity-scored with zero training-corpus recompute — the model
@@ -911,7 +915,7 @@ def write_lm_store(
     df.select(F.explode(tokens(text_col)).alias("w")).agg(
         F.count_distinct(F.col("w")).cast("double").alias("v")
     ).write.mode("overwrite").parquet(build + "/vocab")
-    ver = storectl.publish(root, build, build_key)
+    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
     _register_lm(df.sparkSession, table, ver, n_buckets)
 
 

@@ -28,7 +28,15 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     Quoting is RFC 4180 (``escape='"'`` → embedded quotes double as
     ``""``), so fields containing commas, quotes or newlines survive the
     roundtrip through :func:`read_csv` — the default backslash escape is
-    a Spark-ism other CSV consumers trip over."""
+    a Spark-ism other CSV consumers trip over.
+
+    NULL and empty string are pinned to DISTINCT encodings (round-8
+    advice — Spark's defaults write both as nothing, so an empty text
+    field silently came back NULL): NULL → the bare ``\\N`` sentinel
+    (the MySQL-dump convention), empty string → ``""``. The one residual
+    ambiguity is a field whose VALUE is the two characters ``\\N`` —
+    inherent to any in-band sentinel; corpora where that matters should
+    use the parquet shard sink."""
     flat = df
     for field in df.schema.fields:
         if field.dataType.typeName() == "array":
@@ -37,6 +45,8 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
         flat.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
         .csv(path)
     )
 
@@ -47,11 +57,15 @@ def read_csv(
     """Read back a :func:`write_csv` sink: RFC-4180 quote doubling plus
     ``multiLine`` so quoted embedded newlines reassemble. multiLine makes
     each file non-splittable — fine for result sinks; bulk training data
-    goes through the parquet shard sink instead."""
+    goes through the parquet shard sink instead. null/empty options
+    mirror :func:`write_csv` so NULL (``\\N``) and empty string (``""``)
+    round-trip distinguishably."""
     reader = (
         spark.read.option("header", str(header).lower())
         .option("multiLine", "true")
         .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
     )
     if schema is not None:
         reader = reader.schema(schema)

@@ -40,12 +40,31 @@ Invariants:
 
 Concurrency contract: any number of READERS run against any number of
 writers; two concurrent REBUILDS both publish complete versions and the
-last pointer flip wins (idempotent rebuilds make that harmless). Two
-concurrent APPENDS of different batches are a lost-update race (both
-clone the same base; the second flip drops the first batch) — appends
-are single-writer by contract, same as the LSM append contract the
-store docstrings already state; a real multi-writer deployment would
-serialize appends through a queue or move to a MERGE-capable format.
+last pointer flip wins (idempotent rebuilds make that harmless).
+Concurrent APPENDS are serialized by :func:`append_lock` (an
+``O_CREAT|O_EXCL`` lock file with stale-lock takeover) — every append
+path in the engine takes it, so two simultaneous appends of different
+batches BOTH land (two-process-proven in tests/test_storectl.py). As a
+second line of defense :func:`publish` accepts ``expect_base`` (the
+version the append cloned from) and refuses the pointer flip with
+:class:`StoreConflictError` when CURRENT moved under the build — a
+violated single-writer assumption fails loudly instead of silently
+dropping a batch.
+
+Retention contract (GC of superseded versions, at publish time): a
+version directory is deleted only when ALL of
+  (1) it is beyond the newest ``keep`` predecessors of the new version,
+  (2) its marker is older than ``retain_s`` seconds (default
+      :data:`RETAIN_SECONDS` — the MVCC horizon protecting in-flight
+      readers that resolved a version just before the flip), and
+  (3) it carries no pin — :func:`pin_version` drops a ``_PINNED_*``
+      marker file that GC honors unconditionally, so a time-travel
+      snapshot held across many publishes survives until
+      :func:`unpin_version` (pins are the reader-visible part of the
+      contract; ``keep``/``retain_s`` are writer-side heuristics).
+Orphaned ``.build_*`` staging dirs (crashed writers) can never become
+visible, so publish also sweeps any whose newest file is older than
+``retain_s``.
 
 On a cluster the same layout works on any filesystem with atomic rename
 (HDFS); on S3 the CURRENT pointer would move to a conditional-PUT object
@@ -57,14 +76,25 @@ Reference precedent for concurrent-safe shared state:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 MARKER = "_STORE_COMPLETE"
+SCHEMA_FILE = "_SCHEMA"
 _VERSION_RE = re.compile(r"^v_(\d{6})_[0-9a-f]{8}$")
+_TABLE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,127}$")
+
+
+class StoreConflictError(RuntimeError):
+    """CURRENT moved between an append's clone and its publish — the
+    single-writer append contract was violated (a second writer appended
+    concurrently without :func:`append_lock`). The batch is NOT published;
+    retry by re-cloning from the new CURRENT, under the lock."""
 
 #: session-local record of which catalog table name points at which data
 #: directory, so re-registration DDL runs once per (table, location) —
@@ -78,6 +108,99 @@ def _versions(root: str) -> list[str]:
     except FileNotFoundError:
         return []
     return sorted(n for n in names if _VERSION_RE.match(n))
+
+
+#: A lock older than this is presumed held by a crashed writer and taken
+#: over. Appends are metadata-clone + one bucketed write — minutes at the
+#: outside — so 15 min of silence means the holder died mid-append.
+LOCK_STALE_SECONDS = 900.0
+
+
+@contextlib.contextmanager
+def append_lock(
+    root: str,
+    stale_s: float = LOCK_STALE_SECONDS,
+    timeout_s: float = 600.0,
+    poll_s: float = 0.2,
+):
+    """Serialize store APPENDS across processes: an ``O_CREAT|O_EXCL``
+    lock file under ``root`` — creation is atomic on POSIX, so exactly
+    one contender holds it; the rest poll. A lock whose mtime is older
+    than ``stale_s`` belongs to a crashed writer: it is unlinked and the
+    create retried (the unlink+O_EXCL pair means exactly one taker wins).
+
+    Every append path in the engine wraps clone→append→publish in this,
+    which closes the lost-update race the r8 contract only documented:
+    two concurrent appends now run back-to-back and BOTH batches land."""
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "_APPEND_LOCK")
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between create and stat — retry
+            if age > stale_s:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"append lock at {lock!r} held for {timeout_s}s "
+                    "(holder alive? raise timeout_s or investigate)"
+                )
+            time.sleep(poll_s)
+            continue
+        try:
+            os.write(
+                fd,
+                json.dumps(
+                    {"pid": os.getpid(), "acquired_unix": time.time()}
+                ).encode(),
+            )
+        finally:
+            os.close(fd)
+        break
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
+def pin_version(version_dir: str, token: str = "pin") -> str:
+    """Drop a ``_PINNED_<token>`` marker in ``version_dir`` so publish's
+    GC never deletes it — the safety a time-travel reader needs to hold a
+    ``list_versions`` snapshot across an unbounded number of publishes
+    (``keep``/``retain_s`` alone only bound GC in time, not against a
+    long analysis session). Returns the marker path. Idempotent; pins
+    are never cloned into descendant versions."""
+    if not os.path.exists(os.path.join(version_dir, MARKER)):
+        raise FileNotFoundError(
+            f"{version_dir!r} is not a complete store version"
+        )
+    p = os.path.join(version_dir, f"_PINNED_{token}")
+    with open(p, "w", encoding="utf-8") as fh:
+        json.dump({"pid": os.getpid(), "pinned_unix": time.time()}, fh)
+    return p
+
+
+def unpin_version(version_dir: str, token: str = "pin") -> None:
+    """Remove a :func:`pin_version` marker; the version becomes GC-
+    eligible again under the normal keep+retention rules."""
+    with contextlib.suppress(FileNotFoundError):
+        os.unlink(os.path.join(version_dir, f"_PINNED_{token}"))
+
+
+def _is_pinned(version_dir: str) -> bool:
+    try:
+        names = os.listdir(version_dir)
+    except OSError:
+        return False
+    return any(n.startswith("_PINNED") for n in names)
 
 
 def new_build_dir(root: str) -> str:
@@ -105,7 +228,12 @@ def clone_current(root: str) -> tuple[str, str]:
         dst = os.path.join(build, rel) if rel != "." else build
         os.makedirs(dst, exist_ok=True)
         for fn in filenames:
-            if fn == MARKER or fn.endswith(".crc") or fn == "_SUCCESS":
+            if (
+                fn == MARKER
+                or fn.endswith(".crc")
+                or fn == "_SUCCESS"
+                or fn.startswith("_PINNED")  # pins belong to ONE version
+            ):
                 continue
             os.link(os.path.join(dirpath, fn), os.path.join(dst, fn))
     return build, cur
@@ -117,8 +245,27 @@ def clone_current(root: str) -> tuple[str, str]:
 #: miniature). A reader that resolved a version just before a flip keeps
 #: valid files for at least this long; deleting sooner makes its catalog
 #: table silently read an empty location (observed as a 0-row probe when
-#: a rebuild loop outpaced count-based GC).
+#: a rebuild loop outpaced count-based GC). ``keep`` and ``retain_s``
+#: compose as AND (a version survives while EITHER protects it), and a
+#: ``_PINNED_*`` marker (:func:`pin_version`) overrides both — the full
+#: contract is in the module docstring's "Retention contract".
 RETAIN_SECONDS = 600.0
+
+
+def _newest_mtime(d: str) -> float:
+    """Newest mtime of any file under ``d`` (the dir itself when empty) —
+    'is this build still being written to' for the orphan sweep."""
+    try:
+        newest = os.path.getmtime(d)
+    except OSError:
+        return 0.0
+    for dirpath, _dirnames, filenames in os.walk(d):
+        for fn in filenames:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+            except OSError:
+                pass
+    return newest
 
 
 def publish(
@@ -127,6 +274,7 @@ def publish(
     build_key: str,
     keep: int = 1,
     retain_s: float = RETAIN_SECONDS,
+    expect_base: str | None = None,
 ) -> str:
     """Atomically publish ``build_dir`` as the next version of the store
     at ``root`` and return the final version directory.
@@ -135,10 +283,28 @@ def publish(
     dir; (2) the dir is renamed to its version name (atomic — the name
     appears only fully populated); (3) CURRENT is atomically replaced.
     A crash after any step leaves either the old pointer (garbage build
-    dir, harmless) or the new pointer to a complete version. Superseded
-    versions are GC'd only when BOTH beyond the newest ``keep``
-    predecessors AND older than ``retain_s`` (see :data:`RETAIN_SECONDS`
-    — count-based GC alone deletes files out from under a slow reader)."""
+    dir, harmless) or the new pointer to a complete version.
+
+    ``expect_base``: for appends — the version name (basename) the build
+    was cloned from. If CURRENT no longer names it, another writer
+    published since the clone and flipping would silently drop their
+    batch: the build is discarded and :class:`StoreConflictError` raised
+    instead (loud failure; under :func:`append_lock` this cannot fire).
+
+    GC (superseded versions): deleted only when beyond the newest
+    ``keep`` predecessors AND older than ``retain_s`` AND not pinned —
+    see the module docstring's "Retention contract". Orphaned
+    ``.build_*`` dirs idle longer than ``retain_s`` are also swept (they
+    can never become visible, so age-based removal is safe)."""
+    if expect_base is not None:
+        cur = current_dir(root)
+        if cur is None or os.path.basename(cur) != expect_base:
+            shutil.rmtree(build_dir, ignore_errors=True)
+            raise StoreConflictError(
+                f"append base {expect_base!r} is no longer CURRENT at "
+                f"{root!r} (now {cur and os.path.basename(cur)!r}) — a "
+                "concurrent writer published; re-clone under append_lock"
+            )
     with open(os.path.join(build_dir, MARKER), "w", encoding="utf-8") as fh:
         json.dump({"build_key": build_key, "layout": 1}, fh)
     existing = _versions(root)
@@ -149,16 +315,28 @@ def publish(
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(os.path.basename(final))
     os.replace(tmp, os.path.join(root, "CURRENT"))
-    import time as _time
-
-    horizon = _time.time() - retain_s
+    horizon = time.time() - retain_s
     for name in _versions(root)[: -(keep + 1)]:
         d = os.path.join(root, name)
+        if _is_pinned(d):
+            continue
         try:
             marker_mtime = os.path.getmtime(os.path.join(d, MARKER))
         except OSError:
             marker_mtime = 0.0
         if marker_mtime < horizon:
+            shutil.rmtree(d, ignore_errors=True)
+    # crashed writers leak .build_* staging dirs (nothing else deletes
+    # them); invisible by construction, so quiet-for-retain_s == dead
+    try:
+        stale_builds = [
+            nm for nm in os.listdir(root) if nm.startswith(".build_")
+        ]
+    except OSError:
+        stale_builds = []
+    for nm in stale_builds:
+        d = os.path.join(root, nm)
+        if os.path.isdir(d) and _newest_mtime(d) < horizon:
             shutil.rmtree(d, ignore_errors=True)
     return final
 
@@ -190,8 +368,10 @@ def list_versions(root: str) -> list[str]:
     """COMPLETE (marker-bearing) version directories, oldest → newest —
     the time-travel surface: any returned dir can be registered and
     queried as an immutable point-in-time snapshot until the GC
-    retention window passes it. The last element is the dir CURRENT
-    points at (or will, modulo a concurrent in-flight publish)."""
+    retention window passes it; a reader holding one across publishes
+    should :func:`pin_version` it (GC honors pins unconditionally).
+    The last element is the dir CURRENT points at (or will, modulo a
+    concurrent in-flight publish)."""
     out = []
     for name in _versions(root):
         d = os.path.join(root, name)
@@ -234,6 +414,19 @@ def write_bucketed(
         .saveAsTable(tmp_name)
     )
     df.sparkSession.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    # Cache the column DDL beside the data (AFTER the save — overwrite
+    # clears the dir): later register_bucketed calls become pure catalog
+    # DDL instead of a parquet-footer schema-inference job per
+    # registration (a per-probe Spark job in cross-process readers).
+    # Appends hardlink-clone this file along with the data files and
+    # never change the schema, so it stays valid across versions.
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    with open(
+        os.path.join(data_dir, SCHEMA_FILE), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"cols_sql": cols}, fh)
 
 
 def append_bucketed(
@@ -271,17 +464,42 @@ def _create_bucketed_ddl(
     sort_cols: list[str],
     n_buckets: int,
 ) -> None:
-    schema = spark.read.parquet(data_dir).schema
-    cols = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-    )
+    if not _TABLE_RE.match(table):
+        raise ValueError(f"invalid store table identifier: {table!r}")
+    cols = None
+    try:
+        with open(
+            os.path.join(data_dir, SCHEMA_FILE), encoding="utf-8"
+        ) as fh:
+            cols = json.load(fh).get("cols_sql")
+    except (OSError, ValueError):
+        pass  # pre-r9 store layout — fall back to footer inference
+    if not cols:
+        schema = spark.read.parquet(data_dir).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        # self-upgrade a pre-r9 store: cache the inferred DDL beside the
+        # data so the NEXT process registers without the inference job
+        # (additive metadata only — the data files stay immutable)
+        try:
+            with open(
+                os.path.join(data_dir, SCHEMA_FILE), "w", encoding="utf-8"
+            ) as fh:
+                json.dump({"cols_sql": cols}, fh)
+        except OSError:
+            pass  # read-only store roots still register fine every time
     bc = ", ".join(f"`{c}`" for c in bucket_cols)
     sc = ", ".join(f"`{c}`" for c in sort_cols)
+    # LOCATION is a SQL string literal: double embedded single quotes so
+    # a store root containing one (reachable via SPARK_GRAFT_STORE_DIR)
+    # can't break or inject into the DDL
+    loc = data_dir.replace("'", "''")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(
         f"CREATE TABLE {table} ({cols}) USING PARQUET "
         f"CLUSTERED BY ({bc}) SORTED BY ({sc}) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{data_dir}'"
+        f"LOCATION '{loc}'"
     )
 
 

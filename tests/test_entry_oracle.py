@@ -70,7 +70,11 @@ def test_bench_output_line_fits_driver_buffer():
     assert set(detail["queries"]) == set(bench.HEADLINERS)
     assert set(detail["queries_cold"]) == set(bench.HEADLINERS)
     assert set(detail["queries_task"]) == set(bench.HEADLINERS)
-    assert set(detail["queries_task_spread"]) == set(bench.HEADLINERS)
+    # r9 (round-8 advice): the trimmed spread is labeled as such and the
+    # untrimmed per-query max is published alongside it
+    assert set(detail["queries_task_spread_trimmed"]) == set(bench.HEADLINERS)
+    assert "queries_task_max" in detail
+    assert "queries_task_spread" not in detail  # old ambiguous name gone
 
     # legacy call shape (no task dicts) still produces a valid line
     line2, _ = bench.build_output(fake, fake, fake, "0.1")

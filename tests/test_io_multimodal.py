@@ -495,7 +495,8 @@ def test_png_rejects_unsupported_variants():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    for depth, colour, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+    # 16-bit, grayscale, interlaced (palette decodes for real since r9)
+    for depth, colour, interlace in ((16, 2, 0), (8, 0, 0), (8, 2, 1)):
         png = (
             M.PNG_SIGNATURE
             + chunk(
@@ -506,6 +507,80 @@ def test_png_rejects_unsupported_variants():
         )
         with pytest.raises(NotImplementedError):
             M.decode_image(png)
+
+
+def test_png_palette_roundtrip_all_filters():
+    """Indexed-color PNG: every scanline filter (fixed 0-4 and cycling)
+    must round-trip indices through the PLTE lookup exactly; with tRNS
+    the decode emits RGBA with per-entry alpha (entries beyond the tRNS
+    table opaque per spec)."""
+    import numpy as np
+
+    from scipi_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, (37, 3), dtype=np.uint8)
+    idx = rng.integers(0, 37, (14, 10), dtype=np.uint8)
+    for ft in (None, 0, 1, 2, 3, 4):
+        out = M.decode_image(M.encode_png_palette(idx, plte, filter_type=ft))
+        assert out.shape == (14, 10, 3), ft
+        assert (out == plte[idx]).all(), ft
+    trans = rng.integers(0, 256, (20,), dtype=np.uint8)  # partial tRNS
+    out = M.decode_image(M.encode_png_palette(idx, plte, trans=trans))
+    assert out.shape == (14, 10, 4)
+    assert (out[:, :, :3] == plte[idx]).all()
+    alpha_lut = np.full(37, 255, dtype=np.uint8)
+    alpha_lut[:20] = trans
+    assert (out[:, :, 3] == alpha_lut[idx]).all()
+
+
+def test_png_palette_hand_packed_independent():
+    """Palette decode checked against a hand-packed stream (Sub + Up
+    rows over 1-byte-per-pixel indices) so encoder/decoder bugs can't
+    cancel; index out of palette range must raise, not wrap."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from scipi_spark.operators import multimodal as M
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    plte = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    row0 = [0, 3, 1, 2]
+    row1 = [2, 2, 0, 1]
+    # bpp=1 for palette: row0 Sub -> filt[i] = raw[i] - raw[i-1]
+    f0 = [1] + [(row0[i] - (row0[i - 1] if i else 0)) % 256 for i in range(4)]
+    f1 = [2] + [(row1[i] - row0[i]) % 256 for i in range(4)]
+    png = (
+        M.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(f0 + f1)))
+        + chunk(b"IEND", b"")
+    )
+    out = M.decode_image(png)
+    assert (out == plte[np.array([row0, row1], dtype=np.uint8)]).all()
+    # out-of-range index (palette has 4 entries; index 9) must raise
+    bad = (
+        M.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes([0, 9])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        M.decode_image(bad)
 
 
 def test_media_stats_png_alpha(spark):
@@ -555,3 +630,23 @@ def test_csv_sink_rfc4180_hostile_roundtrip(spark, tmp_path):
     back = read_csv(spark, p, schema="id long, text string")
     got = {r["id"]: r["text"] for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_csv_sink_null_vs_empty_roundtrip(spark, tmp_path):
+    """Round-8 advice: Spark's CSV defaults write NULL and '' both as
+    nothing, so an empty text field silently came back NULL. With the
+    pinned nullValue/emptyValue options the two round-trip
+    distinguishably."""
+    from pyspark.sql import Row
+
+    from scipi_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="x"), Row(id=2, text=""), Row(id=3, text=None)],
+        "id long, text string",
+    )
+    p = str(tmp_path / "csv_nullempty")
+    write_csv(df, p)
+    back = read_csv(spark, p, schema="id long, text string")
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == {1: "x", 2: "", 3: None}

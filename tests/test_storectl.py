@@ -22,7 +22,9 @@ import os
 import subprocess
 import sys
 import textwrap
+import time
 
+import pytest
 from conftest import REPO, SF_SMOKE
 
 from scipi_spark.sources import storectl
@@ -244,3 +246,269 @@ def test_ann_version_pinning_snapshot_isolation(spark, tmp_path):
         ).collect())
     )
     assert after != before  # CURRENT sees the appended vectors
+
+
+def test_pinned_version_survives_gc_past_retention(tmp_path):
+    """Round-8 verdict #4: a pinned time-travel snapshot must survive
+    publishes past BOTH the keep count and the retention window; unpin
+    restores normal GC eligibility."""
+    root = tmp_path / "store"
+    v1 = _write_dummy_version(root, "k", "one", retain_s=0)
+    storectl.pin_version(v1)
+    later = [
+        _write_dummy_version(root, "k", str(i), retain_s=0) for i in range(4)
+    ]
+    # v1 is 5 publishes old with retain_s=0 (keep=1): only the pin holds it
+    assert os.path.isdir(v1)
+    with open(os.path.join(v1, "data", "f.txt")) as fh:
+        assert fh.read() == "one"
+    # unpinned intermediates are gone (beyond keep, beyond retention)
+    assert not os.path.isdir(later[0]) and not os.path.isdir(later[1])
+    storectl.unpin_version(v1)
+    _write_dummy_version(root, "k", "last", retain_s=0)
+    assert not os.path.isdir(v1)  # GC-eligible again after unpin
+
+
+def test_pin_requires_complete_version(tmp_path):
+    root = tmp_path / "store"
+    build = storectl.new_build_dir(str(root))
+    with pytest.raises(FileNotFoundError):
+        storectl.pin_version(build)  # no marker -> not a version
+
+
+def test_pins_are_not_cloned_into_appends(tmp_path):
+    root = tmp_path / "store"
+    v1 = _write_dummy_version(root, "k", "one")
+    storectl.pin_version(v1, token="t1")
+    build, cur = storectl.clone_current(str(root))
+    v2 = storectl.publish(
+        str(root), build, "k", expect_base=os.path.basename(cur)
+    )
+    assert not [n for n in os.listdir(v2) if n.startswith("_PINNED")]
+    assert os.path.exists(os.path.join(v1, "_PINNED_t1"))
+
+
+def test_publish_conflict_on_moved_current(tmp_path):
+    """publish(expect_base=...) must fail LOUDLY (and discard the build)
+    when CURRENT moved between an append's clone and its publish — the
+    lost-update failure mode a bypassed append lock would otherwise hit
+    silently (round-8 verdict #3 / advice)."""
+    root = tmp_path / "store"
+    _write_dummy_version(root, "k", "one")
+    build, cur = storectl.clone_current(str(root))
+    # a second writer publishes a rebuild while our append is in flight
+    _write_dummy_version(root, "k", "two")
+    with pytest.raises(storectl.StoreConflictError):
+        storectl.publish(
+            str(root), build, "k", expect_base=os.path.basename(cur)
+        )
+    assert not os.path.isdir(build)  # the conflicted build is discarded
+    # the concurrent writer's version is untouched
+    with open(
+        os.path.join(storectl.current_dir(str(root)), "data", "f.txt")
+    ) as fh:
+        assert fh.read() == "two"
+
+
+def test_publish_with_matching_expect_base_succeeds(tmp_path):
+    root = tmp_path / "store"
+    _write_dummy_version(root, "k", "one")
+    build, cur = storectl.clone_current(str(root))
+    v2 = storectl.publish(
+        str(root), build, "k", expect_base=os.path.basename(cur)
+    )
+    assert storectl.current_dir(str(root)) == v2
+
+
+def test_append_lock_mutual_exclusion_and_release(tmp_path):
+    root = str(tmp_path / "store")
+    with storectl.append_lock(root):
+        assert os.path.exists(os.path.join(root, "_APPEND_LOCK"))
+        with pytest.raises(TimeoutError):
+            with storectl.append_lock(root, timeout_s=0.5, poll_s=0.05):
+                pass
+    # released on exit -> immediately reacquirable
+    with storectl.append_lock(root, timeout_s=0.5):
+        pass
+    assert not os.path.exists(os.path.join(root, "_APPEND_LOCK"))
+
+
+def test_append_lock_stale_takeover(tmp_path):
+    """A crashed writer's lock (old mtime) is taken over instead of
+    deadlocking every future append."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lock = os.path.join(root, "_APPEND_LOCK")
+    with open(lock, "w") as fh:
+        fh.write("{}")
+    old = time.time() - 4000
+    os.utime(lock, (old, old))
+    with storectl.append_lock(root, timeout_s=2.0):
+        pass  # acquired despite the dead holder's file
+    assert not os.path.exists(lock)
+
+
+def test_publish_sweeps_orphaned_build_dirs(tmp_path):
+    """Round-8 advice: crashed writers leak .build_* staging dirs
+    forever. publish sweeps builds idle past the retention window;
+    a fresh (possibly in-flight) build survives."""
+    root = tmp_path / "store"
+    _write_dummy_version(root, "k", "one")
+    stale = storectl.new_build_dir(str(root))
+    with open(os.path.join(stale, "part"), "w") as fh:
+        fh.write("x")
+    old = time.time() - 4000
+    for p in (stale, os.path.join(stale, "part")):
+        os.utime(p, (old, old))
+    fresh = storectl.new_build_dir(str(root))
+    _write_dummy_version(root, "k", "two")
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)
+
+
+def test_register_table_identifier_validated(spark, tmp_path):
+    with pytest.raises(ValueError):
+        storectl.register_bucketed(
+            spark, "bad-name; DROP TABLE x", str(tmp_path), ["a"], ["a"], 4
+        )
+
+
+def test_store_root_with_single_quote_registers(spark, tmp_path):
+    """Round-8 advice: a store root containing a single quote (reachable
+    via SPARK_GRAFT_STORE_DIR) must not break or inject into the
+    LOCATION DDL."""
+    data_dir = str(tmp_path / "it's a store" / "data")
+    df = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+    storectl.write_bucketed(df, data_dir, ["k"], ["k"], 4)
+    storectl.register_bucketed(spark, "quoted_loc_t", data_dir, ["k"], ["k"], 4)
+    try:
+        assert spark.table("quoted_loc_t").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS quoted_loc_t")
+
+
+def test_schema_file_written_and_registration_avoids_inference(spark, tmp_path):
+    """write_bucketed drops a _SCHEMA sidecar so register_bucketed is
+    pure DDL (no parquet-footer inference job per registration — the
+    round-8 verdict's suspected knn_store_search probe-path cost);
+    registration still works via fallback when the sidecar is absent
+    (pre-r9 store layouts)."""
+    data_dir = str(tmp_path / "data")
+    df = spark.range(0, 20).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS x", "CAST(id AS STRING) AS s"
+    )
+    storectl.write_bucketed(df, data_dir, ["k"], ["k"], 4)
+    sidecar = os.path.join(data_dir, storectl.SCHEMA_FILE)
+    assert os.path.exists(sidecar)
+    with open(sidecar) as fh:
+        cols = json.load(fh)["cols_sql"]
+    assert "`k` bigint" in cols and "`x` double" in cols and "`s` string" in cols
+    storectl.register_bucketed(spark, "schema_cache_t", data_dir, ["k"], ["k"], 4)
+    try:
+        assert spark.table("schema_cache_t").count() == 20
+        assert [f.name for f in spark.table("schema_cache_t").schema.fields] == [
+            "k", "x", "s",
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS schema_cache_t")
+    # fallback: no sidecar -> footer inference still registers correctly
+    os.remove(sidecar)
+    storectl._REGISTERED.pop("schema_cache_fb", None)
+    storectl.register_bucketed(
+        spark, "schema_cache_fb", data_dir, ["k"], ["k"], 4
+    )
+    try:
+        assert spark.table("schema_cache_fb").count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS schema_cache_fb")
+
+
+_APPENDER_SCRIPT = textwrap.dedent(
+    """
+    import os, sys, time
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession, functions as F
+    from scipi_spark.operators import similarity
+
+    store, sf, lo, hi, wh, sync = sys.argv[1:7]
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.warehouse.dir", wh)
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(sf + "/embeddings.parquet").filter(
+        (F.col("vec_id") >= int(lo)) & (F.col("vec_id") < int(hi))
+    )
+    open(sync + ".ready", "w").close()
+    while not os.path.exists(sync + ".go"):
+        time.sleep(0.05)
+    similarity.append_ann_store(
+        emb, store, table="cc_ann_sub", bits=6, tables=4
+    )
+    print("APPEND_DONE", flush=True)
+
+    """
+)
+
+
+def test_two_process_concurrent_appends_both_land(spark, tmp_path):
+    """Round-8 verdict #3 'Done' bar: two REAL processes append disjoint
+    batches to the same ANN store CONCURRENTLY (file-barrier start) and
+    both batches must survive into the final version — the lost-update
+    race storectl previously only documented. The append lock serializes
+    them; neither errors, nothing is dropped, nothing is duplicated."""
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators import similarity
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    ids = sorted(r[0] for r in emb.select("vec_id").collect())
+    n = len(ids)
+    c1, c2, c3 = ids[n // 2], ids[3 * n // 4], ids[7 * n // 8]
+    store = str(tmp_path / "cc_store")
+    similarity.write_ann_store(
+        emb.filter(F.col("vec_id") < c1), store, table="cc_ann_main",
+        bits=6, tables=4,
+    )
+
+    script = tmp_path / "appender.py"
+    script.write_text(_APPENDER_SCRIPT.format(repo=str(REPO)))
+    procs = []
+    for i, (lo, hi) in enumerate([(c1, c2), (c2, c3)]):
+        sync = str(tmp_path / f"sync{i}")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [
+                        sys.executable, str(script), store, SF_SMOKE,
+                        str(lo), str(hi), str(tmp_path / f"wh{i}"), sync,
+                    ],
+                    stdout=subprocess.PIPE,
+                    stderr=open(tmp_path / f"app_err{i}.log", "w"),
+                    text=True,
+                ),
+                sync,
+            )
+        )
+    try:
+        deadline = time.time() + 240
+        for _p, sync in procs:
+            while not os.path.exists(sync + ".ready"):
+                assert time.time() < deadline, "appender never became ready"
+                time.sleep(0.1)
+        for _p, sync in procs:  # release both at once -> genuine overlap
+            open(sync + ".go", "w").close()
+        outs = [p.communicate(timeout=300)[0] for p, _s in procs]
+    finally:
+        for p, _s in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, out in enumerate(outs):
+        err_tail = (tmp_path / f"app_err{i}.log").read_text()[-800:]
+        assert "APPEND_DONE" in out, f"appender {i} failed: {err_tail}"
+    cur = storectl.current_dir(store)
+    vecs = spark.read.parquet(cur + "/vectors")
+    got = sorted(r[0] for r in vecs.select("vec_id").collect())
+    expect = sorted(i for i in ids if i < c3)
+    assert got == expect  # both batches landed, no loss, no duplication
