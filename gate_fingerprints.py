@@ -7,12 +7,16 @@ exact code it can reach:
 - the entry callable's source, plus every module-level helper of the entry
   module it (transitively) references by name;
 - the source of every scipi_spark function/class reachable from there,
-  resolved through each function's ``__globals__`` and followed
-  transitively ACROSS modules (so an edit to ``functions/text.py``
-  invalidates an entry that only names ``ingest``), at FUNCTION
-  granularity — appending a new operator to a module does NOT invalidate
-  the module's other entries (file-level hashing re-fronted 40+ entries
-  per round, defeating the archive);
+  resolved through each function's ``__globals__`` AND through import
+  statements inside the function body (v4 — function-local
+  ``from scipi_spark.sources.io import write_csv`` binds locals, not
+  globals, so v3 kept a stale archived stamp when io.py changed:
+  the round-9 write_csv null/empty edit left ``sink_roundtrip``
+  archived), followed transitively ACROSS modules (so an edit to
+  ``functions/text.py`` invalidates an entry that only names
+  ``ingest``), at FUNCTION granularity — appending a new operator to a
+  module does NOT invalidate the module's other entries (file-level
+  hashing re-fronted 40+ entries per round, defeating the archive);
 - module-level constants reachable the same way (regex strings, schemas,
   thresholds): names matching ``^[A-Z][A-Z_0-9]*$`` hashed by repr (sets
   are sorted first — their repr order is hash-randomized). Leading
@@ -43,7 +47,7 @@ import inspect
 import re
 import textwrap
 
-ALGO_VERSION = 3
+ALGO_VERSION = 4
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 _ATTR_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
@@ -116,6 +120,60 @@ def reachable_keys(fn) -> set[str]:
     return set(_reach(fn))
 
 
+def _local_import_bindings(src: str) -> dict[str, object]:
+    """Name -> object bindings created by import statements INSIDE
+    ``src``, for engine modules (scipi_spark / __spark_entry__) only.
+    Function-local imports bind locals, which ``__globals__`` cannot
+    see — without this pass, an entry doing
+    ``from scipi_spark.sources.io import write_csv`` in its body keeps
+    its archived green stamp when io.py changes (the v3 blind spot)."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return {}
+    import importlib
+
+    out: dict[str, object] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            modname = node.module or ""
+            if not (
+                modname.startswith("scipi_spark") or modname == "__spark_entry__"
+            ):
+                continue
+            try:
+                m = importlib.import_module(modname)
+            except Exception:
+                continue
+            for a in node.names:
+                obj = getattr(m, a.name, None)
+                if obj is None:
+                    # ``from scipi_spark.operators import multimodal``:
+                    # a package attribute for a submodule exists only
+                    # once that submodule is imported somewhere — getattr
+                    # alone made the closure depend on process import
+                    # state (nondeterministic fingerprints). Import it.
+                    try:
+                        obj = importlib.import_module(
+                            f"{modname}.{a.name}"
+                        )
+                    except Exception:
+                        obj = None
+                if obj is not None:
+                    out[a.asname or a.name] = obj
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if not a.name.startswith("scipi_spark"):
+                    continue
+                try:
+                    m = importlib.import_module(a.name)
+                except Exception:
+                    continue
+                if a.asname:  # plain ``import a.b.c`` binds ``a`` — the
+                    out[a.asname] = m  # dotted chain is beyond the regex
+    return out
+
+
 def _reach(fn) -> dict[str, str]:
     seen: dict[str, str] = {}
     stack = [fn]
@@ -134,6 +192,9 @@ def _reach(fn) -> dict[str, str]:
 
             m = _sys.modules.get(getattr(f, "__module__", ""), None)
             g = vars(m) if m is not None else {}
+        locally_imported = _local_import_bindings(src)
+        if locally_imported:
+            g = {**g, **locally_imported}
         for name in set(_NAME_RE.findall(src)):
             if name not in g:
                 continue

@@ -134,11 +134,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode for the zero-dependency formats: binary PPM
-    (P6), 24-bit uncompressed BMP and 8-bit truecolor(+alpha) PNG ->
-    (h, w, 3|4) uint8. PNG needs only stdlib ``zlib`` + numpy scanline
-    unfiltering (round-7 verdict #2). Formats whose codecs are genuinely
-    absent here (JPEG/MP3/MP4, palette/interlaced PNG) still raise
-    ``NotImplementedError``."""
+    (P6), 24-bit uncompressed BMP and 8-bit PNG in every colour class
+    (grayscale/gray+alpha/truecolor/truecolor+alpha/palette, r7-r9) ->
+    (h, w, 1|2|3|4) uint8. PNG needs only stdlib ``zlib`` + numpy
+    scanline unfiltering (round-7 verdict #2). Formats whose codecs are
+    genuinely absent here (JPEG/MP3/MP4, interlaced/16-bit PNG) still
+    raise ``NotImplementedError``."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -147,7 +148,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     raise NotImplementedError(
         f"unsupported image magic {payload[:4]!r}: only PPM (P6), "
-        "24-bit BMP and 8-bit truecolor PNG decode without a codec "
+        "24-bit BMP and 8-bit PNG decode without a codec "
         "library; pass decoder=fake_decode for plumbing tests"
     )
 
@@ -224,10 +225,16 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.int32)
 
 
+#: channel count <-> IHDR colour type for the 8-bit non-palette classes
+_PNG_COLOUR_BY_CH = {1: 0, 2: 4, 3: 2, 4: 6}
+_PNG_CH_BY_COLOUR = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
 def encode_png(
     pixels: np.ndarray, filter_type: int | None = None, level: int = 6
 ) -> bytes:
-    """(h, w, 3|4) uint8 -> 8-bit truecolor / truecolor-alpha PNG.
+    """(h, w, 1|2|3|4) uint8 -> 8-bit grayscale / gray+alpha / truecolor
+    / truecolor-alpha PNG (colour types 0/4/2/6 by channel count).
 
     ``filter_type``: fixed scanline filter 0-4, or None for row ``y``
     using filter ``y % 5`` — cycling through ALL five spec filters so a
@@ -237,10 +244,12 @@ def encode_png(
     import zlib
 
     arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
-        raise ValueError(f"expected (h, w, 3|4), got {arr.shape}")
+    if arr.ndim == 2:
+        arr = arr[..., None]  # (h, w) -> single-channel grayscale
+    if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOUR_BY_CH:
+        raise ValueError(f"expected (h, w, 1|2|3|4), got {arr.shape}")
     h, w, ch = arr.shape
-    colour = 2 if ch == 3 else 6
+    colour = _PNG_COLOUR_BY_CH[ch]
     bpp = ch
     rows = arr.reshape(h, w * ch).astype(np.int32)
     prev = np.zeros(w * ch, dtype=np.int32)
@@ -335,16 +344,16 @@ def encode_png_palette(
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """8-bit truecolor(+alpha) or palette PNG -> (h, w, 3|4) uint8 —
-    stdlib zlib inflate + per-scanline unfilter (None/Sub/Up/Average/
-    Paeth), then a PLTE lookup for indexed-color images (plus tRNS
-    alpha when present, emitting RGBA).
+    """8-bit grayscale(+alpha)/truecolor(+alpha)/palette PNG ->
+    (h, w, 1|2|3|4) uint8 — stdlib zlib inflate + per-scanline unfilter
+    (None/Sub/Up/Average/Paeth), then a PLTE lookup for indexed-color
+    images (plus tRNS alpha when present, emitting RGBA).
 
     Up is vectorized across the row; Sub/Average/Paeth carry an
     intra-row serial dependency by definition, so those rows reconstruct
     byte-by-byte — exact and dependency-free, sized for metadata-scale
     assets; wire a codec library through ``decoder=`` for bulk frames.
-    Interlaced/16-bit/grayscale PNGs raise ``NotImplementedError``."""
+    Interlaced and 16-bit PNGs raise ``NotImplementedError``."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
@@ -364,10 +373,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, colour, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or colour not in (2, 3, 6) or interlace != 0:
+            if depth != 8 or colour not in (0, 2, 3, 4, 6) or interlace != 0:
                 raise NotImplementedError(
-                    "only 8-bit truecolor(+alpha)/palette non-interlaced "
-                    f"PNG (depth={depth}, colour={colour}, "
+                    "only 8-bit non-interlaced PNG "
+                    f"(depth={depth}, colour={colour}, "
                     f"interlace={interlace})"
                 )
         elif tag == b"PLTE":
@@ -385,7 +394,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("palette PNG missing PLTE")
         ch, bpp, rowbytes = 1, 1, w  # filters run over index bytes
     else:
-        ch = 3 if colour == 2 else 4
+        ch = _PNG_CH_BY_COLOUR[colour]
         bpp = ch
         rowbytes = w * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)

@@ -44,6 +44,34 @@ def test_fingerprint_reaches_cross_module_code():
     assert "_poisoned_oag_raw" in src  # entry-module helper closure
 
 
+def test_fingerprint_reaches_function_local_imports():
+    """v4 (round-9 finding): entries that import engine code INSIDE the
+    function body (``from scipi_spark.sources.io import write_csv``)
+    bind locals, not globals — v3's __globals__ walk missed them, so an
+    io.py edit left sink_roundtrip's archived stamp valid. The closure
+    must now include locally-imported functions, transitively."""
+    src = gfp.reachable_sources(QUERIES["sink_roundtrip"])
+    assert "def write_csv" in src
+    assert "def read_csv" in src
+    src2 = gfp.reachable_sources(QUERIES["stream_ann_store_probe"])
+    assert "def run_streaming_ann_against_store" in src2
+
+
+def test_local_import_bindings_scope_and_robustness():
+    b = gfp._local_import_bindings(
+        "def f():\n"
+        "    from scipi_spark.sources.io import write_csv as wc\n"
+        "    import scipi_spark.sources.io as sio\n"
+        "    import os\n"  # non-engine: ignored
+        "    from nonexistent_module import thing\n"  # unresolvable: ignored
+    )
+    assert set(b) == {"wc", "sio"}
+    import inspect
+
+    assert inspect.isfunction(b["wc"]) and inspect.ismodule(b["sio"])
+    assert gfp._local_import_bindings("not ( python") == {}
+
+
 def test_oracle_sql_changes_fingerprint():
     a = gfp.entry_fingerprints(QUERIES, ORACLES)
     o2 = dict(ORACLES)

@@ -436,11 +436,15 @@ def test_png_roundtrip_all_filters_and_channels():
     from scipi_spark.operators import multimodal as M
 
     rng = np.random.default_rng(7)
-    for ch in (3, 4):
+    # r9: grayscale (colour 0) and gray+alpha (colour 4) join 2/6
+    for ch in (1, 2, 3, 4):
         for ft in (None, 0, 1, 2, 3, 4):
             pix = rng.integers(0, 256, (13, 9, ch), dtype=np.uint8)
             out = M.decode_image(M.encode_png(pix, filter_type=ft))
             assert out.shape == pix.shape and (out == pix).all(), (ch, ft)
+    # 2-D input is accepted as single-channel grayscale
+    flat = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    assert (M.decode_image(M.encode_png(flat)) == flat[..., None]).all()
 
 
 def test_png_decode_hand_packed_independent():
@@ -495,8 +499,8 @@ def test_png_rejects_unsupported_variants():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    # 16-bit, grayscale, interlaced (palette decodes for real since r9)
-    for depth, colour, interlace in ((16, 2, 0), (8, 0, 0), (8, 2, 1)):
+    # 16-bit and interlaced (palette + grayscale decode for real since r9)
+    for depth, colour, interlace in ((16, 2, 0), (16, 0, 0), (8, 2, 1)):
         png = (
             M.PNG_SIGNATURE
             + chunk(
