@@ -1585,6 +1585,69 @@ def _q_sink_roundtrip(spark, sf_dir):
     return out
 
 
+def _q_multi_format_roundtrip(spark, sf_dir):
+    """Columnar + JSONL sink round-trip under the hash gate, widening
+    the source/sink matrix beyond CSV/parquet (r9): the same
+    hostile-content documents projection as ``sink_roundtrip`` is
+    written to (a) a Spark-native ORC sink and (b) a JSON-lines sink
+    (``to_json`` struct per row — embedded newlines/quotes escape, so
+    the splittable text + ``from_json`` read-back pair stays exact),
+    then BOTH are read back from disk and aggregated per (sink, group)
+    with the same row/id/length/content-hash sums. The oracle computes
+    identical aggregates straight from the parquet view — one lost row
+    or one mangled escape in either format family breaks the hash."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.sources.io import (
+        read_jsonl_typed,
+        read_orc,
+        write_jsonl,
+        write_orc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hostile = F.concat(F.col("text"), F.lit(', "csv" test\nline2 \\'))
+    proj = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, hostile)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    base = _tempfile.mkdtemp(prefix="scipi_fmt_rt_")
+    try:
+        write_orc(proj, base + "/orc")
+        write_jsonl(proj, base + "/jsonl")
+        back_orc = read_orc(spark, base + "/orc")
+        back_js = read_jsonl_typed(
+            spark, base + "/jsonl", "doc_id long, source string, text string"
+        )
+        hv = F.conv(
+            F.substring(F.md5(F.concat_ws("|", "source", "text")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+        def _fmt_agg(df, sink_name):
+            return (
+                df.groupBy((F.col("doc_id") % 4).cast("long").alias("grp"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("doc_id").cast("long").alias("sum_id"),
+                    F.sum(F.length("text")).cast("long").alias("sum_len"),
+                    F.sum(hv).cast("long").alias("sum_h"),
+                )
+                .select(F.lit(sink_name).alias("sink"), "*")
+            )
+
+        out = _fmt_agg(back_orc, "orc").unionByName(_fmt_agg(back_js, "jsonl"))
+        out = out.localCheckpoint(eager=True)  # pin before the dir goes
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _q_multimodal_decode_png(spark, sf_dir):
     """Zero-dependency PNG decode, driver-gated end-to-end (round-7
     verdict #2; extended to ALL five 8-bit colour classes in r9 per
@@ -3437,6 +3500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: ANN store compaction repair, gated end-to-end
         # (round-8 verdict #4; fresh — _gate_order fronts it)
         "ann_store_compact": _q_ann_store_compact,
+        # round 9: ORC + JSONL sinks under the hash gate
+        "multi_format_roundtrip": _q_multi_format_roundtrip,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -5770,6 +5835,32 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
               FROM scored
             )
             SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
+        "multi_format_roundtrip": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ', "csv" test' || chr(10) || 'line2 \\'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, source, text,
+                     CAST(('0x' || substr(md5(source || '|' || text), 1, 8))
+                          AS BIGINT) AS hv
+              FROM base
+            ),
+            g AS (
+              SELECT doc_id % 4 AS grp,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                     CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                     CAST(sum(hv) AS BIGINT) AS sum_h
+              FROM h GROUP BY doc_id % 4
+            )
+            SELECT 'orc' AS sink, grp, n_rows, sum_id, sum_len, sum_h FROM g
+            UNION ALL
+            SELECT 'jsonl' AS sink, grp, n_rows, sum_id, sum_len, sum_h FROM g
         """,
         "sink_roundtrip": """
             WITH base AS (

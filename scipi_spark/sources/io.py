@@ -84,6 +84,30 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     ).text(path)
 
 
+def read_jsonl_typed(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Typed read-back of a :func:`write_jsonl` sink: one ``from_json``
+    over the text lines with an explicit schema — ``to_json`` escapes
+    embedded newlines/quotes, so hostile text round-trips exactly. The
+    splittable-text + from_json pair is the JSONL scan shape that
+    parallelizes at 100 TB (unlike multiLine JSON)."""
+    return (
+        spark.read.text(path)
+        .select(F.from_json(F.col("value"), schema).alias("r"))
+        .select("r.*")
+    )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC sink (Spark-native writer, no extra package): the
+    Hive-ecosystem interchange twin of the parquet shard sink — same
+    overwrite semantics as :func:`write_csv`."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 #: DBLP publication element tags (DblpParser.java:62-160)
 _DBLP_PUB_TAGS = {
     "article",

@@ -654,3 +654,40 @@ def test_csv_sink_null_vs_empty_roundtrip(spark, tmp_path):
     back = read_csv(spark, p, schema="id long, text string")
     got = {r["id"]: r["text"] for r in back.collect()}
     assert got == {1: "x", 2: "", 3: None}
+
+
+def test_orc_and_jsonl_hostile_roundtrip(spark, tmp_path):
+    """r9 format widening: ORC (Spark-native columnar) and JSONL
+    (to_json / from_json) sinks round-trip hostile content — embedded
+    commas, quotes, newlines, backslashes, unicode — exactly, plus the
+    NULL/empty distinction (both formats carry it natively, unlike
+    CSV's in-band sentinel)."""
+    from pyspark.sql import Row
+
+    from scipi_spark.sources.io import (
+        read_jsonl_typed,
+        read_orc,
+        write_jsonl,
+        write_orc,
+    )
+
+    rows = [
+        Row(id=1, text='comma, "quotes" and \n newline \\ backslash'),
+        Row(id=2, text="unicode é中文 \U0001f600"),
+        Row(id=3, text=""),
+        Row(id=4, text=None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    want = {r.id: r.text for r in rows}
+    p_orc, p_js = str(tmp_path / "orc"), str(tmp_path / "jsonl")
+    write_orc(df, p_orc)
+    write_jsonl(df, p_js)
+    got_orc = {r["id"]: r["text"] for r in read_orc(spark, p_orc).collect()}
+    got_js = {
+        r["id"]: r["text"]
+        for r in read_jsonl_typed(
+            spark, p_js, "id long, text string"
+        ).collect()
+    }
+    assert got_orc == want
+    assert got_js == want

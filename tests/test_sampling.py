@@ -339,3 +339,58 @@ def test_neardup_safe_split_colocates_cluster_members(spark):
         for r in leakage_safe_split(df).collect()
     }
     assert out[4] == naive[4]
+
+
+def test_pack_sequences_hand_fixture_mixed_lengths(spark):
+    """textops.pack_sequences against hand-computed bins with UNEVEN doc
+    lengths (the existing determinism test uses uniform 200-token docs):
+    budget 10, token counts [4, 4, 4, 12, 3] in key order -> prefix-
+    before [0, 4, 8, 12, 24] -> bins [0, 0, 0, 1, 2] — doc 2 straddles
+    the boundary and stays in bin 0 (streaming spill, never split), the
+    overlong doc 3 is admitted whole into bin 1, and doc 4 opens bin 2."""
+    from scipi_spark.operators import textops
+
+    rows = [(i, "a", " ".join(["w"] * t)) for i, t in enumerate([4, 4, 4, 12, 3])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["bin"]: (r["n_docs"], r["sum_tokens"])
+        for r in textops.pack_sequences(df, budget=10).collect()
+    }
+    assert out == {0: (3, 12), 1: (1, 12), 2: (1, 3)}
+
+
+def test_pack_sequences_groups_independent_and_layout_stable(spark):
+    """Each source packs its own bin stream from zero (bin 0 exists in
+    every group), and assignments are stable under repartitioning — the
+    window orders on (group, key), never physical layout."""
+    from scipi_spark.operators import textops
+
+    rows = [(i, "s%d" % (i % 3), " ".join(["w"] * 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    one = sorted(map(tuple, textops.pack_sequences(df.coalesce(1), budget=12).collect()))
+    many = sorted(map(tuple, textops.pack_sequences(df.repartition(16), budget=12).collect()))
+    assert one == many
+    assert {t[0] for t in one if t[1] == 0} == {"s0", "s1", "s2"}
+
+
+def test_pack_sequences_bins_are_dense_token_ranges(spark):
+    """Bin ids form a contiguous range and the stream is DENSE: tokens
+    accumulated through bin k reach at least budget * (k + 1) for every
+    non-final bin (a single bin's own sum may be small when a large
+    straddler spilled across its range — the cumulative bound is the
+    packing-density property that holds)."""
+    from scipi_spark.operators import textops
+
+    rows = [(i, "a", " ".join(["w"] * (1 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    per_bin = {
+        r["bin"]: r["sum_tokens"]
+        for r in textops.pack_sequences(df, budget=32).collect()
+    }
+    last = max(per_bin)
+    assert set(per_bin) == set(range(last + 1))
+    cum = 0
+    for b in range(last + 1):
+        cum += per_bin[b]
+        if b != last:
+            assert cum >= 32 * (b + 1), (b, cum)
