@@ -1648,6 +1648,56 @@ def _q_multi_format_roundtrip(spark, sf_dir):
     return out
 
 
+def _q_partition_pruned_scan(spark, sf_dir):
+    """Hive-partitioned corpus + partition-pruned read, gated
+    end-to-end: the documents table is written partitioned by source
+    (``io.write_hive_partitioned`` — ``source=src0/`` directories), and
+    a single-source read comes back through the partition-pruning path
+    (the scan carries ``PartitionFilters`` and touches ONE directory —
+    plan-asserted in tests/test_plans.py). This is the mechanism that
+    makes per-source reads O(source) instead of O(corpus) at 100 TB;
+    until now it was only implicit in the shard sink. The oracle
+    recomputes the same aggregates from the parquet view restricted to
+    the min source, so a row leaking across partition directories — or
+    a partition value mangled by the directory encoding — breaks the
+    hash."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.sources.io import write_hive_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tempfile.mkdtemp(prefix="scipi_part_prune_")
+    try:
+        write_hive_partitioned(
+            docs.select("doc_id", "text", "source"), base + "/bysource",
+            "source",
+        )
+        target = docs.agg(F.min("source").alias("s")).collect()[0]["s"]
+        back = spark.read.parquet(base + "/bysource").filter(
+            F.col("source") == target
+        )
+        hv = F.conv(
+            F.substring(F.md5(F.concat_ws("|", "source", "text")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        out = (
+            back.groupBy((F.col("doc_id") % 7).cast("long").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("doc_id").cast("long").alias("sum_id"),
+                F.sum(F.length("text")).cast("long").alias("sum_len"),
+                F.sum(hv).cast("long").alias("sum_h"),
+            )
+            .select(F.lit(target).alias("source"), "*")
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the dir goes
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _q_multimodal_decode_png(spark, sf_dir):
     """Zero-dependency PNG decode, driver-gated end-to-end (round-7
     verdict #2; extended to ALL five 8-bit colour classes in r9 per
@@ -3500,8 +3550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: ANN store compaction repair, gated end-to-end
         # (round-8 verdict #4; fresh — _gate_order fronts it)
         "ann_store_compact": _q_ann_store_compact,
-        # round 9: ORC + JSONL sinks under the hash gate
+        # round 9: ORC + JSONL sinks under the hash gate; hive-partition
+        # write + pruned read (the O(source)-not-O(corpus) mechanism)
         "multi_format_roundtrip": _q_multi_format_roundtrip,
+        "partition_pruned_scan": _q_partition_pruned_scan,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -5835,6 +5887,22 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
               FROM scored
             )
             SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        """,
+        "partition_pruned_scan": """
+            WITH target AS (SELECT min(source) AS s FROM documents),
+            h AS (
+              SELECT doc_id, source, text,
+                     CAST(('0x' || substr(md5(source || '|' || text), 1, 8))
+                          AS BIGINT) AS hv
+              FROM documents WHERE source = (SELECT s FROM target)
+            )
+            SELECT (SELECT s FROM target) AS source,
+                   doc_id % 7 AS grp,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                   CAST(sum(hv) AS BIGINT) AS sum_h
+            FROM h GROUP BY doc_id % 7
         """,
         "multi_format_roundtrip": """
             WITH base AS (

@@ -97,6 +97,19 @@ def read_jsonl_typed(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def write_hive_partitioned(df: DataFrame, path: str, *cols: str, fmt: str = "parquet") -> None:
+    """Hive-layout partitioned sink (``col=value/`` directories) — the
+    100 TB corpus organization that makes partition PRUNING possible: a
+    reader's equality/IN filter on a partition column eliminates whole
+    directories at planning time (the scan shows ``PartitionFilters``,
+    plan-asserted in tests), so a one-source read of a 1000-source
+    corpus touches 1/1000th of the files regardless of corpus size.
+    Partition columns must be low-cardinality (source, date, lang);
+    high-cardinality keys belong to bucketing (``storectl``) instead —
+    a per-key directory layout would melt the file listing."""
+    df.write.mode("overwrite").partitionBy(*cols).format(fmt).save(path)
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     """Columnar ORC sink (Spark-native writer, no extra package): the
     Hive-ecosystem interchange twin of the parquet shard sink — same

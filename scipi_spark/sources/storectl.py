@@ -503,6 +503,79 @@ def _create_bucketed_ddl(
     )
 
 
+def fsck(root: str) -> dict:
+    """Read-only integrity report for a store root — the operational
+    check a deployment runs after a crash (or before trusting a store a
+    different writer produced). Returns::
+
+        {"current": <basename|None>, "current_ok": bool,
+         "build_key": <live version's recipe|None>,
+         "versions": [complete version basenames, oldest->newest],
+         "incomplete": [marker-less v_* dirs],       # crash debris
+         "pinned": {version basename: [pin tokens]},
+         "orphan_builds": [.build_* dirs],           # age-swept by publish
+         "lock_held": bool,                          # in-flight append
+         "issues": [human-readable problems]}        # empty == healthy
+
+    Issues flagged: missing/dangling CURRENT (readers see an absent
+    store and will rebuild), marker-less version dirs (harmless but
+    worth sweeping), non-monotonic or duplicate version ordinals
+    (manual tampering — publish numbering assumes sorted order). fsck
+    never mutates the store; repairs are publish's GC (age-based) or a
+    rebuild through the normal writer."""
+    issues: list[str] = []
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return {
+            "current": None, "current_ok": False, "build_key": None,
+            "versions": [], "incomplete": [], "pinned": {},
+            "orphan_builds": [], "lock_held": False,
+            "issues": [f"store root {root!r} does not exist"],
+        }
+    all_vdirs = sorted(n for n in names if _VERSION_RE.match(n))
+    complete, incomplete = [], []
+    pinned: dict[str, list[str]] = {}
+    for n in all_vdirs:
+        d = os.path.join(root, n)
+        if os.path.exists(os.path.join(d, MARKER)):
+            complete.append(n)
+        else:
+            incomplete.append(n)
+            issues.append(f"version {n} has no completeness marker")
+        toks = [
+            fn[len("_PINNED_"):]
+            for fn in os.listdir(d)
+            if fn.startswith("_PINNED_")
+        ]
+        if toks:
+            pinned[n] = sorted(toks)
+    ordinals = [int(n[2:8]) for n in all_vdirs]
+    if len(set(ordinals)) != len(ordinals):
+        issues.append(f"duplicate version ordinals: {sorted(ordinals)}")
+    cur_dir = current_dir(root)
+    cur = os.path.basename(cur_dir) if cur_dir else None
+    if "CURRENT" not in names:
+        issues.append("no CURRENT pointer (store reads as absent)")
+    elif cur is None:
+        issues.append(
+            "CURRENT is dangling (points at a missing or incomplete "
+            "version — store reads as absent; rebuild or re-publish)"
+        )
+    meta = current_meta(root)
+    return {
+        "current": cur,
+        "current_ok": cur is not None,
+        "build_key": meta.get("build_key") if meta else None,
+        "versions": complete,
+        "incomplete": incomplete,
+        "pinned": pinned,
+        "orphan_builds": sorted(n for n in names if n.startswith(".build_")),
+        "lock_held": "_APPEND_LOCK" in names,
+        "issues": issues,
+    }
+
+
 def register_bucketed(
     spark,
     table: str,

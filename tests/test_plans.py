@@ -312,3 +312,28 @@ def test_skew_profile_detects_planted_hot_key(spark):
     assert top[1]["median_cnt"] == 10.0 and top[1]["skew_ratio"] == 10.0
     # uniform keys tie at 10; ties rank by key string ("0" < "1")
     assert top[2]["key"] == "0" and top[3]["key"] == "1"
+
+
+def test_hive_partitioned_read_prunes_at_planning(spark, tmp_path):
+    """r9: a single-source read of a source-partitioned corpus must go
+    through PARTITION pruning — the equality lands in the scan's
+    PartitionFilters (directory elimination at planning time), not as a
+    post-scan data Filter over all partitions. The gated entry
+    (partition_pruned_scan) verifies values; this pins the mechanism."""
+    from scipi_spark.sources.io import write_hive_partitioned
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    write_hive_partitioned(
+        docs.select("doc_id", "text", "source"), str(tmp_path / "p"),
+        "source",
+    )
+    back = spark.read.parquet(str(tmp_path / "p")).filter(
+        F.col("source") == "src3"
+    )
+    plan = _plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "src3" in m.group(1), plan[:600]
+    # the partition predicate must NOT degrade into a row-level filter
+    # over the full scan output (PushedFilters/data Filter on source)
+    m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m2 is None or "source" not in m2.group(1), m2.group(0)

@@ -512,3 +512,44 @@ def test_two_process_concurrent_appends_both_land(spark, tmp_path):
     got = sorted(r[0] for r in vecs.select("vec_id").collect())
     expect = sorted(i for i in ids if i < c3)
     assert got == expect  # both batches landed, no loss, no duplication
+
+
+def test_fsck_healthy_store(tmp_path):
+    root = tmp_path / "store"
+    _write_dummy_version(root, "k1", "one")
+    v2 = _write_dummy_version(root, "k1", "two")
+    storectl.pin_version(v2, token="hold")
+    rep = storectl.fsck(str(root))
+    assert rep["issues"] == []
+    assert rep["current_ok"] and rep["current"] == os.path.basename(v2)
+    assert rep["build_key"] == "k1"
+    assert len(rep["versions"]) == 2 and rep["incomplete"] == []
+    assert rep["pinned"] == {os.path.basename(v2): ["hold"]}
+    assert rep["orphan_builds"] == [] and rep["lock_held"] is False
+
+
+def test_fsck_flags_crash_debris_and_dangling_current(tmp_path):
+    root = tmp_path / "store"
+    v1 = _write_dummy_version(root, "k1", "one")
+    storectl.new_build_dir(str(root))  # crashed writer's staging dir
+    os.remove(os.path.join(v1, storectl.MARKER))  # marker-less version
+    rep = storectl.fsck(str(root))
+    assert len(rep["orphan_builds"]) == 1
+    assert rep["incomplete"] == [os.path.basename(v1)]
+    assert not rep["current_ok"]  # CURRENT points at the broken version
+    assert any("marker" in i for i in rep["issues"])
+    assert any("dangling" in i for i in rep["issues"])
+    # missing root and missing pointer are reported, never raised
+    assert storectl.fsck(str(tmp_path / "nope"))["issues"]
+    os.remove(root / "CURRENT")
+    assert any(
+        "no CURRENT" in i for i in storectl.fsck(str(root))["issues"]
+    )
+
+
+def test_fsck_reports_held_append_lock(tmp_path):
+    root = str(tmp_path / "store")
+    _write_dummy_version(tmp_path / "store", "k1")
+    with storectl.append_lock(root):
+        assert storectl.fsck(root)["lock_held"] is True
+    assert storectl.fsck(root)["lock_held"] is False
