@@ -1,0 +1,653 @@
+"""Pure-numpy baseline JPEG (ITU-T T.81 / ISO 10918-1) codec — no
+codec library, no C extension: an encoder and decoder for baseline
+sequential DCT, 8-bit, Huffman-coded JPEG/JFIF streams.
+
+Scope (the baseline profile every camera/browser JPEG uses):
+
+- encode: RGB (or single-channel grayscale) -> JFIF with 4:4:4 or
+  4:2:0 chroma subsampling, quality-scaled quantization tables (the
+  IJG 0-100 quality curve over the Annex K example luminance/
+  chrominance tables), level shift + 8x8 forward DCT (exact float64
+  matrix form), zigzag, DC-difference + AC run-length entropy coding,
+  byte stuffing, and self-contained DHT segments.
+- decode: full marker parse (SOI/APP*/COM skipped, DQT/SOF0/DHT/SOS/
+  DRI honored), canonical Huffman reconstruction FROM THE STREAM'S OWN
+  DHT (so any spec-valid table decodes, not just ours), entropy decode
+  incl. restart markers, dequantize, inverse zigzag, IDCT, chroma
+  upsample by block replication, YCbCr->RGB with clipping.
+
+Huffman tables: rather than transcribing the (public) Annex K example
+code tables, the encoder BUILDS canonical tables — all DC symbols at
+4 bits, all AC symbols at 8 bits — which are spec-valid (no all-ones
+code is assigned) and embedded in DHT segments like any other JPEG's.
+The decoder never assumes them: it reconstructs whatever DHT declares,
+exactly as it must for foreign files. Compression is a few percent
+worse than the optimized Annex K tables; correctness is identical.
+
+Exactness model (what the driver gate pins): JPEG is lossy, but the
+loss is fully characterized — for an image that is CONSTANT within
+each 8x8 block (16x16 macroblock under 4:2:0) with neutral chroma,
+every AC coefficient quantizes to zero and the reconstruction error is
+exactly the DC quantization error; at quality 75 the luma DC step is
+8 = the DC scaling factor, so such images round-trip BIT-EXACTLY
+(``tests/test_io_multimodal.py`` also bounds the general-image error).
+Reference behavior being re-expressed: the reference engine's image
+ingestion treats JPEG via a codec library (out of container here);
+this is the zero-dependency stand-in with a real bitstream.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants: quant tables, zigzag, DCT basis
+# ---------------------------------------------------------------------------
+
+#: Annex K.1/K.2 example quantization tables (public spec constants)
+_QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _zigzag_order() -> np.ndarray:
+    """Generate the 8x8 zigzag scan order programmatically (no typo
+    surface): entries sorted by anti-diagonal, alternating direction —
+    even diagonals run bottom-left -> top-right."""
+    order = []
+    for s in range(15):
+        diag = [(u, s - u) for u in range(8) if 0 <= s - u < 8]
+        if s % 2 == 0:
+            diag.reverse()  # even: row decreasing (up-right)
+        order.extend(diag)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()  # flat index of the k-th zigzag element
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Orthonormal DCT-II basis: block_dct = C @ B @ C.T
+_DCT_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _DCT_C[_u, _x] = np.sqrt((1 if _u else 0.5) / 4.0) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (the libjpeg-compatible 1-100 curve) of the
+    Annex K tables -> (luma, chroma) int tables clamped to [1, 255].
+    quality=75 yields a luma DC step of exactly 8 — the DC scaling
+    factor — which is what makes block-constant fixtures round-trip
+    bit-exactly (module docstring)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    luma = np.clip((_QUANT_LUMA * scale + 50) // 100, 1, 255)
+    chroma = np.clip((_QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return luma, chroma
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables (canonical, fixed-length codes — see module docstring)
+# ---------------------------------------------------------------------------
+
+#: DC symbols = size categories 0..11; AC symbols = (run<<4)|size for
+#: run 0..15, size 1..10, plus 0x00 (EOB) and 0xF0 (ZRL)
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """(BITS counts-per-length, HUFFVAL symbol list) -> symbol ->
+    (code, length), per the spec's canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _fixed_table(symbols: list[int], length: int) -> tuple[list[int], list[int]]:
+    """All-same-length canonical table (spec-valid: the all-ones code
+    is never assigned because len(symbols) < 2^length)."""
+    if len(symbols) >= (1 << length):
+        raise ValueError("too many symbols for fixed code length")
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+_DC_BITS, _DC_VALS = _fixed_table(_DC_SYMBOLS, 4)
+_AC_BITS, _AC_VALS = _fixed_table(_AC_SYMBOLS, 8)
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF
+    0x00) and a 1-padded flush."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def restart(self, n: int) -> None:
+        """Pad to a byte boundary with 1-bits and emit RSTn (raw marker
+        bytes, never stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _size_cat(v: int) -> int:
+    """DC/AC size category: bit length of |v| (0 for v == 0)."""
+    return int(abs(v)).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    """JPEG signed-amplitude encoding: negatives are stored in ones'
+    complement of |v| within ``size`` bits."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> float64 Y/Cb/Cr planes (JFIF full-range
+    BT.601)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(h, w) -> (n_blocks_y, n_blocks_x, 8, 8), edge-padded by
+    replication to multiples of 8."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _encode_blocks(
+    writer: _BitWriter, blocks: np.ndarray, quant: np.ndarray, prev_dc: int
+) -> int:
+    """Entropy-encode a sequence of (8, 8) pixel blocks (already level
+    shifted): forward DCT, quantize, zigzag, DC diff + AC run-length.
+    Returns the updated DC predictor."""
+    for block in blocks:
+        coef = _DCT_C @ block @ _DCT_C.T
+        qc = np.round(coef / quant).astype(np.int64)
+        zz = qc.ravel()[_ZIGZAG]
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        size = _size_cat(diff)
+        code, width = _DC_CODES[size]
+        writer.write(code, width)
+        if size:
+            writer.write(_amplitude(diff, size), size)
+        nz = np.nonzero(zz[1:])[0]
+        pos = 1
+        for idx in nz:
+            k = int(idx) + 1
+            run = k - pos
+            while run >= 16:
+                code, width = _AC_CODES[0xF0]  # ZRL: 16 zeros
+                writer.write(code, width)
+                run -= 16
+            v = int(zz[k])
+            size = _size_cat(v)
+            code, width = _AC_CODES[(run << 4) | size]
+            writer.write(code, width)
+            writer.write(_amplitude(v, size), size)
+            pos = k + 1
+        if pos <= 63:
+            code, width = _AC_CODES[0x00]  # EOB
+            writer.write(code, width)
+    return prev_dc
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(v) for v in table.ravel()[_ZIGZAG])
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 -> baseline
+    JFIF bytes. ``subsampling``: "444" (full chroma) or "420" (2x2
+    chroma decimation by block mean — requires no particular dimension;
+    edges are replication-padded). Grayscale input emits a
+    single-component scan. ``restart_interval`` > 0 emits a DRI segment
+    and an RSTn marker (with DC-predictor reset) every that many MCUs —
+    the error-resilience feature real encoders use so a corrupted scan
+    only loses one restart span."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2 or arr.shape[-1] == 1
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError(f"expected (h, w, 1|3), got {arr.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    luma_q, chroma_q = quality_tables(quality)
+    if gray:
+        planes = [arr[..., 0].astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if subsampling == "420":
+            for c in (1, 2):
+                p = planes[c]
+                ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                planes[c] = (
+                    p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                )
+    n_comp = 1 if gray else 3
+    hv = 2 if (not gray and subsampling == "420") else 1
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    out += _dqt_segment(0, luma_q)
+    if not gray:
+        out += _dqt_segment(1, chroma_q)
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    sof += bytes([1, (hv << 4) | hv, 0])  # Y: id, HxV sampling, quant 0
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_BITS, _DC_VALS)
+        out += _dht_segment(1, 1, _AC_BITS, _AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([n_comp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    blocks = [_blockify(p - 128.0) for p in planes]
+    writer = _BitWriter()
+    dc = [0, 0, 0]
+    n_mcu = 0
+    rst = 0
+
+    def maybe_restart() -> bool:
+        nonlocal n_mcu, rst
+        fire = restart_interval and n_mcu and n_mcu % restart_interval == 0
+        if fire:
+            writer.restart(rst)
+            rst = (rst + 1) & 7
+        n_mcu += 1
+        return bool(fire)
+
+    if gray:
+        by, bx = blocks[0].shape[:2]
+        for block in blocks[0].reshape(by * bx, 8, 8):
+            if maybe_restart():
+                dc[0] = 0
+            dc[0] = _encode_blocks(writer, block[None], luma_q, dc[0])
+    else:
+        # MCU order: interleaved components, Y blocks raster-within-MCU
+        cb_blocks, cr_blocks = blocks[1], blocks[2]
+        yb = blocks[0]
+        mcu_y, mcu_x = cb_blocks.shape[:2]
+        # pad Y block grid to hv multiples (replicate edge blocks)
+        need_y, need_x = mcu_y * hv, mcu_x * hv
+        if yb.shape[0] < need_y or yb.shape[1] < need_x:
+            yb = np.pad(
+                yb,
+                (
+                    (0, need_y - yb.shape[0]),
+                    (0, need_x - yb.shape[1]),
+                    (0, 0),
+                    (0, 0),
+                ),
+                mode="edge",
+            )
+        for my in range(mcu_y):
+            for mx in range(mcu_x):
+                if maybe_restart():
+                    dc = [0, 0, 0]
+                ys = [
+                    yb[my * hv + dy, mx * hv + dx]
+                    for dy in range(hv)
+                    for dx in range(hv)
+                ]
+                dc[0] = _encode_blocks(writer, np.stack(ys), luma_q, dc[0])
+                dc[1] = _encode_blocks(
+                    writer, cb_blocks[my, mx][None], chroma_q, dc[1]
+                )
+                dc[2] = _encode_blocks(
+                    writer, cr_blocks[my, mx][None], chroma_q, dc[2]
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data: un-stuffs 0xFF 0x00,
+    stops at markers (restart markers are consumed by the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                return False  # restart marker: caller resyncs
+            else:
+                return False  # EOI or other marker
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("JPEG entropy data exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker and reset bit alignment."""
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoder built from a DHT's (BITS, HUFFVAL):
+    min/max code per length, spec F.2.2.3 DECODE procedure."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, reader: _BitReader) -> int:
+        code = reader.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("invalid JPEG Huffman code")
+            code = (code << 1) | reader.read_bit()
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+def _extend(v: int, size: int) -> int:
+    """Invert :func:`_amplitude`."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block(
+    reader: _BitReader,
+    dc_table: _HuffDecoder,
+    ac_table: _HuffDecoder,
+    quant: np.ndarray,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    size = dc_table.decode(reader)
+    diff = _extend(reader.read_bits(size), size)
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k <= 63:
+        rs = ac_table.decode(reader)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    coef = (zz * quant.ravel()[_ZIGZAG])[_UNZIGZAG].reshape(8, 8)
+    block = _DCT_C.T @ coef.astype(np.float64) @ _DCT_C
+    return block, dc
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w, 1)
+    for single-component grayscale scans). Supports 8-bit baseline
+    sequential DCT (SOF0), 1 or 3 components, any HxV sampling factors
+    in {1, 2} (4:4:4, 4:2:2, 4:2:0), restart intervals, and arbitrary
+    DHT/DQT table assignments. Progressive (SOF2), arithmetic coding,
+    and 12-bit precision raise ``NotImplementedError``."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT")
+                tbl = np.frombuffer(
+                    body, np.uint8, 64, off + 1
+                ).astype(np.int64)
+                quant[tq] = tbl[_UNZIGZAG].reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(
+                    bits, vals
+                )
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline
+            prec, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for i in range(n_comp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            n_scan = body[0]
+            scan = []
+            for i in range(n_scan):
+                cid, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tables >> 4, tables & 0x0F))
+            h, w, comps = frame
+            by_id = {c[0]: c for c in comps}
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcu_x = -(-w // (8 * hmax))
+            mcu_y = -(-h // (8 * vmax))
+            planes = {}
+            for cid, ch_, cv, _tq in comps:
+                planes[cid] = np.zeros(
+                    (mcu_y * cv * 8, mcu_x * ch_ * 8), dtype=np.float64
+                )
+            reader = _BitReader(payload, pos)
+            prev = {cid: 0 for cid, *_ in comps}
+            n_mcu = 0
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
+                    if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                        reader.sync_restart()
+                        prev = {cid: 0 for cid in prev}
+                    n_mcu += 1
+                    for cid, tdc, tac in scan:
+                        _, ch_, cv, tq = by_id[cid]
+                        for dy in range(cv):
+                            for dx in range(ch_):
+                                block, prev[cid] = _decode_block(
+                                    reader,
+                                    huff_dc[tdc],
+                                    huff_ac[tac],
+                                    quant[tq],
+                                    prev[cid],
+                                )
+                                y0 = (my * cv + dy) * 8
+                                x0 = (mx * ch_ + dx) * 8
+                                planes[cid][
+                                    y0 : y0 + 8, x0 : x0 + 8
+                                ] = block
+            full = []
+            for cid, ch_, cv, _tq in comps:
+                p = planes[cid] + 128.0
+                if ch_ < hmax or cv < vmax:
+                    p = np.repeat(
+                        np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1
+                    )
+                full.append(p[:h, :w])
+            if len(full) == 1:
+                gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+                return gray[..., None]
+            y, cb, cr = full
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise ValueError("JPEG contained no scan")

@@ -134,21 +134,29 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode for the zero-dependency formats: binary PPM
-    (P6), 24-bit uncompressed BMP and 8-bit PNG in every colour class
-    (grayscale/gray+alpha/truecolor/truecolor+alpha/palette, r7-r9) ->
-    (h, w, 1|2|3|4) uint8. PNG needs only stdlib ``zlib`` + numpy
-    scanline unfiltering (round-7 verdict #2). Formats whose codecs are
-    genuinely absent here (JPEG/MP3/MP4, interlaced/16-bit PNG) still
-    raise ``NotImplementedError``."""
+    (P6), 24-bit uncompressed BMP, and PNG in every colour class
+    (grayscale/gray+alpha/truecolor/truecolor+alpha at 8 AND 16 bit,
+    8-bit palette; Adam7-interlaced or not; r7-r9) ->
+    (h, w, 1|2|3|4) uint8 (uint16 for 16-bit PNG). PNG needs only
+    stdlib ``zlib`` + numpy scanline unfiltering (round-7 verdict #2).
+    Formats whose codecs are genuinely absent here (MP3/MP4) raise
+    ``NotImplementedError``; see :mod:`jpegcodec` for the pure-numpy
+    baseline JPEG path wired in below and :func:`_decode_gif` for GIF."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from scipi_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"unsupported image magic {payload[:4]!r}: only PPM (P6), "
-        "24-bit BMP and 8-bit PNG decode without a codec "
+        f"unsupported image magic {payload[:4]!r}: PPM (P6), 24-bit "
+        "BMP, PNG, GIF and baseline JPEG decode without a codec "
         "library; pass decoder=fake_decode for plumbing tests"
     )
 
@@ -229,35 +237,37 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 _PNG_COLOUR_BY_CH = {1: 0, 2: 4, 3: 2, 4: 6}
 _PNG_CH_BY_COLOUR = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-def encode_png(
-    pixels: np.ndarray, filter_type: int | None = None, level: int = 6
-) -> bytes:
-    """(h, w, 1|2|3|4) uint8 -> 8-bit grayscale / gray+alpha / truecolor
-    / truecolor-alpha PNG (colour types 0/4/2/6 by channel count).
 
-    ``filter_type``: fixed scanline filter 0-4, or None for row ``y``
-    using filter ``y % 5`` — cycling through ALL five spec filters so a
+def _filter_scanlines(
+    rows: np.ndarray, bpp: int, filter_type: int | None
+) -> bytearray:
+    """Filter an (h, rowbytes) byte matrix into PNG scanline format
+    (filter byte + filtered bytes per row). ``filter_type=None`` cycles
+    row ``y`` through filter ``y % 5`` — all five spec filters — so a
     decoder must implement every unfilter correctly to round-trip.
-    Filtering at encode time is fully vectorized (predictors read the
-    RAW previous bytes, which the encoder already has)."""
-    import zlib
-
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[..., None]  # (h, w) -> single-channel grayscale
-    if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOUR_BY_CH:
-        raise ValueError(f"expected (h, w, 1|2|3|4), got {arr.shape}")
-    h, w, ch = arr.shape
-    colour = _PNG_COLOUR_BY_CH[ch]
-    bpp = ch
-    rows = arr.reshape(h, w * ch).astype(np.int32)
-    prev = np.zeros(w * ch, dtype=np.int32)
+    Fully vectorized: predictors read the RAW previous bytes, which the
+    encoder already has. The previous-row predictor starts at zero, so
+    each interlace pass filters independently per the spec."""
+    rows = rows.astype(np.int32)
+    h, rowbytes = rows.shape
+    prev = np.zeros(rowbytes, dtype=np.int32)
     out = bytearray()
+    zeros = np.zeros(bpp, dtype=np.int32)
     for y in range(h):
         raw = rows[y]
-        left = np.concatenate([np.zeros(bpp, dtype=np.int32), raw[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        left = np.concatenate([zeros, raw[:-bpp]])
+        upleft = np.concatenate([zeros, prev[:-bpp]])
         ft = (y % 5) if filter_type is None else filter_type
         if ft == 0:
             filt = raw
@@ -273,7 +283,103 @@ def encode_png(
             raise ValueError(f"bad PNG filter {ft}")
         out += bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes()
         prev = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colour, 0, 0, 0)
+    return out
+
+
+def _unfilter_scanlines(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering: (h, rowbytes+1) uint8 (leading
+    filter byte per row) -> (h, rowbytes) uint8 reconstructed bytes.
+
+    Up is vectorized across the row; Sub/Average/Paeth carry an
+    intra-row serial dependency by definition, so those rows reconstruct
+    byte-by-byte — exact and dependency-free, sized for metadata-scale
+    assets; wire a codec library through ``decoder=`` for bulk frames."""
+    h, rb1 = raw.shape
+    rowbytes = rb1 - 1
+    img = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        cur = raw[y, 1:].astype(np.int32)
+        if ft == 0:
+            recon = cur
+        elif ft == 2:
+            recon = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            recon = np.empty(rowbytes, dtype=np.int32)
+            for i in range(rowbytes):
+                a = recon[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                if ft == 1:
+                    x = cur[i] + a
+                elif ft == 3:
+                    x = cur[i] + ((a + b) >> 1)
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    x = cur[i] + pred
+                recon[i] = x & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        img[y] = recon.astype(np.uint8)
+        prev = recon
+    return img
+
+
+def _sample_bytes(arr: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) uint8|uint16 -> (h, w*ch*depth/8) byte rows (16-bit
+    samples are big-endian per the PNG spec)."""
+    h = arr.shape[0]
+    if depth == 8:
+        return arr.reshape(h, -1)
+    return np.ascontiguousarray(arr.astype(">u2").reshape(h, -1)).view(
+        np.uint8
+    )
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filter_type: int | None = None,
+    level: int = 6,
+    interlace: int = 0,
+) -> bytes:
+    """(h, w, 1|2|3|4) uint8 or uint16 -> grayscale / gray+alpha /
+    truecolor / truecolor-alpha PNG (colour types 0/4/2/6 by channel
+    count; bit depth 8 for uint8 input, 16 — big-endian samples — for
+    uint16 input), optionally Adam7-interlaced (``interlace=1``: the
+    seven spec passes, each an independently filtered sub-image).
+
+    ``filter_type``: fixed scanline filter 0-4, or None for row ``y``
+    using filter ``y % 5`` (all five spec filters; in interlaced mode
+    the cycle restarts per pass, matching the per-pass unfilter)."""
+    import zlib
+
+    arr = np.asarray(pixels)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype(np.uint16 if depth == 16 else np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]  # (h, w) -> single-channel grayscale
+    if arr.ndim != 3 or arr.shape[2] not in _PNG_COLOUR_BY_CH:
+        raise ValueError(f"expected (h, w, 1|2|3|4), got {arr.shape}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    h, w, ch = arr.shape
+    colour = _PNG_COLOUR_BY_CH[ch]
+    bpp = ch * (depth // 8)
+    out = bytearray()
+    if interlace == 0:
+        out += _filter_scanlines(_sample_bytes(arr, depth), bpp, filter_type)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass emits nothing at all (spec)
+            out += _filter_scanlines(
+                _sample_bytes(sub, depth), bpp, filter_type
+            )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, colour, 0, 0, interlace)
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
@@ -306,28 +412,7 @@ def encode_png_palette(
     if idx.max(initial=0) >= plte.shape[0]:
         raise ValueError("palette index out of range")
     h, w = idx.shape
-    rows = idx.astype(np.int32)
-    prev = np.zeros(w, dtype=np.int32)
-    out = bytearray()
-    for y in range(h):
-        raw = rows[y]
-        left = np.concatenate([np.zeros(1, dtype=np.int32), raw[:-1]])
-        upleft = np.concatenate([np.zeros(1, dtype=np.int32), prev[:-1]])
-        ft = (y % 5) if filter_type is None else filter_type
-        if ft == 0:
-            filt = raw
-        elif ft == 1:
-            filt = raw - left
-        elif ft == 2:
-            filt = raw - prev
-        elif ft == 3:
-            filt = raw - ((left + prev) >> 1)
-        elif ft == 4:
-            filt = raw - _paeth(left, prev, upleft)
-        else:
-            raise ValueError(f"bad PNG filter {ft}")
-        out += bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes()
-        prev = raw
+    out = _filter_scanlines(idx.reshape(h, w), 1, filter_type)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     chunks = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
     chunks += _png_chunk(b"PLTE", plte.tobytes())
@@ -344,16 +429,15 @@ def encode_png_palette(
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """8-bit grayscale(+alpha)/truecolor(+alpha)/palette PNG ->
-    (h, w, 1|2|3|4) uint8 — stdlib zlib inflate + per-scanline unfilter
-    (None/Sub/Up/Average/Paeth), then a PLTE lookup for indexed-color
-    images (plus tRNS alpha when present, emitting RGBA).
-
-    Up is vectorized across the row; Sub/Average/Paeth carry an
-    intra-row serial dependency by definition, so those rows reconstruct
-    byte-by-byte — exact and dependency-free, sized for metadata-scale
-    assets; wire a codec library through ``decoder=`` for bulk frames.
-    Interlaced and 16-bit PNGs raise ``NotImplementedError``."""
+    """8/16-bit grayscale(+alpha)/truecolor(+alpha) and 8-bit palette
+    PNG, interlaced (Adam7) or not -> (h, w, 1|2|3|4) array — uint8 for
+    depth 8, uint16 for depth 16 (big-endian samples per the spec).
+    stdlib zlib inflate + per-scanline unfilter (None/Sub/Up/Average/
+    Paeth, over bytes at the sample-width bpp), then for Adam7 a
+    scatter of each independently-filtered pass sub-image into place,
+    and a PLTE lookup for indexed-color images (plus tRNS alpha when
+    present, emitting RGBA). Sub-byte packed depths (1/2/4-bit) raise
+    ``NotImplementedError``."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
@@ -361,6 +445,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
     pos = 8
     w = h = None
     colour = None
+    depth = 8
+    interlace = 0
     plte = None
     trns = None
     idat = bytearray()
@@ -373,9 +459,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, colour, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or colour not in (0, 2, 3, 4, 6) or interlace != 0:
+            if (
+                depth not in (8, 16)
+                or colour not in (0, 2, 3, 4, 6)
+                or (colour == 3 and depth != 8)
+                or interlace not in (0, 1)
+            ):
                 raise NotImplementedError(
-                    "only 8-bit non-interlaced PNG "
+                    "only 8/16-bit PNG (8-bit for palette) "
                     f"(depth={depth}, colour={colour}, "
                     f"interlace={interlace})"
                 )
@@ -392,44 +483,47 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if colour == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        ch, bpp, rowbytes = 1, 1, w  # filters run over index bytes
+        ch = 1  # filters run over index bytes
     else:
         ch = _PNG_CH_BY_COLOUR[colour]
-        bpp = ch
-        rowbytes = w * ch
+    bs = depth // 8  # bytes per sample
+    bpp = ch * bs
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(raw) != h * (rowbytes + 1):
-        raise ValueError("PNG inflated size mismatch")
-    raw = raw.reshape(h, rowbytes + 1)
-    img = np.empty((h, rowbytes), dtype=np.uint8)
-    prev = np.zeros(rowbytes, dtype=np.int32)
-    for y in range(h):
-        ft = int(raw[y, 0])
-        cur = raw[y, 1:].astype(np.int32)
-        if ft == 0:
-            recon = cur
-        elif ft == 2:
-            recon = (cur + prev) & 0xFF
-        elif ft in (1, 3, 4):
-            recon = np.empty(rowbytes, dtype=np.int32)
-            for i in range(rowbytes):
-                a = recon[i - bpp] if i >= bpp else 0
-                b = int(prev[i])
-                if ft == 1:
-                    x = cur[i] + a
-                elif ft == 3:
-                    x = cur[i] + ((a + b) >> 1)
-                else:
-                    c = int(prev[i - bpp]) if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    x = cur[i] + pred
-                recon[i] = x & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter byte {ft}")
-        img[y] = recon.astype(np.uint8)
-        prev = recon
+
+    def to_pixels(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if depth == 16:
+            return (
+                np.ascontiguousarray(rows)
+                .view(">u2")
+                .astype(np.uint16)
+                .reshape(ph, pw, ch)
+            )
+        return rows.reshape(ph, pw, ch)
+
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG inflated size mismatch")
+        img = to_pixels(_unfilter_scanlines(raw.reshape(h, -1), bpp), h, w)
+    else:
+        img = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue  # empty pass has no bytes at all (spec)
+            size = ph * (pw * bpp + 1)
+            sub = raw[pos : pos + size]
+            if len(sub) != size:
+                raise ValueError("PNG inflated size mismatch")
+            pos += size
+            img[y0::dy, x0::dx] = to_pixels(
+                _unfilter_scanlines(sub.reshape(ph, -1), bpp), ph, pw
+            )
+        if pos != len(raw):
+            raise ValueError("PNG inflated size mismatch")
     if colour == 3:
         idx = img.reshape(h, w)
         if idx.max(initial=0) >= plte.shape[0]:
@@ -440,33 +534,296 @@ def _decode_png(payload: bytes) -> np.ndarray:
         alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
         alpha[: trns.shape[0]] = trns  # entries beyond tRNS are opaque
         return np.concatenate([rgb, alpha[idx][..., None]], axis=2).copy()
-    return img.reshape(h, w, ch).copy()
+    return img.copy()
 
 
-def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
-    """(n, h, w, 3) uint8 -> YUV4MPEG2 (y4m) stream, C444 (three full
-    planes per frame, plane-major — no chroma subsampling, so pixel
-    values round-trip exactly). y4m is the standard uncompressed video
-    interchange container (mjpegtools/ffmpeg), all-header + raw planes:
-    the video analog of PPM."""
+def _lzw_encode_gif(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW compress (LSB-first variable-width codes,
+    ``mcs``-bit roots): emits an initial Clear, grows the code width
+    when the DECODER's one-behind table would (next_code == 2^width+1),
+    and resets with a Clear one slot before the 4096-entry cap so the
+    decoder never has to handle a full table. Returns the raw code
+    stream (no sub-block framing)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << mcs)},
+            end + 1,
+            mcs + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    buf = b""
+    for byte in data:
+        nxt = buf + bytes([byte])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], width)
+        table[nxt] = next_code
+        next_code += 1
+        # the decoder adds its mirror entry one code later, so its
+        # table size when reading our NEXT code is next_code - 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4095:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(codestream: bytes, mcs: int) -> bytes:
+    """Invert :func:`_lzw_encode_gif`: raw LSB-first code stream ->
+    index bytes. Implements the standard GIF decoder loop incl. the
+    KwKwK case (code == next free slot) and per-Clear table resets."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int | None:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(codestream):
+                return None
+            acc |= codestream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    base = [bytes([i]) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = mcs + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+#: GIF interlace passes: (row_start, row_step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trans_index: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w) uint8 palette indices + (n<=256, 3) uint8 palette ->
+    single-frame GIF89a: logical screen descriptor + global colour
+    table (padded to the next power of two), optional Graphic Control
+    Extension carrying a transparent index, optional 4-pass row
+    interlacing, and a real GIF-LZW-compressed image data stream in
+    255-byte sub-blocks."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    plte = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"expected (h, w) index array, got {idx.shape}")
+    if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= plte.shape[0] <= 256:
+        raise ValueError(f"expected (n<=256, 3) palette, got {plte.shape}")
+    if idx.max(initial=0) >= plte.shape[0]:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    size_bits = max(1, int(np.ceil(np.log2(max(2, plte.shape[0])))))
+    gct = np.zeros((1 << size_bits, 3), dtype=np.uint8)
+    gct[: plte.shape[0]] = plte
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0
+    )
+    out += gct.tobytes()
+    if trans_index is not None:
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x01, 0, trans_index, 0)
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    rows = idx
+    if interlace:
+        rows = np.concatenate([idx[r0::st] for r0, st in _GIF_INTERLACE])
+    mcs = max(2, size_bits)
+    out.append(mcs)
+    stream = _lzw_encode_gif(rows.tobytes(), mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # data terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> (h, w, 3) uint8 RGB, or (h, w, 4) RGBA when a
+    Graphic Control Extension declares a transparent index: real LZW
+    decompression (variable-width LSB-first codes, KwKwK, table
+    resets), global/local colour tables, and 4-pass interlace
+    reassembly. Multi-frame (animated) GIFs decode to their FIRST
+    frame; later frames need disposal/composition policy and are out
+    of scope for asset statistics."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    trans = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
+            pos += 1
+            subs = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                subs.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs and subs[0][0] & 0x01:
+                trans = subs[0][3]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 1 << ((ipacked & 0x07) + 1)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image without a colour table")
+        mcs = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        data = _lzw_decode_gif(bytes(stream), mcs)
+        if len(data) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        idx = np.frombuffer(data, np.uint8, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            out_idx = np.empty_like(idx)
+            row = 0
+            for r0, st in _GIF_INTERLACE:
+                n_rows = len(range(r0, h, st))
+                out_idx[r0::st] = idx[row : row + n_rows]
+                row += n_rows
+            idx = out_idx
+        if idx.max(initial=0) >= table.shape[0]:
+            raise ValueError("GIF index out of colour-table range")
+        rgb = table[idx]
+        if trans is None:
+            return rgb.copy()
+        alpha = np.where(idx == trans, 0, 255).astype(np.uint8)
+        return np.concatenate([rgb, alpha[..., None]], axis=2)
+    raise ValueError("GIF contained no image block")
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: int = 25, colour: str = "444"
+) -> bytes:
+    """(n, h, w, 3) uint8 -> YUV4MPEG2 (y4m) stream. y4m is the
+    standard uncompressed video interchange container
+    (mjpegtools/ffmpeg), all-header + raw planes: the video analog of
+    PPM.
+
+    ``colour``: ``"444"`` writes three full planes per frame (no chroma
+    subsampling — pixel values round-trip exactly); ``"420jpeg"`` and
+    ``"422"`` write subsampled chroma planes (the mean of each 2x2 /
+    2x1 pixel block, integer-rounded to nearest — JPEG-style centered
+    siting), which requires even width (and even height for 420).
+    Subsampled round-trips are exact iff chroma is constant within each
+    block; otherwise decode reconstructs the block means."""
     arr = np.asarray(frames, dtype=np.uint8)
     if arr.ndim != 4 or arr.shape[3] != 3:
         raise ValueError(f"expected (n, h, w, 3), got {arr.shape}")
     n, h, w, _ = arr.shape
-    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)
+    if colour not in ("444", "420jpeg", "422"):
+        raise ValueError(f"unsupported colour mode C{colour}")
+    sx = 1 if colour == "444" else 2
+    sy = 2 if colour == "420jpeg" else 1
+    if w % sx or h % sy:
+        raise ValueError(f"C{colour} needs dimensions divisible by {sx}x{sy}")
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C%s\n" % (
+        w,
+        h,
+        fps,
+        colour.encode(),
+    )
     body = bytearray()
     for f in range(n):
         body += b"FRAME\n"
-        for c in range(3):
-            body += arr[f, :, :, c].tobytes()
+        body += arr[f, :, :, 0].tobytes()  # Y always full resolution
+        for c in (1, 2):
+            plane = arr[f, :, :, c].astype(np.uint32)
+            if sx == 1 and sy == 1:
+                body += plane.astype(np.uint8).tobytes()
+                continue
+            blocks = plane.reshape(h // sy, sy, w // sx, sx)
+            total = blocks.sum(axis=(1, 3))
+            area = sx * sy
+            sub = (total + area // 2) // area  # round-half-up mean
+            body += sub.astype(np.uint8).tobytes()
     return head + bytes(body)
 
 
 def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
-    """YUV4MPEG2 -> ((n, h, w, 3) uint8 frame stack, fps). C444 only —
-    subsampled colour (C420/C422) needs upsampling policy decisions and
-    is refused explicitly. Frame headers may carry parameters
-    (``FRAME Ixxx\\n``); only the marker is required."""
+    """YUV4MPEG2 -> ((n, h, w, 3) uint8 frame stack, fps). C444 reads
+    full planes; C420 (jpeg/any siting suffix) and C422 chroma planes
+    are upsampled back to full resolution by block replication (nearest
+    neighbor — exact inversion whenever chroma was constant per
+    subsampling block, the usual fixture/screen-content case). Frame
+    headers may carry parameters (``FRAME Ixxx\\n``); only the marker
+    is required."""
     nl = payload.index(b"\n")
     header = payload[:nl].split(b" ")
     if header[0] != b"YUV4MPEG2":
@@ -488,9 +845,18 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
             colour = val
     if w is None or h is None:
         raise ValueError("missing W/H in y4m header")
-    if not colour.startswith(b"444"):
-        raise NotImplementedError(f"only C444 supported (C{colour.decode()})")
-    frame_bytes = w * h * 3
+    if colour.startswith(b"444"):
+        sx = sy = 1
+    elif colour.startswith(b"420"):
+        sx = sy = 2
+    elif colour.startswith(b"422"):
+        sx, sy = 2, 1
+    else:
+        raise NotImplementedError(
+            f"only C444/C420*/C422 supported (C{colour.decode()})"
+        )
+    cw, ch_ = w // sx, h // sy
+    frame_bytes = w * h + 2 * cw * ch_
     pos = nl + 1
     frames = []
     while pos < len(payload):
@@ -501,7 +867,14 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
         planes = np.frombuffer(
             payload, dtype=np.uint8, count=frame_bytes, offset=pos
         )
-        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        y = planes[: w * h].reshape(h, w)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        out[:, :, 0] = y
+        for c in (1, 2):
+            off = w * h + (c - 1) * cw * ch_
+            sub = planes[off : off + cw * ch_].reshape(ch_, cw)
+            out[:, :, c] = np.repeat(np.repeat(sub, sy, axis=0), sx, axis=1)
+        frames.append(out)
         pos += frame_bytes
     stack = (
         np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)

@@ -1,0 +1,302 @@
+"""Round-9 codec surface: PNG 16-bit + Adam7 interlace, GIF (real
+LZW), y4m chroma subsampling, and the pure-numpy baseline JPEG codec.
+
+Every lossless format is pinned by exact encode->decode round-trips
+over adversarial shapes (1x1, odd sizes, sizes straddling interlace
+pass boundaries); JPEG — the one lossy format — is pinned by its
+exactness model (block-constant images at quality 75 round-trip
+BIT-EXACTLY, see jpegcodec module docstring) plus bounded error and
+structural checks on general images."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from scipi_spark.operators import multimodal as mm
+from scipi_spark.operators.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+    _ZIGZAG,
+)
+
+
+# ---------------------------------------------------------------------------
+# PNG: 16-bit depth and Adam7 interlace
+# ---------------------------------------------------------------------------
+
+
+def test_png_16bit_roundtrip_all_channels():
+    rng = np.random.default_rng(5)
+    for ch in (1, 2, 3, 4):
+        a = rng.integers(0, 65536, (11, 7, ch), dtype=np.uint16)
+        out = mm.decode_image(mm.encode_png(a))
+        assert out.dtype == np.uint16
+        assert (out == a).all()
+    # byte order is big-endian per spec: a crafted two-pixel gray image
+    raw = b"\x00" + struct.pack(">HH", 0x0102, 0xFFFE)
+    png = (
+        mm.PNG_SIGNATURE
+        + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    out = mm.decode_image(png)
+    assert out.ravel().tolist() == [0x0102, 0xFFFE]
+
+
+def test_png_adam7_roundtrip_shapes():
+    """Adam7 passes have empty/degenerate cases for images < 8 px in
+    either dimension — every shape class must round-trip, at 8 and 16
+    bit, across all five scanline filters (the encoder cycles them)."""
+    rng = np.random.default_rng(6)
+    shapes = [(1, 1), (1, 9), (9, 1), (2, 2), (5, 3), (7, 13), (8, 8), (17, 16)]
+    for ch in (1, 2, 3, 4):
+        for h, w in shapes:
+            a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            assert (mm.decode_image(mm.encode_png(a, interlace=1)) == a).all()
+    a16 = rng.integers(0, 65536, (13, 11, 3), dtype=np.uint16)
+    assert (mm.decode_image(mm.encode_png(a16, interlace=1)) == a16).all()
+
+
+def test_png_adam7_fixed_filters():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    for ft in range(5):
+        png = mm.encode_png(a, filter_type=ft, interlace=1)
+        assert (mm.decode_image(png) == a).all()
+
+
+def test_png_interlaced_stream_differs_but_decodes_equal():
+    a = np.arange(9 * 8 * 3, dtype=np.uint8).reshape(9, 8, 3)
+    plain, inter = mm.encode_png(a), mm.encode_png(a, interlace=1)
+    assert plain != inter  # genuinely different wire layout
+    assert (mm.decode_image(plain) == mm.decode_image(inter)).all()
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_basic():
+    rng = np.random.default_rng(8)
+    for h, w, n in [(1, 1, 2), (7, 13, 5), (33, 17, 3), (64, 64, 256)]:
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        plte = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        out = mm.decode_image(mm.encode_gif(idx, plte))
+        assert out.shape == (h, w, 3)
+        assert (out == plte[idx]).all()
+
+
+def test_gif_lzw_table_reset_and_width_growth():
+    """A 200x200 random 256-colour image drives the LZW table through
+    every code width up to 12 bits and past the 4095-entry reset — the
+    encoder/decoder width-bump and Clear handshake must stay in
+    lockstep the whole way."""
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, (200, 200), dtype=np.uint8)
+    plte = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    assert (mm.decode_image(mm.encode_gif(idx, plte)) == plte[idx]).all()
+
+
+def test_gif_kwkwk_case():
+    # maximally repetitive input exercises the code==next_slot branch
+    idx = np.tile(np.array([[0, 0, 1, 1]], dtype=np.uint8), (50, 100))
+    plte = np.array([[10, 20, 30], [200, 100, 0]], dtype=np.uint8)
+    assert (mm.decode_image(mm.encode_gif(idx, plte)) == plte[idx]).all()
+
+
+def test_gif_interlace():
+    rng = np.random.default_rng(10)
+    for h in (1, 2, 3, 7, 8, 9, 16):  # straddle all four pass starts
+        idx = rng.integers(0, 16, (h, 11), dtype=np.uint8)
+        plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        plain = mm.encode_gif(idx, plte)
+        inter = mm.encode_gif(idx, plte, interlace=True)
+        assert plain != inter
+        assert (mm.decode_image(inter) == plte[idx]).all()
+
+
+def test_gif_transparency_emits_alpha():
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    out = mm.decode_image(mm.encode_gif(idx, plte, trans_index=1))
+    assert out.shape == (2, 2, 4)
+    assert (out[..., 3] == np.where(idx == 1, 0, 255)).all()
+    assert (out[..., :3] == plte[idx]).all()
+
+
+def test_gif_corrupt_streams_fail_loudly():
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    plte = np.zeros((2, 3), dtype=np.uint8)
+    payload = bytearray(mm.encode_gif(idx, plte))
+    with pytest.raises(ValueError):
+        mm._decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # no image block
+    # truncated pixel data: flip the image dims up
+    bad = payload.replace(
+        struct.pack("<HHHH", 0, 0, 2, 2), struct.pack("<HHHH", 0, 0, 9, 9), 1
+    )
+    with pytest.raises(ValueError):
+        mm._decode_gif(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# y4m chroma subsampling
+# ---------------------------------------------------------------------------
+
+
+def _chroma_blocked_frames(sx, sy, n=2, h=6, w=8):
+    f, y, x = np.indices((n, h, w))
+    fr = np.empty((n, h, w, 3), np.uint8)
+    fr[..., 0] = (3 * f + 7 * x + 13 * y) % 256
+    fr[..., 1] = (5 * (x // sx) + 11 * (y // sy) + f) % 256
+    fr[..., 2] = (9 * (x // sx) + 2 * (y // sy) + 4 * f) % 256
+    return fr
+
+
+def test_y4m_420_exact_when_chroma_block_constant():
+    fr = _chroma_blocked_frames(2, 2)
+    out, fps = mm.decode_y4m(mm.encode_y4m(fr, fps=10, colour="420jpeg"))
+    assert fps == 10.0
+    assert (out == fr).all()
+
+
+def test_y4m_422_exact_when_chroma_block_constant():
+    fr = _chroma_blocked_frames(2, 1)
+    out, _ = mm.decode_y4m(mm.encode_y4m(fr, colour="422"))
+    assert (out == fr).all()
+
+
+def test_y4m_420_reconstructs_block_means():
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, (1, 4, 4, 3), dtype=np.uint8)
+    out, _ = mm.decode_y4m(mm.encode_y4m(a, colour="420jpeg"))
+    assert (out[..., 0] == a[..., 0]).all()  # luma untouched
+    for c in (1, 2):
+        blocks = a[0, :, :, c].astype(int).reshape(2, 2, 2, 2).sum(axis=(1, 3))
+        exp = (blocks + 2) // 4  # round-half-up block mean
+        assert (out[0, ::2, ::2, c] == exp).all()
+        # replication upsampling: all four positions in a block agree
+        assert (out[0, 1::2, 1::2, c] == exp).all()
+
+
+def test_y4m_subsampling_needs_even_dims():
+    fr = np.zeros((1, 3, 4, 3), np.uint8)
+    with pytest.raises(ValueError):
+        mm.encode_y4m(fr, colour="420jpeg")
+    mm.encode_y4m(fr, colour="422")  # odd height fine for 422
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def _block_constant_rgb(h=24, w=40, seed_mult=(3, 7), base=5):
+    by, bx = np.indices((h // 8, w // 8))
+    vals = ((base + seed_mult[0] * bx + seed_mult[1] * by) % 256).astype(
+        np.uint8
+    )
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    return np.stack([img] * 3, axis=-1)
+
+
+def test_jpeg_zigzag_is_the_spec_order():
+    # the first 10 entries of the T.81 zigzag scan, flat-indexed
+    assert _ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+
+
+def test_jpeg_quality75_luma_dc_step_is_8():
+    luma, chroma = quality_tables(75)
+    assert luma[0, 0] == 8  # the exactness anchor (module docstring)
+    assert quality_tables(100)[0].max() == 1 or quality_tables(100)[0].min() == 1
+
+
+def test_jpeg_block_constant_bit_exact_444_and_420():
+    rgb = _block_constant_rgb()
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(rgb, quality=75, subsampling=sub))
+        assert out.shape == rgb.shape
+        assert (out == rgb).all(), sub
+
+
+def test_jpeg_grayscale_scan_bit_exact():
+    img = _block_constant_rgb()[..., 0]
+    out = decode_jpeg(encode_jpeg(img, quality=75))
+    assert out.shape == (*img.shape, 1)
+    assert (out[..., 0] == img).all()
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    """Edge padding: a block-constant image whose dims are NOT multiples
+    of 8 still decodes exactly in the covered region (padding is edge
+    replication, so edge blocks stay constant)."""
+    rgb = _block_constant_rgb()[:19, :27]
+    out = decode_jpeg(encode_jpeg(rgb, quality=75, subsampling="444"))
+    assert out.shape == rgb.shape
+    assert (out == rgb).all()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    rgb = _block_constant_rgb(16, 32)
+    for sub in ("444", "420"):
+        for ri in (1, 2, 3):
+            out = decode_jpeg(
+                encode_jpeg(rgb, 75, sub, restart_interval=ri)
+            )
+            assert (out == rgb).all(), (sub, ri)
+    # restart on/off must agree bit-for-bit on lossy content too
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    o1 = decode_jpeg(encode_jpeg(a, 90, "420"))
+    o2 = decode_jpeg(encode_jpeg(a, 90, "420", restart_interval=2))
+    assert (o1 == o2).all()
+
+
+def test_jpeg_bounded_error_on_smooth_image():
+    rng = np.random.default_rng(14)
+    sm = rng.integers(0, 256, (37, 53, 3)).astype(float)
+    for _ in range(4):
+        sm = (
+            sm
+            + np.roll(sm, 1, 0)
+            + np.roll(sm, 1, 1)
+            + np.roll(sm, -1, 0)
+            + np.roll(sm, -1, 1)
+        ) / 5
+    a = np.clip(sm, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(a, quality=95, subsampling="444"))
+    err = np.abs(out.astype(int) - a.astype(int))
+    assert err.max() <= 24 and err.mean() < 4.0
+
+
+def test_jpeg_dispatches_from_decode_image():
+    rgb = _block_constant_rgb(8, 16)
+    assert (mm.decode_image(encode_jpeg(rgb, 75)) == rgb).all()
+
+
+def test_jpeg_rejects_non_baseline():
+    # progressive (SOF2) must refuse, not garble
+    payload = bytearray(encode_jpeg(_block_constant_rgb(8, 8)))
+    idx = bytes(payload).index(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00not-a-jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+
+
+def test_jpeg_quality_monotonic_size():
+    a = _block_constant_rgb()
+    rng = np.random.default_rng(15)
+    noisy = np.clip(
+        a.astype(int) + rng.integers(-20, 21, a.shape), 0, 255
+    ).astype(np.uint8)
+    sizes = [len(encode_jpeg(noisy, q)) for q in (10, 50, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]

@@ -219,10 +219,13 @@ def test_bmp_roundtrip_padding_and_topdown():
 def test_decode_image_rejects_unsupported():
     import numpy as np
 
-    # JPEG stays codec-gated (r8: PNG graduated from this list to a
-    # real decoder — see test_png_* — so the unsupported magic moved)
-    with pytest.raises(NotImplementedError):
+    # r9: JPEG graduated to a real decoder (see test_codecs.py), so a
+    # JPEG magic followed by garbage is now a CORRUPT stream error;
+    # genuinely codec-less formats (MP4 here) still refuse loudly
+    with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0fake-jpeg")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00mp4fake")
     # a PNG signature followed by garbage is a CORRUPT stream, not an
     # unsupported format — it must fail loudly, never decode
     with pytest.raises(ValueError):
@@ -345,9 +348,10 @@ def test_y4m_roundtrip_and_variants():
     # zero-frame stream decodes to an empty stack
     empty, _ = mm.decode_y4m(mm.encode_y4m(frames[:0], fps=30))
     assert empty.shape == (0, 6, 8, 3)
-    # subsampled colour is refused, not garbled
+    # r9: C420/C422 decode for real (test_codecs.py); exotic colour
+    # modes are still refused, not garbled
     with pytest.raises(NotImplementedError):
-        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\x00" * 6)
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n" + b"\x00" * 4)
 
 
 def test_video_frame_stats_real_grab(spark):
@@ -499,8 +503,16 @@ def test_png_rejects_unsupported_variants():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    # 16-bit and interlaced (palette + grayscale decode for real since r9)
-    for depth, colour, interlace in ((16, 2, 0), (16, 0, 0), (8, 2, 1)):
+    # 16-bit and Adam7 decode for real since r9 — what remains
+    # unsupported is sub-byte packed depths, 16-bit palette, and
+    # unknown interlace methods
+    for depth, colour, interlace in (
+        (1, 0, 0),
+        (2, 3, 0),
+        (4, 0, 0),
+        (16, 3, 0),
+        (8, 2, 2),
+    ):
         png = (
             M.PNG_SIGNATURE
             + chunk(
