@@ -1716,6 +1716,180 @@ def _q_multimodal_decode_png(spark, sf_dir):
     return multimodal.media_stats(_png_real_assets(spark, sf_dir))
 
 
+def _jpeg_real_assets(spark, sf_dir):
+    """Deterministic REAL baseline JPEGs generated distributed, cycling
+    doc_id % 3 through 4:4:4 RGB, 4:2:0 RGB, and single-component
+    grayscale scans. Images are CONSTANT within each 8x8 block with
+    neutral chroma (r=g=b), and quality 75 makes the luma DC step
+    exactly 8 = the DC scaling factor, so the lossy format round-trips
+    BIT-EXACTLY (``operators/jpegcodec.py`` module docstring derives
+    this) and the decoded statistics are SQL-replayable: block value
+    ``v[bx][by] = (doc_id + 3*bx + 7*by) % 256``."""
+    import numpy as _np
+    import pandas as pd
+
+    from scipi_spark.operators.jpegcodec import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nbx, nby = 2 + did % 3, 1 + did % 2
+                bx, by = _np.indices((nby, nbx), dtype=_np.int64)[::-1]
+                vals = ((did + 3 * bx + 7 * by) % 256).astype("uint8")
+                img = _np.repeat(_np.repeat(vals, 8, axis=0), 8, axis=1)
+                cls = did % 3
+                if cls == 2:
+                    payload = encode_jpeg(img, quality=75)
+                else:
+                    rgb = _np.stack([img] * 3, axis=-1)
+                    payload = encode_jpeg(
+                        rgb, quality=75,
+                        subsampling="444" if cls == 0 else "420",
+                    )
+                out["asset_id"].append(did)
+                out["format"].append("jpeg")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen, schema="asset_id long, format string, payload binary"
+    )
+
+
+def _q_multimodal_decode_jpeg(spark, sf_dir):
+    """Zero-dependency baseline JPEG decode, driver-gated end-to-end
+    (r9, closing the largest remaining codec stub): real JFIF streams —
+    forward DCT + quantization + canonical Huffman entropy coding on
+    the encode side; full marker parse, DHT reconstruction, entropy
+    decode, dequant + IDCT, chroma upsample, YCbCr->RGB on the decode
+    side (``operators/jpegcodec.py``) — are generated distributed and
+    decoded inside an Arrow mapInPandas stage. Fixtures are 8x8-block-
+    constant at quality 75, where JPEG's loss is exactly zero (module
+    docstring), so the oracle replays the block formula in SQL and a
+    single wrong coefficient anywhere in either direction breaks the
+    channel-statistics hash. Covers 4:4:4, 4:2:0, and grayscale scans.
+    Progressive/arithmetic JPEG remain explicitly refused."""
+    from scipi_spark.operators import multimodal
+
+    return multimodal.media_stats(_jpeg_real_assets(spark, sf_dir))
+
+
+def _gif_real_assets(spark, sf_dir):
+    """Deterministic REAL GIFs generated distributed: per doc, a
+    32-colour image with ``idx[y][x] = (doc_id + 7x + 13y) % 32`` and
+    palette ``plte[i][c] = (37i + 41c + doc_id) % 256``; odd doc_ids
+    are 4-pass interlaced, doc_id % 3 == 0 additionally carries a
+    transparent index ``doc_id % 32`` (decode emits RGBA with alpha
+    0 at matching pixels, 255 elsewhere). Exercises the real LZW
+    compressor/decompressor on every asset."""
+    import numpy as _np
+    import pandas as pd
+
+    from scipi_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 6, 6 + did % 5
+                y, x = _np.indices((h, w), dtype=_np.int64)
+                idx = ((did + 7 * x + 13 * y) % 32).astype("uint8")
+                i, c = _np.indices((32, 3), dtype=_np.int64)
+                plte = ((37 * i + 41 * c + did) % 256).astype("uint8")
+                payload = multimodal.encode_gif(
+                    idx,
+                    plte,
+                    trans_index=(did % 32) if did % 3 == 0 else None,
+                    interlace=bool(did % 2),
+                )
+                out["asset_id"].append(did)
+                out["format"].append("gif")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen, schema="asset_id long, format string, payload binary"
+    )
+
+
+def _q_multimodal_decode_gif(spark, sf_dir):
+    """Real GIF decode under the hash gate (r9): LZW decompression with
+    variable-width LSB-first codes, interlace reassembly, palette
+    lookup, and GCE transparency all must be byte-perfect for the
+    decoded channel statistics to match the SQL replay of the index/
+    palette formulas — interlaced assets in particular break if the
+    4-pass row permutation is off by one anywhere."""
+    from scipi_spark.operators import multimodal
+
+    return multimodal.media_stats(_gif_real_assets(spark, sf_dir))
+
+
+def _chroma_video_assets(spark, sf_dir):
+    """Deterministic subsampled-chroma y4m videos generated
+    distributed: even doc_ids C420jpeg (2x2 chroma decimation), odd
+    C422 (2x1). Luma is full-resolution
+    ``(doc_id + 3f + 7x + 13y) % 256``; chroma is CONSTANT within each
+    subsampling block (``u = (doc_id + f + 5*(x//2) + 11*(y//sy)) %
+    256``, ``v = (doc_id + 4f + 9*(x//2) + 2*(y//sy)) % 256``) so the
+    block-mean downsample + replication upsample round-trips exactly
+    and the decoded planes are SQL-replayable."""
+    import numpy as _np
+    import pandas as pd
+
+    from scipi_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + 2 * (did % 3), 6 + 2 * (did % 2)
+                nf, fps = 2 + did % 3, 10 + did % 5
+                colour = "420jpeg" if did % 2 == 0 else "422"
+                sy = 2 if did % 2 == 0 else 1
+                f, y, x = _np.indices((nf, h, w), dtype=_np.int64)
+                fr = _np.empty((nf, h, w, 3), dtype=_np.uint8)
+                fr[..., 0] = (did + 3 * f + 7 * x + 13 * y) % 256
+                fr[..., 1] = (did + f + 5 * (x // 2) + 11 * (y // sy)) % 256
+                fr[..., 2] = (did + 4 * f + 9 * (x // 2) + 2 * (y // sy)) % 256
+                out["asset_id"].append(did)
+                out["format"].append("y4m")
+                out["payload"].append(
+                    multimodal.encode_y4m(fr, fps=fps, colour=colour)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen, schema="asset_id long, format string, payload binary"
+    )
+
+
+def _q_multimodal_video_chroma(spark, sf_dir):
+    """Subsampled-chroma video decode under the hash gate (r9): C420
+    and C422 y4m streams — block-mean chroma decimation on encode,
+    replication upsample on decode — sampled every 2nd frame with
+    exact per-plane integer statistics. Because fixture chroma is
+    constant per subsampling block, the decode is exact and the oracle
+    replays the plane formulas; a wrong plane size, wrong block
+    geometry, or swapped Cb/Cr ordering breaks the hash. Completes the
+    y4m matrix: C444 (``multimodal_video_frames``) plus both
+    subsampled modes here."""
+    from scipi_spark.operators import multimodal
+
+    return multimodal.video_frame_stats(
+        _chroma_video_assets(spark, sf_dir), every_n=2
+    )
+
+
 def _q_multimodal_decode_real(spark, sf_dir):
     """The de-stubbed decode path (round-6 verdict #3): generate real
     WAV/PPM/BMP files distributed, then decode them with the REAL
@@ -2544,6 +2718,45 @@ def _q_winnow_overlap(spark, sf_dir):
     )
     return dedup.winnow_overlap_pairs(
         docs.unionByName(comp), k=8, w=4, threshold=0.6, max_doc_freq=50
+    )
+
+
+def _q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. ACL'22 ExactSubstr,
+    grid approximation — ``operators/dedup.py:duplicate_substring_spans``):
+    locate the repeated character ranges INSIDE documents, not just
+    whole-document/paragraph duplicates. Fixture plants a shared
+    license-style sentence at the tail of every doc_id ≡ 0 (mod 7), so
+    every planted doc must report a span covering it; any natural
+    verbatim >=20-char repeats are flagged too — stride=1 is the exact
+    all-positions Lee et al. semantics (the oracle replays the identical
+    gram stream, counts, and island merge in SQL, so both engines agree
+    on ALL spans, planted or organic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = " standard license header text do not remove this notice verbatim"
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(boiler))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.duplicate_substring_spans(planted, k=20, stride=1)
+
+
+def _q_dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. NeurIPS'23 — hashed-n-gram
+    importance resampling, ``operators/textops.py:dsir_importance``):
+    documents scored by how English-target-like their hashed-bigram
+    bucket distribution is (target sample = the lang='en' rows; raw =
+    the whole corpus), the standard classifier-free pretraining-data
+    selection method. The oracle refits both Laplace-smoothed bucket
+    models and re-sums every document's per-occurrence log-ratio in
+    SQL with the same portable md5 bucket hash, so the feature
+    hashing, the one-pass dual-model aggregation, and the per-doc
+    rollup are all load-bearing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=256
     )
 
 
@@ -3483,6 +3696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_decode_png": _q_multimodal_decode_png,
+        "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
+        "multimodal_decode_gif": _q_multimodal_decode_gif,
+        "multimodal_video_chroma": _q_multimodal_video_chroma,
         "sink_roundtrip": _q_sink_roundtrip,
         "stream_ann_store_probe": _q_stream_ann_store_probe,
         "ann_store_time_travel": _q_ann_store_time_travel,
@@ -3526,6 +3742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hard_negatives": _q_knn_hard_negatives,
         "winnow_fingerprints": _q_winnow_profile,
         "winnow_overlap": _q_winnow_overlap,
+        "dedup_substring_spans": _q_dedup_substring_spans,
+        "dsir_importance": _q_dsir_importance,
         "leakage_safe_split": _q_leakage_safe_split,
         "corpus_stats": _q_corpus_stats,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -4466,6 +4684,76 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(i AS DOUBLE) / s.n_fp, 6) AS overlap
             FROM inter JOIN sizes s ON inter.contained = s.doc_id
             WHERE round(CAST(i AS DOUBLE) / s.n_fp, 6) >= 0.6
+        """,
+        # identical all-positions 20-gram stream, 60-bit md5 hash,
+        # dup-count filter, and gaps-and-islands merge as the Spark plan
+        "dedup_substring_spans": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' standard license header text do not remove this notice verbatim'
+                            ELSE text END), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 19 + 1)) AS p
+              FROM norm WHERE len(t) >= 20
+            ), grams AS (
+              SELECT doc_id, p,
+                     ('0x' || substr(md5(substr(t, CAST(p AS INT), 20)),
+                                     1, 15))::BIGINT AS h
+              FROM pos
+            ), dup AS (
+              SELECT h FROM grams GROUP BY h HAVING count(*) > 1
+            ), hits AS (
+              SELECT doc_id, p, p + 19 AS e FROM grams JOIN dup USING (h)
+            ), w AS (
+              SELECT doc_id, p, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM hits
+            ), isl AS (
+              SELECT doc_id, p, e,
+                     sum(CASE WHEN p > coalesce(prev_end + 1, -1)
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+              FROM w
+            )
+            SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+                   CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(e) - min(p) + 1 AS BIGINT) AS span_len
+            FROM isl GROUP BY doc_id, island
+        """,
+        # refit both Laplace-smoothed bucket models (target = lang 'en',
+        # raw = all) and re-sum each doc's per-occurrence log-ratios
+        "dsir_importance": r"""
+            WITH base AS (
+              SELECT doc_id, lang = 'en' AS is_t,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), bi AS MATERIALIZED (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(t[i] || ' ' || t[i + 1]),
+                                     1, 8))::BIGINT % 256 AS bucket
+              FROM (SELECT doc_id, is_t, t, unnest(range(1, len(t))) AS i
+                    FROM base WHERE len(t) >= 2)
+            ), model AS (
+              SELECT bucket, count(*) AS c_raw,
+                     sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+              FROM bi GROUP BY 1
+            ), tot AS (
+              SELECT sum(c_raw) AS t_raw, sum(c_t) AS t_t FROM model
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   round(sum(ln((c_t + 1.0) / (t_t + 256.0))
+                             - ln((c_raw + 1.0) / (t_raw + 256.0))),
+                         6) AS dsir_logw
+            FROM bi JOIN model USING (bucket), tot
+            GROUP BY doc_id
         """,
         "leakage_safe_split": r"""
             SELECT doc_id,
@@ -5991,6 +6279,93 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
                    CAST(MAX(v) AS BIGINT) AS peak
             FROM pix GROUP BY doc_id, w, h, ch
+        """,
+        # block-constant luma at quality 75 makes JPEG loss exactly
+        # zero (jpegcodec docstring), so the replay is exact: per-pixel
+        # value = block value; mean over equal-sized blocks = block mean
+        "multimodal_decode_jpeg": """
+            WITH img AS (
+              SELECT doc_id, 2 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby,
+                     CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS ch
+              FROM documents
+            ),
+            bxs AS (SELECT doc_id, nbx, nby, ch, unnest(range(0, nbx)) AS bx
+                    FROM img),
+            blk AS (SELECT doc_id, nbx, nby, ch,
+                           (doc_id + 3 * bx + 7 * by) % 256 AS v
+                    FROM (SELECT doc_id, nbx, nby, ch, bx,
+                                 unnest(range(0, nby)) AS by FROM bxs))
+            SELECT doc_id AS asset_id, 'jpeg' AS fmt,
+                   CAST(64 * nbx * nby * ch AS BIGINT) AS n,
+                   CAST(8 * nbx AS BIGINT) AS d1,
+                   CAST(8 * nby AS BIGINT) AS d2,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+                   CAST(MAX(v) AS BIGINT) AS peak
+            FROM blk GROUP BY doc_id, nbx, nby, ch
+        """,
+        "multimodal_decode_gif": """
+            WITH img AS (
+              SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,
+                     CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS ch
+              FROM documents
+            ),
+            xs AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x
+                   FROM img),
+            xys AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS y
+                    FROM xs),
+            pix AS (
+              SELECT doc_id, w, h, ch,
+                     CASE WHEN c = 3 THEN
+                            CASE WHEN (doc_id + 7 * x + 13 * y) % 32
+                                      = doc_id % 32
+                                 THEN 0 ELSE 255 END
+                          ELSE (37 * ((doc_id + 7 * x + 13 * y) % 32)
+                                + 41 * c + doc_id) % 256
+                     END AS v
+              FROM (SELECT doc_id, w, h, ch, x, y,
+                           unnest(range(0, ch)) AS c FROM xys)
+            )
+            SELECT doc_id AS asset_id, 'gif' AS fmt,
+                   CAST(w * h * ch AS BIGINT) AS n,
+                   CAST(w AS BIGINT) AS d1, CAST(h AS BIGINT) AS d2,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+                   CAST(MAX(v) AS BIGINT) AS peak
+            FROM pix GROUP BY doc_id, w, h, ch
+        """,
+        # chroma constant per subsampling block -> the mean-then-
+        # replicate round trip is exact, so full-resolution replay works
+        "multimodal_video_chroma": """
+            WITH vid AS (
+              SELECT doc_id, 8 + 2 * (doc_id % 3) AS w,
+                     6 + 2 * (doc_id % 2) AS h,
+                     2 + doc_id % 3 AS nf, 10 + doc_id % 5 AS fps,
+                     CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS sy
+              FROM documents
+            ),
+            fidx AS (SELECT doc_id, w, h, fps, sy,
+                            unnest(range(0, nf, 2)) AS f FROM vid),
+            xs AS (SELECT doc_id, w, h, fps, sy, f,
+                          unnest(range(0, w)) AS x FROM fidx),
+            xys AS (SELECT doc_id, w, h, fps, sy, f, x,
+                           unnest(range(0, h)) AS y FROM xs),
+            px AS (
+              SELECT doc_id, w, h, fps, f,
+                     (doc_id + 3 * f + 7 * x + 13 * y) % 256 AS py,
+                     (doc_id + f + 5 * (x // 2) + 11 * (y // sy)) % 256
+                       AS pcb,
+                     (doc_id + 4 * f + 9 * (x // 2) + 2 * (y // sy)) % 256
+                       AS pcr
+              FROM xys
+            )
+            SELECT doc_id AS asset_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(floor(f * 1000 / fps) AS BIGINT) AS frame_ms,
+                   CAST(w * h AS BIGINT) AS n_px,
+                   CAST(sum(py) AS BIGINT) AS y_sum,
+                   CAST(sum(pcb) AS BIGINT) AS cb_sum,
+                   CAST(sum(pcr) AS BIGINT) AS cr_sum,
+                   CAST(max(py) AS BIGINT) AS y_peak
+            FROM px GROUP BY doc_id, f, w, h, fps
         """,
         "multimodal_decode_real": """
             WITH wav AS (

@@ -869,6 +869,96 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
 
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    k: int | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023): score every document by how target-like its hashed
+    n-gram feature distribution is, for selecting pretraining data that
+    matches a target domain without training a classifier.
+
+    Features are word bigrams hashed into ``n_buckets`` buckets with
+    the portable md5-prefix hash (same hash both engines). Two
+    Laplace-``alpha``-smoothed unigram-over-buckets models are fit in
+    ONE aggregation pass — the raw model over the whole corpus, the
+    target model over rows matching ``target_pred`` (here the
+    membership indicator plays the role of DSIR's target sample) — and
+    each document's importance log-weight is the sum over its bigram
+    occurrences of ``ln p_target(bucket) - ln p_raw(bucket)``.
+
+    ``k`` selects the top-k docs by (rounded) log-weight — the
+    deterministic argmax variant of DSIR's Gumbel-top-k resample —
+    compiling to TakeOrderedAndProject (no global sort, no window).
+
+    Scale shape: one narrow bigram explode; the model is a single
+    ``n_buckets``-row aggregate (map-side partial combine does nearly
+    all the work; the result is broadcast back, never shuffled on);
+    the per-doc rollup shuffles on doc_id once. At 100 TB the bucket
+    table stays a few-KB broadcast regardless of corpus size — that is
+    the point of hashed features. Docs with < 2 tokens have no
+    features and produce no row (same contract as
+    :func:`bigram_cross_entropy`). Float surface: one ln per bucket
+    and one rounded sum — the empirically-held cross-engine ln parity
+    contract tfidf/bm25/perplexity already rely on."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    feats = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            target_pred.alias("is_t"),
+            F.explode(pairs).alias("bg"),
+        )
+        .select("doc_id", "is_t", bucket)
+    )
+    feats = feats.localCheckpoint(eager=True)  # feeds model AND scoring
+    model = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+        )
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_t").alias("t_t")
+    )
+    a, b_ = F.lit(float(alpha)), F.lit(float(alpha * n_buckets))
+    logr = F.log((F.col("c_t") + a) / (F.col("t_t") + b_)) - F.log(
+        (F.col("c_raw") + a) / (F.col("t_raw") + b_)
+    )
+    scored = (
+        feats.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum(logr), 6).alias("dsir_logw"),
+        )
+    )
+    if k is not None:
+        scored = scored.orderBy(
+            F.desc("dsir_logw"), F.col("doc_id")
+        ).limit(k)
+    return scored
+
+
 def write_lm_store(
     df: DataFrame,
     path: str,

@@ -1294,3 +1294,74 @@ def test_tokenizer_fertility_known_values(spark):
     }
     assert out["en"] == (2, 5, 8, 1.6)
     assert out["zz"] == (1, 1, 1, 1.0)
+
+
+def test_duplicate_substring_spans_planted(spark):
+    """Two docs share a verbatim 60-char sentence inside otherwise
+    unique text: both must report a span covering it; the unique doc
+    reports nothing; adjacent/overlapping grid hits merge into ONE
+    maximal span per occurrence."""
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta epsilon"),
+        (2, "one two three four five " + shared + " six seven"),
+        (3, "totally unique content with no repeats anywhere here at all"),
+    ]
+    out = dedup.duplicate_substring_spans(_docs(spark, rows), k=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    for did, prefix in ((1, "alpha beta gamma "), (2, "one two three four five ")):
+        spans = by_doc[did]
+        assert len(spans) == 1  # one merged island, not per-gram rows
+        s = spans[0]
+        # the maximal common region is ' ' + shared + ' ' (the spaces on
+        # both sides match across the two docs): exact start and length
+        assert s["span_start"] == len(prefix)  # 1-based: prefix's trailing space
+        assert s["span_len"] == len(shared) + 2
+
+
+def test_duplicate_substring_spans_within_doc_repeat(spark):
+    """A substring repeated twice INSIDE one doc counts as duplicated
+    (corpus count > 1) and yields two separated spans."""
+    s = "repeatable license header block"
+    rows = [(1, s + " unique middle part goes here " + s)]
+    out = dedup.duplicate_substring_spans(_docs(spark, rows), k=20).collect()
+    assert len(out) == 2
+    spans = sorted((r["span_start"], r["span_len"]) for r in out)
+    text = rows[0][1]
+    second = text.find(s, 1) + 1  # 1-based start of the second copy
+    assert spans == [(1, len(s)), (second, len(s))]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs built from the target vocabulary must out-score docs from a
+    disjoint vocabulary; a doc with < 2 tokens emits no row; top-k
+    selection returns the k best."""
+    t = "the model trains on clean english text with good grammar"
+    o = "zzq qqz zqz qzq zzz qqq zqq qzz zzqq qqzz"
+    rows = [
+        (1, t + " " + t, "en"),
+        (2, t + " extra words here", "en"),
+        (3, o + " " + o, "xx"),
+        (4, t + " also target like", "xx"),  # held-out but target-like
+        (5, "single", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in textops.dsir_importance(
+            df, F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert 5 not in out  # no bigrams -> no row
+    assert out[1] > out[3] and out[2] > out[3]
+    # the target-like held-out doc scores above the off-target doc:
+    # scoring generalizes through the hashed features, not membership
+    assert out[4] > out[3]
+    top = textops.dsir_importance(
+        df, F.col("lang") == "en", n_buckets=64, k=2
+    ).collect()
+    assert len(top) == 2
+    assert {r["doc_id"] for r in top} <= {1, 2, 4}
