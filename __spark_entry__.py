@@ -1471,17 +1471,21 @@ def _q_multimodal_audio_features(spark, sf_dir):
 
 
 def _png_real_assets(spark, sf_dir):
-    """Deterministic REAL PNGs generated distributed, cycling doc_id % 5
-    through ALL five 8-bit PNG colour classes (r9 extends the r8
-    truecolor pair per the round-8 verdict #6): 0 truecolor RGB,
-    1 truecolor-alpha, 2 grayscale, 3 palette (indexed — PLTE lookup
-    with per-asset palette ``plte[i][c] = (37i + 41c + doc_id) % 256``
-    over indices ``(doc_id + 7x + 13y) % 64``), 4 gray+alpha. Direct
-    classes use ``pixel[y][x][c] = (doc_id + 7x + 13y + 29c) % 256``.
-    The encoder cycles the scanline filter y % 5 through ALL five PNG
-    spec filters (None/Sub/Up/Average/Paeth), so the decoder must invert
-    every one correctly — at every bytes-per-pixel width 1/2/3/4 — for
-    the decoded statistics to match the SQL replay of the formulas."""
+    """Deterministic REAL PNGs generated distributed, cycling doc_id % 7
+    through ALL five 8-bit PNG colour classes (r9 per the round-8
+    verdict #6) PLUS the r9 depth/interlace extensions: 0 truecolor
+    RGB, 1 truecolor-alpha, 2 grayscale, 3 palette (indexed — PLTE
+    lookup with per-asset palette ``plte[i][c] = (37i + 41c + doc_id) %
+    256`` over indices ``(doc_id + 7x + 13y) % 64``), 4 gray+alpha,
+    5 SIXTEEN-BIT truecolor Adam7-INTERLACED (big-endian samples,
+    ``pixel = (doc_id + 7x + 13y + 29c) % 65536``), 6 8-bit grayscale
+    Adam7-interlaced. Direct 8-bit classes use ``pixel[y][x][c] =
+    (doc_id + 7x + 13y + 29c) % 256``. The encoder cycles the scanline
+    filter y % 5 through ALL five PNG spec filters (None/Sub/Up/
+    Average/Paeth; per interlace pass in Adam7 mode), so the decoder
+    must invert every one correctly — at every bytes-per-pixel width
+    1/2/3/4/6 and across the seven-pass scatter — for the decoded
+    statistics to match the SQL replay of the formulas."""
     import numpy as _np
     import pandas as pd
 
@@ -1495,20 +1499,28 @@ def _png_real_assets(spark, sf_dir):
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 8 + did % 6, 6 + did % 5
-                cls = did % 5
+                cls = did % 7
                 if cls == 3:  # indexed colour: PLTE + index scanlines
                     y, x = _np.indices((h, w), dtype=_np.int64)
                     idx = ((did + 7 * x + 13 * y) % 64).astype("uint8")
                     i, c = _np.indices((64, 3), dtype=_np.int64)
                     plte = ((37 * i + 41 * c + did) % 256).astype("uint8")
                     payload = multimodal.encode_png_palette(idx, plte)
+                elif cls == 5:  # 16-bit truecolor, Adam7
+                    y, x, c = _np.indices((h, w, 3), dtype=_np.int64)
+                    pix = ((did + 7 * x + 13 * y + 29 * c) % 65536).astype(
+                        "uint16"
+                    )
+                    payload = multimodal.encode_png(pix, interlace=1)
                 else:
-                    ch = {0: 3, 1: 4, 2: 1, 4: 2}[cls]
+                    ch = {0: 3, 1: 4, 2: 1, 4: 2, 6: 1}[cls]
                     y, x, c = _np.indices((h, w, ch), dtype=_np.int64)
                     pix = ((did + 7 * x + 13 * y + 29 * c) % 256).astype(
                         "uint8"
                     )
-                    payload = multimodal.encode_png(pix)
+                    payload = multimodal.encode_png(
+                        pix, interlace=1 if cls == 6 else 0
+                    )
                 out["asset_id"].append(did)
                 out["format"].append("png")
                 out["payload"].append(payload)
@@ -1648,6 +1660,49 @@ def _q_multi_format_roundtrip(spark, sf_dir):
     return out
 
 
+def _q_sorted_scan_prune(spark, sf_dir):
+    """Range-clustered layout + data-skipping read, gated end-to-end
+    (r9 — the high-cardinality complement to ``partition_pruned_scan``):
+    the events table is written range-partitioned AND sorted by
+    ``value`` (``io.write_range_sorted`` — every parquet file a
+    disjoint value range, every row group tight), then a narrow value
+    range is read back through the pushed-filter path. pytest asserts
+    the skipping is REAL (parquet footer min/max disjoint across
+    files; the scan's numOutputRows collapses to the surviving row
+    groups vs a full decode on the unsorted layout —
+    tests/test_plans.py). The oracle recomputes the same aggregates
+    from the events view under the same predicate, so a row lost or
+    duplicated by the repartitionByRange exchange, or a boundary row
+    misfiled by the sort, breaks the hash."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.sources.io import write_range_sorted
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = _tempfile.mkdtemp(prefix="scipi_sorted_prune_")
+    try:
+        write_range_sorted(ev, base + "/byvalue", "value")
+        back = spark.read.parquet(base + "/byvalue").filter(
+            (F.col("value") >= 10.0) & (F.col("value") < 20.0)
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+                F.sum("user_id").cast("long").alias("sum_uid"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the dir goes
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _q_partition_pruned_scan(spark, sf_dir):
     """Hive-partitioned corpus + partition-pruned read, gated
     end-to-end: the documents table is written partitioned by source
@@ -1700,17 +1755,19 @@ def _q_partition_pruned_scan(spark, sf_dir):
 
 def _q_multimodal_decode_png(spark, sf_dir):
     """Zero-dependency PNG decode, driver-gated end-to-end (round-7
-    verdict #2; extended to ALL five 8-bit colour classes in r9 per
-    round-8 verdict #6): real truecolor / truecolor-alpha / grayscale /
-    palette-indexed / gray+alpha PNGs (stdlib zlib deflate +
+    verdict #2; ALL five 8-bit colour classes per round-8 verdict #6,
+    PLUS 16-bit samples and Adam7 interlace in r9): real truecolor /
+    truecolor-alpha / grayscale / palette-indexed / gray+alpha /
+    16-bit-interlaced / gray-interlaced PNGs (stdlib zlib deflate +
     hand-filtered scanlines) are generated distributed, then decoded
-    with the REAL inflate+unfilter(+PLTE lookup) kernel
+    with the REAL inflate+unfilter(+Adam7 scatter, +PLTE lookup) kernel
     (``operators/multimodal.py:_decode_png``) inside an Arrow
     mapInPandas stage. The oracle replays the pixel formulas in SQL — a
     single wrong byte in any of the five unfilters at any
-    bytes-per-pixel width, or one wrong palette lookup, breaks the
-    channel-statistics hash. JPEG/MP3/MP4 remain NotImplementedError
-    (no codec library in the container)."""
+    bytes-per-pixel width 1/2/3/4/6, one wrong palette lookup, or an
+    off-by-one in any of the seven interlace passes breaks the
+    channel-statistics hash. MP3/MP4 remain NotImplementedError (no
+    codec library in the container); JPEG/GIF are gated separately."""
     from scipi_spark.operators import multimodal
 
     return multimodal.media_stats(_png_real_assets(spark, sf_dir))
@@ -1742,13 +1799,15 @@ def _jpeg_real_assets(spark, sf_dir):
                 vals = ((did + 3 * bx + 7 * by) % 256).astype("uint8")
                 img = _np.repeat(_np.repeat(vals, 8, axis=0), 8, axis=1)
                 cls = did % 3
+                ri = 2 if did % 5 == 0 else 0  # exercise DRI/RSTn path
                 if cls == 2:
-                    payload = encode_jpeg(img, quality=75)
+                    payload = encode_jpeg(img, quality=75, restart_interval=ri)
                 else:
                     rgb = _np.stack([img] * 3, axis=-1)
                     payload = encode_jpeg(
                         rgb, quality=75,
                         subsampling="444" if cls == 0 else "420",
+                        restart_interval=ri,
                     )
                 out["asset_id"].append(did)
                 out["format"].append("jpeg")
@@ -1771,7 +1830,9 @@ def _q_multimodal_decode_jpeg(spark, sf_dir):
     constant at quality 75, where JPEG's loss is exactly zero (module
     docstring), so the oracle replays the block formula in SQL and a
     single wrong coefficient anywhere in either direction breaks the
-    channel-statistics hash. Covers 4:4:4, 4:2:0, and grayscale scans.
+    channel-statistics hash. Covers 4:4:4, 4:2:0, and grayscale scans;
+    every 5th asset additionally carries a DRI segment with RSTn
+    restart markers (the decoder's resync + DC-predictor reset path).
     Progressive/arithmetic JPEG remain explicitly refused."""
     from scipi_spark.operators import multimodal
 
@@ -3772,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write + pruned read (the O(source)-not-O(corpus) mechanism)
         "multi_format_roundtrip": _q_multi_format_roundtrip,
         "partition_pruned_scan": _q_partition_pruned_scan,
+        "sorted_scan_prune": _q_sorted_scan_prune,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -6176,6 +6238,16 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
             )
             SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
         """,
+        "sorted_scan_prune": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            WHERE value >= 10.0 AND value < 20.0
+            GROUP BY event_type
+        """,
         "partition_pruned_scan": """
             WITH target AS (SELECT min(source) AS s FROM documents),
             h AS (
@@ -6251,11 +6323,13 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         "multimodal_decode_png": """
             WITH img AS (
               SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,
-                     doc_id % 5 AS cls,
+                     doc_id % 7 AS cls,
                      -- DECODED channels per colour class: rgb, rgba,
-                     -- gray, palette (-> rgb), gray+alpha
-                     CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4
-                          WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 2 END AS ch
+                     -- gray, palette (-> rgb), gray+alpha,
+                     -- 16-bit rgb (Adam7), gray (Adam7)
+                     CASE doc_id % 7 WHEN 0 THEN 3 WHEN 1 THEN 4
+                          WHEN 2 THEN 1 WHEN 3 THEN 3 WHEN 4 THEN 2
+                          WHEN 5 THEN 3 ELSE 1 END AS ch
               FROM documents
             ),
             xs AS (SELECT doc_id, w, h, ch, cls, unnest(range(0, w)) AS x
@@ -6268,6 +6342,8 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                      CASE WHEN cls = 3
                           THEN (37 * ((doc_id + 7 * x + 13 * y) % 64)
                                 + 41 * c + doc_id) % 256
+                          WHEN cls = 5
+                          THEN (doc_id + 7 * x + 13 * y + 29 * c) % 65536
                           ELSE (doc_id + 7 * x + 13 * y + 29 * c) % 256
                      END AS v
               FROM (SELECT doc_id, w, h, ch, cls, x, y,

@@ -71,12 +71,17 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
-    arr = np.asarray(pixels, dtype=np.uint8)
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255); uint16 input ->
+    maxval 65535 with 2-byte big-endian samples per the Netpbm spec."""
+    arr = np.asarray(pixels)
+    wide = arr.dtype == np.uint16
+    arr = arr.astype(np.uint16 if wide else np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3), got {arr.shape}")
     h, w, _ = arr.shape
-    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+    maxval = 65535 if wide else 255
+    body = arr.astype(">u2").tobytes() if wide else arr.tobytes()
+    return b"P6\n%d %d\n%d\n" % (w, h, maxval) + body
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -178,8 +183,11 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         tokens.append(payload[start:pos])
     pos += 1  # single whitespace after maxval, then raster
     w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
-    if maxval != 255:
-        raise NotImplementedError(f"PPM maxval {maxval} != 255")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} out of spec range")
+    if maxval > 255:  # 2-byte big-endian samples (Netpbm spec)
+        raster = np.frombuffer(payload, dtype=">u2", count=w * h * 3, offset=pos)
+        return raster.astype(np.uint16).reshape(h, w, 3)
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raster.reshape(h, w, 3).copy()
 
@@ -700,6 +708,20 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     reassembly. Multi-frame (animated) GIFs decode to their FIRST
     frame; later frames need disposal/composition policy and are out
     of scope for asset statistics."""
+    idx, table, trans = _decode_gif_indexed(payload)
+    rgb = table[idx]
+    if trans is None:
+        return rgb.copy()
+    alpha = np.where(idx == trans, 0, 255).astype(np.uint8)
+    return np.concatenate([rgb, alpha[..., None]], axis=2)
+
+
+def _decode_gif_indexed(
+    payload: bytes,
+) -> tuple[np.ndarray, np.ndarray, int | None]:
+    """GIF -> ((h, w) uint8 index array, (n, 3) colour table,
+    transparent index or None) — the palette-preserving form
+    :func:`resize_payload` needs to re-encode without quantization."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
@@ -760,11 +782,7 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             idx = out_idx
         if idx.max(initial=0) >= table.shape[0]:
             raise ValueError("GIF index out of colour-table range")
-        rgb = table[idx]
-        if trans is None:
-            return rgb.copy()
-        alpha = np.where(idx == trans, 0, 255).astype(np.uint8)
-        return np.concatenate([rgb, alpha[..., None]], axis=2)
+        return idx, table, trans
     raise ValueError("GIF contained no image block")
 
 
@@ -1111,15 +1129,32 @@ def resize_pixels(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for the decodable containers: PPM/BMP payloads are
+    """REAL resize for every decodable container: the payload is
     decoded, nearest-neighbor resampled, and re-encoded in the SAME
-    container. Compressed formats pass through untouched (resizing them
-    needs the codec libraries this container lacks) — so the pipeline
-    stage is total while the kernel is real wherever decode is."""
+    container — PPM and BMP verbatim; PNG re-encoded at the decoded
+    channel count and bit depth (non-interlaced output); GIF resampled
+    in INDEX space so the original palette and transparency survive
+    without re-quantization; JPEG re-encoded baseline 4:4:4 at quality
+    90 (the one lossy leg, as with any codec). Formats without a
+    decoder here (MP3/MP4) pass through untouched so the pipeline
+    stage stays total."""
     if payload[:2] == b"P6":
         return encode_ppm(resize_pixels(_decode_ppm(payload), width, height))
     if payload[:2] == b"BM":
         return encode_bmp(resize_pixels(_decode_bmp(payload), width, height))
+    if payload[:8] == PNG_SIGNATURE:
+        return encode_png(resize_pixels(_decode_png(payload), width, height))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        idx, plte, trans = _decode_gif_indexed(payload)
+        return encode_gif(
+            resize_pixels(idx, width, height), plte, trans_index=trans
+        )
+    if payload[:2] == b"\xff\xd8":
+        from scipi_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+        return encode_jpeg(
+            resize_pixels(decode_jpeg(payload), width, height), quality=90
+        )
     return payload
 
 

@@ -110,6 +110,29 @@ def write_hive_partitioned(df: DataFrame, path: str, *cols: str, fmt: str = "par
     df.write.mode("overwrite").partitionBy(*cols).format(fmt).save(path)
 
 
+def write_range_sorted(df: DataFrame, path: str, *cols: str, n_ranges: int = 8) -> None:
+    """Range-clustered parquet sink — the DATA-SKIPPING complement to
+    :func:`write_hive_partitioned` for HIGH-cardinality keys where a
+    directory per value is impossible: ``repartitionByRange`` on the
+    sort key(s) makes every output file a disjoint key range, and
+    ``sortWithinPartitions`` makes every row group within a file tight
+    on that key too, so the parquet footer min/max statistics become
+    maximally selective. A reader's range/equality filter on the key
+    then skips whole files AND whole row groups inside surviving files
+    at the parquet-reader level (PushedFilters) — at 100 TB this turns
+    a point-in-time query over an events corpus from a full scan into
+    a few-row-group read, the same zone-map effect ORDER BY clustering
+    gives a warehouse table. (RangePartitioner samples the key to pick
+    balanced boundaries, so skew produces uneven file sizes, not
+    stragglers at read time.)"""
+    (
+        df.repartitionByRange(n_ranges, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     """Columnar ORC sink (Spark-native writer, no extra package): the
     Hive-ecosystem interchange twin of the parquet shard sink — same

@@ -300,3 +300,53 @@ def test_jpeg_quality_monotonic_size():
     ).astype(np.uint8)
     sizes = [len(encode_jpeg(noisy, q)) for q in (10, 50, 90)]
     assert sizes[0] < sizes[1] < sizes[2]
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PPM + resize across every decodable container
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_16bit_roundtrip():
+    rng = np.random.default_rng(16)
+    a = rng.integers(0, 65536, (5, 7, 3), dtype=np.uint16)
+    out = mm.decode_image(mm.encode_ppm(a))
+    assert out.dtype == np.uint16 and (out == a).all()
+    # spec: samples are big-endian — pin the wire order
+    payload = mm.encode_ppm(np.array([[[0x0102, 0, 0]]], dtype=np.uint16))
+    assert payload.endswith(b"\x01\x02\x00\x00\x00\x00")
+
+
+def test_resize_payload_all_containers():
+    """resize_payload must re-encode in the SAME container at the new
+    dims; for lossless containers the pixels equal an independent
+    nearest-neighbor resample of the decoded source."""
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    expected = mm.resize_pixels(rgb, 8, 6)
+    for enc, magic in [
+        (mm.encode_ppm, b"P6"),
+        (mm.encode_bmp, b"BM"),
+        (mm.encode_png, mm.PNG_SIGNATURE[:2]),
+    ]:
+        out = mm.resize_payload(enc(rgb), 8, 6)
+        assert out[: len(magic)] == magic
+        assert (mm.decode_image(out) == expected).all(), magic
+    # GIF: resampled in index space, palette + transparency preserved
+    idx = rng.integers(0, 16, (12, 16), dtype=np.uint8)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    out = mm.resize_payload(mm.encode_gif(idx, plte, trans_index=3), 8, 6)
+    assert out[:6] in (b"GIF87a", b"GIF89a")
+    got = mm.decode_image(out)
+    eidx = mm.resize_pixels(idx, 8, 6)
+    assert (got[..., :3] == plte[eidx]).all()
+    assert (got[..., 3] == np.where(eidx == 3, 0, 255)).all()
+    # JPEG: lossy leg — container preserved, dims right, block-constant
+    # content survives exactly at the aligned size
+    blocks = _block_constant_rgb(16, 32)
+    out = mm.resize_payload(encode_jpeg(blocks, 75), 16, 8)
+    assert out[:2] == b"\xff\xd8"
+    dec = decode_jpeg(out)
+    assert dec.shape == (8, 16, 3)
+    # unknown codec-compressed formats pass through untouched
+    assert mm.resize_payload(b"\x00mp4fake", 4, 4) == b"\x00mp4fake"

@@ -83,7 +83,7 @@ def test_bench_output_line_fits_driver_buffer():
 
 
 def test_scaling_curves_artifact_near_linear():
-    """SCALING.json (tools/scaling_curves.py) must cover the five curve
+    """SCALING.json (tools/scaling_curves.py) must cover the seven curve
     headliners at all three SFs with a near-linear task-time-vs-rows
     slope on the 0.01 -> 0.1 leg (1.0 = linear, 2.0 = quadratic; the
     band allows log factors and constant-overhead amortization but fails
@@ -103,6 +103,8 @@ def test_scaling_curves_artifact_near_linear():
         "dedup_minhash_lsh",
         "dedup_semantic",
         "knn_store_search",
+        "dedup_substring_spans",
+        "dsir_importance",
     }
     for name, by_sf in curves.items():
         assert name in QUERIES, name

@@ -230,11 +230,12 @@ def test_decode_image_rejects_unsupported():
     # unsupported format — it must fail loudly, never decode
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\nfake")
-    # 16-bit PPM (maxval 65535) needs wide-sample handling we don't claim
+    # r9: 16-bit PPM decodes for real (test_codecs.py); an out-of-spec
+    # maxval still fails loudly
     img = np.zeros((2, 2, 3), dtype="uint8")
-    wide = mm.encode_ppm(img).replace(b"\n255\n", b"\n65535\n")
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(wide)
+    bad = mm.encode_ppm(img).replace(b"\n255\n", b"\n70000\n")
+    with pytest.raises(ValueError):
+        mm.decode_image(bad)
 
 
 def test_media_stats_real_decode(spark):

@@ -337,3 +337,69 @@ def test_hive_partitioned_read_prunes_at_planning(spark, tmp_path):
     # over the full scan output (PushedFilters/data Filter on source)
     m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m2 is None or "source" not in m2.group(1), m2.group(0)
+
+
+def test_range_sorted_layout_enables_row_group_skipping(spark, tmp_path):
+    """r9: write_range_sorted must produce (a) parquet files whose
+    footer min/max on the sort key are DISJOINT ranges, (b) a read
+    whose range predicate lands in PushedFilters, and (c) a scan that
+    actually decodes only the surviving row groups — numOutputRows on
+    the sorted layout collapses vs the same filter over an unsorted
+    copy of the same rows. This is the zone-map mechanism that turns a
+    point query over a 100 TB events corpus into a few-row-group read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from scipi_spark.sources.io import write_range_sorted
+
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "event_id", "value"
+    )
+    sorted_dir = str(tmp_path / "sorted")
+    plain_dir = str(tmp_path / "plain")
+    write_range_sorted(ev, sorted_dir, "value", n_ranges=8)
+    ev.repartition(8).write.mode("overwrite").parquet(plain_dir)
+
+    # (a) footer statistics: per-file [min, max] on value do not overlap
+    spans = []
+    for f in glob.glob(sorted_dir + "/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        cols = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        vi = cols["value"]
+        lo = min(meta.row_group(g).column(vi).statistics.min
+                 for g in range(meta.num_row_groups))
+        hi = max(meta.row_group(g).column(vi).statistics.max
+                 for g in range(meta.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert lo_next >= hi_prev  # disjoint modulo boundary duplicates
+
+    def scan_rows(path):
+        df = spark.read.parquet(path).filter(
+            (F.col("value") >= 10.0) & (F.col("value") < 12.0)
+        )
+        plan = _plan(df)
+        assert re.search(r"PushedFilters: \[[^\]]*value[^\]]*\]", plan)
+        df.collect()
+        node = df._jdf.queryExecution().executedPlan()
+        # walk to the scan leaf and read its numOutputRows metric
+        while node.children().size() > 0:
+            node = node.children().apply(0)
+        return node.metrics().apply("numOutputRows").value()
+
+    decoded_sorted = scan_rows(sorted_dir)
+    decoded_plain = scan_rows(plain_dir)
+    total = ev.count()
+    matching = ev.filter(
+        (F.col("value") >= 10.0) & (F.col("value") < 12.0)
+    ).count()
+    # unsorted layout decodes everything; sorted layout decodes only
+    # the row groups whose stats intersect the predicate
+    assert decoded_plain == total
+    assert matching <= decoded_sorted < total / 4

@@ -55,6 +55,8 @@ CURVES = {
     "dedup_minhash_lsh": ["documents"],
     "dedup_semantic": ["documents"],
     "knn_store_search": ["embeddings"],
+    "dedup_substring_spans": ["documents"],
+    "dsir_importance": ["documents"],
 }
 
 WARM_SAMPLES = 2
