@@ -410,6 +410,40 @@ def _q_text_decontaminate(spark, sf_dir):
     return textops.decontaminate(train, eval_docs, k=5)
 
 
+def _q_decontaminate_bloom(spark, sf_dir):
+    """The bounded-broadcast decontamination twin of
+    ``text_decontaminate`` (r9): same planted-contamination fixture
+    (every 25th doc is eval; train docs with id % 25 == 7 get their
+    neighboring eval doc's first 8 tokens appended), but the eval gram
+    set is folded into a 64 Kbit Bloom filter and the training grams
+    probe the broadcast BIT SET — the wire size is capped by
+    construction no matter how large the eval suite grows
+    (``textops.decontaminate_bloom``). The oracle rebuilds the same
+    Bloom from the same md5 bit hashes in SQL, so the match is
+    bit-identical INCLUDING any false positives — a wrong salt, a
+    wrong modulus, or a missed bit collision all break the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    eval_docs = docs.filter(did % 25 == 0)
+    snips = eval_docs.select(
+        F.col("doc_id").alias("eid"),
+        F.concat_ws(" ", F.slice(textops.tokens("text"), 1, 8)).alias("snip"),
+    )
+    train = (
+        docs.filter(did % 25 != 0)
+        .join(F.broadcast(snips), did - (did % 25) == F.col("eid"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                did % 25 == 7, F.concat_ws(" ", F.col("text"), F.col("snip"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return textops.decontaminate_bloom(train, eval_docs, k=5)
+
+
 def _q_doc_chunks(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return textops.chunk_documents(docs, chunk_tokens=64, stride=48)
@@ -1934,6 +1968,65 @@ def _chroma_video_assets(spark, sf_dir):
     )
 
 
+def _gif_anim_assets(spark, sf_dir):
+    """Deterministic REAL animated GIFs generated distributed: per doc,
+    2-4 full-canvas opaque frames with ``idx[f][y][x] = (doc_id + 7x +
+    13y + 3f) % 32`` over the per-asset palette ``plte[i][c] = (37i +
+    41c + doc_id) % 256``, per-frame GCE delays ``4 + (doc_id + f) %
+    3`` centiseconds, NETSCAPE loop extension, interlaced for odd
+    doc_ids."""
+    import numpy as _np
+    import pandas as pd
+
+    from scipi_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 6, 6 + did % 5
+                nf = 2 + did % 3
+                f, y, x = _np.indices((nf, h, w), dtype=_np.int64)
+                idx = ((did + 7 * x + 13 * y + 3 * f) % 32).astype("uint8")
+                i, c = _np.indices((32, 3), dtype=_np.int64)
+                plte = ((37 * i + 41 * c + did) % 256).astype("uint8")
+                out["asset_id"].append(did)
+                out["format"].append("gif")
+                out["payload"].append(
+                    multimodal.encode_gif_animation(
+                        idx,
+                        plte,
+                        delays_cs=[4 + (did + j) % 3 for j in range(nf)],
+                        interlace=bool(did % 2),
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen, schema="asset_id long, format string, payload binary"
+    )
+
+
+def _q_multimodal_gif_frames(spark, sf_dir):
+    """Animated-GIF frame sampling under the hash gate (r9): multi-
+    frame GIF89a streams — per-frame LZW, GCE delays, do-not-dispose
+    composition, NETSCAPE loop extension — decoded by
+    ``multimodal.decode_gif_frames`` with every 2nd COMPOSED frame's
+    exact channel statistics and cumulative GCE timestamps emitted.
+    The oracle replays the index/palette formulas and the delay
+    cumsum in SQL, so frame ORDER (the 3f term), per-frame LZW
+    integrity, and the GCE delay parse are all load-bearing. Makes
+    GIF the second real VIDEO modality beside y4m."""
+    from scipi_spark.operators import multimodal
+
+    return multimodal.gif_frame_stats(
+        _gif_anim_assets(spark, sf_dir), every_n=2
+    )
+
+
 def _q_multimodal_video_chroma(spark, sf_dir):
     """Subsampled-chroma video decode under the hash gate (r9): C420
     and C422 y4m streams — block-mean chroma decimation on encode,
@@ -2818,6 +2911,20 @@ def _q_dsir_importance(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return textops.dsir_importance(
         docs, F.col("lang") == "en", n_buckets=256
+    )
+
+
+def _q_dsir_topk_select(spark, sf_dir):
+    """The SELECTION arm of DSIR (r9 sibling of ``dsir_importance``):
+    the top-50 most target-like documents by importance log-weight,
+    ties broken by doc_id — the deterministic argmax variant of the
+    paper's Gumbel-top-k resample. The plan compiles to
+    TakeOrderedAndProject (no global sort, no unpartitioned window —
+    plan-audited), which is the only at-scale-safe way to take a
+    bounded selection from an unbounded corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=256, k=50
     )
 
 
@@ -3760,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_video_chroma": _q_multimodal_video_chroma,
+        "multimodal_gif_frames": _q_multimodal_gif_frames,
         "sink_roundtrip": _q_sink_roundtrip,
         "stream_ann_store_probe": _q_stream_ann_store_probe,
         "ann_store_time_travel": _q_ann_store_time_travel,
@@ -3805,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "dedup_substring_spans": _q_dedup_substring_spans,
         "dsir_importance": _q_dsir_importance,
+        "dsir_topk_select": _q_dsir_topk_select,
         "leakage_safe_split": _q_leakage_safe_split,
         "corpus_stats": _q_corpus_stats,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -3870,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_pii_scrub": _q_text_pii_scrub,
         "text_decontaminate": _q_text_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "text_lang_id": _q_text_lang_id,
@@ -4563,6 +4673,54 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN vocab USING (tok)
             GROUP BY doc_id
         """,
+        # same planted fixture as text_decontaminate; eval grams fold
+        # into a 64 Kbit Bloom (distinct md5 bit positions), train grams
+        # probe it — all-4-bits-set == flagged, FPs replay identically
+        "decontaminate_bloom": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS rw
+              FROM documents
+            ), snips AS (
+              SELECT doc_id AS eid,
+                     array_to_string(list_slice(rw, 1, 8), ' ') AS snip
+              FROM raw WHERE eid % 25 = 0
+            ), w AS (
+              SELECT r.doc_id,
+                     CASE WHEN r.doc_id % 25 = 7
+                          THEN list_filter(string_split_regex(
+                                 array_to_string(r.rw, ' ') || ' ' || s.snip,
+                                 '\s+'), x -> x <> '')
+                          ELSE r.rw END AS ws
+              FROM raw r
+              LEFT JOIN snips s ON r.doc_id - (r.doc_id % 25) = s.eid
+            ), sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(list_slice(ws, i, i + 4), ' ')
+                        for i in range(1, len(ws) - 3)])) AS g
+              FROM w WHERE len(ws) >= 5
+            ), salts AS (SELECT unnest(range(0, 4)) AS d),
+            bloom AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(g || ':' || CAST(d AS VARCHAR)),
+                                     1, 8))::BIGINT % 65536 AS b
+              FROM (SELECT DISTINCT g FROM sh WHERE doc_id % 25 = 0), salts
+            ), probe AS (
+              SELECT doc_id, g,
+                     ('0x' || substr(md5(g || ':' || CAST(d AS VARCHAR)),
+                                     1, 8))::BIGINT % 65536 AS bit
+              FROM (SELECT doc_id, g FROM sh WHERE doc_id % 25 <> 0), salts
+            ), grams AS (
+              SELECT doc_id, g, count(b.b) AS nhit
+              FROM probe p LEFT JOIN bloom b ON p.bit = b.b
+              GROUP BY doc_id, g
+            )
+            SELECT doc_id, count(*) AS n_flagged_grams
+            FROM grams WHERE nhit = 4
+            GROUP BY doc_id
+        """,
         "text_decontaminate": r"""
             WITH raw AS (
               SELECT doc_id,
@@ -4791,6 +4949,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # refit both Laplace-smoothed bucket models (target = lang 'en',
         # raw = all) and re-sum each doc's per-occurrence log-ratios
+        "dsir_topk_select": r"""
+            WITH base AS (
+              SELECT doc_id, lang = 'en' AS is_t,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), bi AS MATERIALIZED (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(t[i] || ' ' || t[i + 1]),
+                                     1, 8))::BIGINT % 256 AS bucket
+              FROM (SELECT doc_id, is_t, t, unnest(range(1, len(t))) AS i
+                    FROM base WHERE len(t) >= 2)
+            ), model AS (
+              SELECT bucket, count(*) AS c_raw,
+                     sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+              FROM bi GROUP BY 1
+            ), tot AS (
+              SELECT sum(c_raw) AS t_raw, sum(c_t) AS t_t FROM model
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   round(sum(ln((c_t + 1.0) / (t_t + 256.0))
+                             - ln((c_raw + 1.0) / (t_raw + 256.0))),
+                         6) AS dsir_logw
+            FROM bi JOIN model USING (bucket), tot
+            GROUP BY doc_id
+            ORDER BY dsir_logw DESC, doc_id
+            LIMIT 50
+        """,
         "dsir_importance": r"""
             WITH base AS (
               SELECT doc_id, lang = 'en' AS is_t,
@@ -6378,6 +6564,46 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
                    CAST(MAX(v) AS BIGINT) AS peak
             FROM blk GROUP BY doc_id, nbx, nby, ch
+        """,
+        "multimodal_gif_frames": """
+            WITH vid AS (
+              SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,
+                     2 + doc_id % 3 AS nf
+              FROM documents
+            ),
+            fidx AS (SELECT doc_id, w, h, nf,
+                            unnest(range(0, nf, 2)) AS f FROM vid),
+            ts AS (
+              -- cumulative GCE delay before frame f
+              SELECT doc_id, w, h, f,
+                     COALESCE((SELECT sum(4 + (doc_id + j.j) % 3)
+                               FROM (SELECT unnest(range(0, f)) AS j) j),
+                              0) AS t_cs
+              FROM fidx
+            ),
+            xs AS (SELECT doc_id, w, h, f, t_cs,
+                          unnest(range(0, w)) AS x FROM ts),
+            xys AS (SELECT doc_id, w, h, f, t_cs, x,
+                           unnest(range(0, h)) AS y FROM xs),
+            px AS (
+              SELECT doc_id, w, h, f, t_cs,
+                     (37 * ((doc_id + 7 * x + 13 * y + 3 * f) % 32)
+                      + doc_id) % 256 AS r,
+                     (37 * ((doc_id + 7 * x + 13 * y + 3 * f) % 32)
+                      + 41 + doc_id) % 256 AS g,
+                     (37 * ((doc_id + 7 * x + 13 * y + 3 * f) % 32)
+                      + 82 + doc_id) % 256 AS b
+              FROM xys
+            )
+            SELECT doc_id AS asset_id,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(t_cs AS BIGINT) AS t_cs,
+                   CAST(w * h AS BIGINT) AS n_px,
+                   CAST(sum(r) AS BIGINT) AS r_sum,
+                   CAST(sum(g) AS BIGINT) AS g_sum,
+                   CAST(sum(b) AS BIGINT) AS b_sum,
+                   CAST(max(r) AS BIGINT) AS r_peak
+            FROM px GROUP BY doc_id, f, t_cs, w, h
         """,
         "multimodal_decode_gif": """
             WITH img AS (

@@ -664,15 +664,45 @@ def encode_gif(
     Extension carrying a transparent index, optional 4-pass row
     interlacing, and a real GIF-LZW-compressed image data stream in
     255-byte sub-blocks."""
-    idx = np.asarray(indices, dtype=np.uint8)
+    return encode_gif_animation(
+        np.asarray(indices, dtype=np.uint8)[None],
+        palette,
+        trans_index=trans_index,
+        interlace=interlace,
+        loop=None,
+    )
+
+
+def encode_gif_animation(
+    frames: np.ndarray,
+    palette: np.ndarray,
+    delays_cs: int | list[int] = 4,
+    trans_index: int | None = None,
+    interlace: bool = False,
+    loop: int | None = 0,
+) -> bytes:
+    """(n, h, w) uint8 palette indices + (m<=256, 3) uint8 palette ->
+    animated GIF89a: one full-canvas frame per index plane, each with
+    its own Graphic Control Extension (disposal 1 = do-not-dispose,
+    per-frame delay in centiseconds, optional shared transparent
+    index) plus the NETSCAPE2.0 looping extension (``loop=0`` =
+    forever, None = omit). A single frame with ``loop=None`` emits a
+    plain single-image GIF (:func:`encode_gif` delegates here)."""
+    fr = np.asarray(frames, dtype=np.uint8)
     plte = np.asarray(palette, dtype=np.uint8)
-    if idx.ndim != 2:
-        raise ValueError(f"expected (h, w) index array, got {idx.shape}")
+    if fr.ndim != 3 or fr.shape[0] < 1:
+        raise ValueError(f"expected (n, h, w) index array, got {fr.shape}")
     if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= plte.shape[0] <= 256:
         raise ValueError(f"expected (n<=256, 3) palette, got {plte.shape}")
-    if idx.max(initial=0) >= plte.shape[0]:
+    if fr.max(initial=0) >= plte.shape[0]:
         raise ValueError("palette index out of range")
-    h, w = idx.shape
+    n, h, w = fr.shape
+    if isinstance(delays_cs, int):
+        delays = [delays_cs] * n
+    else:
+        delays = list(delays_cs)
+        if len(delays) != n:
+            raise ValueError("need one delay per frame")
     size_bits = max(1, int(np.ceil(np.log2(max(2, plte.shape[0])))))
     gct = np.zeros((1 << size_bits, 3), dtype=np.uint8)
     gct[: plte.shape[0]] = plte
@@ -681,22 +711,40 @@ def encode_gif(
         "<HHBBB", w, h, 0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0
     )
     out += gct.tobytes()
-    if trans_index is not None:
-        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x01, 0, trans_index, 0)
-    out += struct.pack(
-        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
-    )
-    rows = idx
-    if interlace:
-        rows = np.concatenate([idx[r0::st] for r0, st in _GIF_INTERLACE])
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop) + b"\x00"
     mcs = max(2, size_bits)
-    out.append(mcs)
-    stream = _lzw_encode_gif(rows.tobytes(), mcs)
-    for i in range(0, len(stream), 255):
-        block = stream[i : i + 255]
-        out.append(len(block))
-        out += block
-    out += b"\x00\x3b"  # data terminator + trailer
+    animated = n > 1 or loop is not None
+    for f in range(n):
+        if trans_index is not None or animated:
+            packed = (0x04 if animated else 0) | (  # disposal 1
+                0x01 if trans_index is not None else 0
+            )
+            out += struct.pack(
+                "<BBBBHBB",
+                0x21,
+                0xF9,
+                4,
+                packed,
+                delays[f] if animated else 0,
+                trans_index or 0,
+                0,
+            )
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
+        rows = fr[f]
+        if interlace:
+            rows = np.concatenate([rows[r0::st] for r0, st in _GIF_INTERLACE])
+        out.append(mcs)
+        stream = _lzw_encode_gif(rows.tobytes(), mcs)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"  # data terminator
+    out += b"\x3b"  # trailer
     return bytes(out)
 
 
@@ -716,12 +764,12 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     return np.concatenate([rgb, alpha[..., None]], axis=2)
 
 
-def _decode_gif_indexed(
-    payload: bytes,
-) -> tuple[np.ndarray, np.ndarray, int | None]:
-    """GIF -> ((h, w) uint8 index array, (n, 3) colour table,
-    transparent index or None) — the palette-preserving form
-    :func:`resize_payload` needs to re-encode without quantization."""
+def _iter_gif_images(payload: bytes):
+    """Parse every image block of a GIF: yields
+    ((h, w) uint8 index array, colour table, transparent index or
+    None, left, top, delay_cs) per frame. The Graphic Control
+    Extension applies to the NEXT image only and resets after it, per
+    the spec."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
@@ -732,11 +780,12 @@ def _decode_gif_indexed(
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     trans = None
+    delay = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            break
+            return
         if block == 0x21:  # extension: label + sub-blocks
             label = payload[pos]
             pos += 1
@@ -746,12 +795,13 @@ def _decode_gif_indexed(
                 subs.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
             pos += 1
-            if label == 0xF9 and subs and subs[0][0] & 0x01:
-                trans = subs[0][3]
+            if label == 0xF9 and subs:
+                (delay,) = struct.unpack_from("<H", subs[0], 1)
+                trans = subs[0][3] if subs[0][0] & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
-        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         table = gct
         if ipacked & 0x80:
@@ -782,8 +832,50 @@ def _decode_gif_indexed(
             idx = out_idx
         if idx.max(initial=0) >= table.shape[0]:
             raise ValueError("GIF index out of colour-table range")
+        yield idx, table, trans, left, top, delay
+        trans, delay = None, 0  # GCE scope ends with its image
+
+
+def _decode_gif_indexed(
+    payload: bytes,
+) -> tuple[np.ndarray, np.ndarray, int | None]:
+    """GIF -> first frame's ((h, w) uint8 index array, (n, 3) colour
+    table, transparent index or None) — the palette-preserving form
+    :func:`resize_payload` needs to re-encode without quantization."""
+    for idx, table, trans, _left, _top, _delay in _iter_gif_images(payload):
         return idx, table, trans
     raise ValueError("GIF contained no image block")
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[np.ndarray, list[int]]:
+    """Animated GIF -> ((n, sh, sw, 3) uint8 composed frame stack,
+    per-frame delays in centiseconds): each image block is drawn over
+    the running canvas at its (left, top) rect with transparent pixels
+    leaving the underlying content visible — the do-not-dispose
+    composition a player shows. (Disposal modes 2/3 — restore to
+    background/previous — are not emitted by our encoder and compose
+    here as do-not-dispose; frame rects and per-frame local palettes
+    ARE honored.)"""
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames = []
+    delays = []
+    for idx, table, trans, left, top, delay in _iter_gif_images(payload):
+        h, w = idx.shape
+        region = canvas[top : top + h, left : left + w]
+        rgb = table[idx]
+        if trans is None:
+            region[:] = rgb
+        else:
+            keep = idx == trans
+            region[:] = np.where(keep[..., None], region, rgb)
+        frames.append(canvas.copy())
+        delays.append(delay)
+    if not frames:
+        raise ValueError("GIF contained no image block")
+    return np.stack(frames), delays
 
 
 def encode_y4m(
@@ -948,6 +1040,54 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
         media.filter(media.format == "y4m")
         .select("asset_id", "payload")
         .mapInPandas(run, schema=VIDEO_FRAME_STATS_SCHEMA)
+    )
+
+
+GIF_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("t_cs", T.LongType()),  # cumulative delay, centisec
+        T.StructField("n_px", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("r_peak", T.LongType()),
+    ]
+)
+
+
+def gif_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL animated-GIF frame sampling — the GIF twin of
+    :func:`video_frame_stats`: decode the animation with
+    :func:`decode_gif_frames` (LZW per frame, do-not-dispose
+    composition), grab every ``every_n``-th COMPOSED frame, and emit
+    exact per-channel integer statistics plus the frame's cumulative
+    timestamp from the stream's own GCE delays. Same Arrow-batched
+    mapInPandas shape; non-GIF rows are filtered before decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in GIF_FRAME_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames, delays = decode_gif_frames(payload)
+                t = np.cumsum([0] + delays[:-1])
+                for i in range(0, frames.shape[0], every_n):
+                    fr = frames[i].astype(np.int64)
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["t_cs"].append(int(t[i]))
+                    out["n_px"].append(fr.shape[0] * fr.shape[1])
+                    out["r_sum"].append(int(fr[:, :, 0].sum()))
+                    out["g_sum"].append(int(fr[:, :, 1].sum()))
+                    out["b_sum"].append(int(fr[:, :, 2].sum()))
+                    out["r_peak"].append(int(fr[:, :, 0].max()))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(media.format == "gif")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=GIF_FRAME_STATS_SCHEMA)
     )
 
 

@@ -352,6 +352,80 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination through a BOUNDED broadcast — the
+    100 TB-eval-suite variant of :func:`decontaminate`: the eval set's
+    word k-grams are folded into a Bloom filter (``analytics.
+    bloom_build`` — at most ``m_bits`` DISTINCT bit rows no matter how
+    many eval documents), and every training gram probes the broadcast
+    bit set. :func:`decontaminate` broadcasts the eval gram set itself,
+    which is right until the eval suite grows past broadcast range;
+    the Bloom's wire size is capped by construction (64 KB of bits here
+    vs potentially gigabytes of grams), and the merge across eval
+    batches is a distinct union of bit positions.
+
+    Guarantee direction: NO false negatives — a contaminated training
+    doc is always flagged; false positives over-flag clean docs at the
+    classic (1-e^{-kn/m})^k rate, which is the conservative failure
+    mode for decontamination (drop a little extra training data, never
+    leak eval content). Portable md5 bit hashes, so a SQL oracle
+    replays the filter bit-identically, false positives included.
+
+    Plan: eval explode -> <= m_bits distinct bits (tiny agg) ->
+    broadcast; train explode (narrow) x k_hashes salt fan-out ->
+    broadcast left join on bit -> per-(doc, gram) all-bits-set test ->
+    per-doc rollup. The training corpus is never shuffled on content —
+    both aggregations key on (doc, gram) then doc.
+
+    Returns (id, n_flagged_grams) for flagged docs only."""
+    from scipi_spark.operators.analytics import bloom_build
+
+    eval_grams = eval_docs.select(
+        F.explode(word_shingles(text_col, k)).alias("key")
+    )
+    bloom = bloom_build(eval_grams, "key", m_bits=m_bits, k_hashes=k_hashes)
+    salts = F.array(*[F.lit(d) for d in range(k_hashes)])
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("g"), F.lit(":"), F.col("d").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    probe = (
+        train.select(
+            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("g")
+        )
+        .select(id_col, "g", F.explode(salts).alias("d"))
+        .select(id_col, "g", bit.alias("bit"))
+    )
+    hits = probe.join(
+        F.broadcast(bloom.select(F.col("bit").alias("b"))),
+        probe["bit"] == F.col("b"),
+        "left",
+    )
+    return (
+        hits.groupBy(id_col, "g")
+        .agg((F.count("b") == k_hashes).alias("flagged"))
+        .filter(F.col("flagged"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -350,3 +350,53 @@ def test_resize_payload_all_containers():
     assert dec.shape == (8, 16, 3)
     # unknown codec-compressed formats pass through untouched
     assert mm.resize_payload(b"\x00mp4fake", 4, 4) == b"\x00mp4fake"
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF
+# ---------------------------------------------------------------------------
+
+
+def test_gif_animation_roundtrip_and_delays():
+    rng = np.random.default_rng(18)
+    fr = rng.integers(0, 16, (4, 6, 8), dtype=np.uint8)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    payload = mm.encode_gif_animation(fr, plte, delays_cs=[4, 5, 6, 7])
+    frames, delays = mm.decode_gif_frames(payload)
+    assert delays == [4, 5, 6, 7]
+    assert frames.shape == (4, 6, 8, 3)
+    for f in range(4):
+        assert (frames[f] == plte[fr[f]]).all(), f
+    # interlaced animation decodes identically
+    frames2, _ = mm.decode_gif_frames(
+        mm.encode_gif_animation(fr, plte, interlace=True)
+    )
+    assert (frames2 == frames).all()
+
+
+def test_gif_animation_transparent_composition():
+    """Do-not-dispose composition: a later frame's transparent pixels
+    must show the prior composed canvas, not background."""
+    plte = np.array([[9, 9, 9], [50, 60, 70], [200, 10, 0]], dtype=np.uint8)
+    f0 = np.full((4, 4), 1, dtype=np.uint8)
+    f1 = np.zeros((4, 4), dtype=np.uint8)
+    f1[0, 0] = 2  # everything else transparent (index 0)
+    frames, _ = mm.decode_gif_frames(
+        mm.encode_gif_animation(np.stack([f0, f1]), plte, trans_index=0)
+    )
+    assert (frames[0] == plte[1]).all()
+    exp = np.tile(plte[1], (4, 4, 1)).astype(np.uint8)
+    exp[0, 0] = plte[2]
+    assert (frames[1] == exp).all()
+
+
+def test_gif_single_frame_still_plain():
+    """encode_gif (single frame) stays a plain GIF: no NETSCAPE loop
+    block, decodes via both the single-image and animation paths."""
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4) % 4
+    plte = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    payload = mm.encode_gif(idx, plte)
+    assert b"NETSCAPE" not in payload
+    assert (mm.decode_image(payload) == plte[idx]).all()
+    frames, delays = mm.decode_gif_frames(payload)
+    assert frames.shape[0] == 1 and delays == [0]

@@ -1365,3 +1365,36 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     ).collect()
     assert len(top) == 2
     assert {r["doc_id"] for r in top} <= {1, 2, 4}
+
+
+def test_decontaminate_bloom_no_false_negatives(spark):
+    """The Bloom variant must flag a SUPERSET of the exact n-gram
+    decontamination (no false negatives, ever), with identical overlap
+    counts on truly-contaminated docs when no hash collision inflates
+    them; a tiny filter (high FP pressure) still never misses."""
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    rows = [
+        (1, "x1 y1 alpha beta gamma delta epsilon tail words here"),  # hit
+        (2, "clean document with entirely different vocabulary okay"),
+        (3, "alpha beta gamma delta epsilon zeta full overlap doc"),  # hit
+    ]
+    tr = _docs(spark, rows)
+    exact = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in textops.decontaminate(tr, ev, k=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged_grams"]
+        for r in textops.decontaminate_bloom(tr, ev, k=5).collect()
+    }
+    assert set(exact) <= set(bloom)  # no false negatives
+    for did, n in exact.items():
+        assert bloom[did] >= n
+    assert 1 in bloom and 3 in bloom
+    # saturated filter (m_bits tiny): everything flags — still a
+    # superset, demonstrating the conservative failure direction
+    sat = {
+        r["doc_id"]: r["n_flagged_grams"]
+        for r in textops.decontaminate_bloom(tr, ev, k=5, m_bits=8).collect()
+    }
+    assert set(exact) <= set(sat)
