@@ -3222,6 +3222,38 @@ def _q_events_cohort_retention(spark, sf_dir):
     return events_cohort_retention(spark, sf_dir)
 
 
+def _q_graph_kcore(spark, sf_dir):
+    """k-core decomposition by synchronous degree peeling
+    (``operators/graph.py:kcore_peel`` — the Matula-Beck iterative
+    prune in Pregel-superstep form, k=2, cap 12). The co-author graph
+    here is adversarially dense (near-clique, SCALE.md), so the
+    fixture is a PLANTED sparse graph with known core structure,
+    derived arithmetically from doc_ids: blocks of 25 vertices, each a
+    15-node ring (the 2-core — every vertex keeps degree 2 forever)
+    with a 10-node pendant chain hanging off ring node 14 (peels one
+    vertex per round, depths 0..9 — a constant peel depth at ANY
+    scale factor, which is the honest scale story: rounds track
+    tendril depth, not corpus size). The oracle replays the EXACT
+    synchronous peel as a recursive CTE — per vertex, the last round
+    alive and core membership must both match, so a single off-by-one
+    round anywhere in the superstep loop breaks the hash."""
+    from scipi_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    j = d % 25
+    b = d - j
+    ring = docs.filter(j <= 14).select(
+        d.alias("src"), (b + (j + 1) % 15).alias("dst")
+    )
+    chain = docs.filter((j >= 14) & (j <= 23)).select(
+        d.alias("src"), (d + 1).alias("dst")
+    )
+    return graph.kcore_peel(
+        ring.unionByName(chain), k=2, max_rounds=12
+    )
+
+
 def _q_graph_triangles(spark, sf_dir):
     """Per-author triangle counts over the co-authorship graph
     (degree-oriented wedge closure).  Caveat recorded in SCALE.md: the
@@ -3880,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join_events,
         "range_join_events": _q_range_join_events,
         "graph_triangles": _q_graph_triangles,
+        "graph_kcore": _q_graph_kcore,
         "graph_pagerank": _q_graph_pagerank,
         "dataset_split": _q_dataset_split,
         "stratified_sample": _q_stratified_sample,
@@ -7149,6 +7182,34 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         """,
         # canonical co-author pairs -> ordered wedge closure; each
         # triangle found once because u < v < w
+        # replays the synchronous peel as a recursive CTE: (v, r+1)
+        # iff v alive at r with >= 2 neighbors alive at r; cap 12
+        "graph_kcore": r"""
+            WITH RECURSIVE docs AS (
+              SELECT doc_id AS d, doc_id % 25 AS j,
+                     doc_id - (doc_id % 25) AS b
+              FROM documents
+            ), e AS (
+              SELECT d AS u, b + ((j + 1) % 15) AS v FROM docs WHERE j <= 14
+              UNION ALL
+              SELECT d, d + 1 FROM docs WHERE j BETWEEN 14 AND 23
+            ), sym AS (
+              SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e
+            ), peel(v, round) AS (
+              SELECT DISTINCT a AS v, 0 AS round FROM sym
+              UNION
+              SELECT s.a, p.round + 1
+              FROM peel p JOIN sym s ON s.a = p.v
+              WHERE p.round < 12
+                AND (SELECT count(*) FROM sym s2
+                     JOIN peel p2 ON p2.v = s2.b AND p2.round = p.round
+                     WHERE s2.a = s.a) >= 2
+            )
+            SELECT v AS vertex,
+                   CAST(max(round) AS BIGINT) AS survived_rounds,
+                   max(round) >= 12 AS in_core
+            FROM peel GROUP BY v
+        """,
         "graph_triangles": _GRAPH_CTE
         + """
             , pairs AS (

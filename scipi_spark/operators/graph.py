@@ -399,3 +399,81 @@ def pagerank(
         # regardless of graph size (raw ranks live at the 1/n scale)
         out = out.select("vertex", (F.col("rank") * n).alias("rank"))
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Synchronous k-core peeling (Matula & Beck's iterative
+    degree-prune, the distributed formulation every Pregel-family
+    system uses): round r+1 keeps exactly the vertices with >= ``k``
+    neighbors alive at round r; the fixpoint is the k-core — the
+    maximal subgraph where every vertex has degree >= k, the classic
+    graph-level quality/robustness screen (spam farms and tendrils
+    peel out, the dense collaboration core survives).
+
+    Output: (vertex, survived_rounds, in_core) for every vertex with
+    at least one edge — ``survived_rounds`` = last round the vertex
+    was alive (0-based; a degree-<k vertex peels immediately with 0),
+    capped at ``max_rounds`` which core vertices always carry, so the
+    column doubles as a peel-depth ("how peripheral") score.
+
+    Scale shape: per round, ONE degree aggregation over the surviving
+    edge set (map-side combine) + semi-joins against the alive set,
+    with a ``localCheckpoint`` lineage cut per round — the same
+    driver-coordinated superstep loop as C8's LPA and hash-min CC.
+    Round count is bounded by the peel depth, a STRUCTURAL property
+    (how long the thinnest tendril is), not the vertex count; corpora
+    with bounded tendril depth converge in O(depth) rounds at any
+    scale. If the loop hits ``max_rounds`` before the alive set
+    stabilizes, the remaining vertices are reported as core at the
+    cap — callers needing exactness on adversarially deep graphs
+    (a single long chain) raise the cap."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("a").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_alive = alive.count()
+    peeled = None
+    final_round = max_rounds
+    for r in range(max_rounds):
+        deg = (
+            sym.join(alive.withColumnRenamed("v", "a"), "a")
+            .join(alive.select(F.col("v").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("a").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        dropped = alive.join(nxt, "v", "left_anti").select(
+            "v", F.lit(r).cast("long").alias("survived_rounds")
+        )
+        peeled = dropped if peeled is None else peeled.unionByName(dropped)
+        alive = nxt
+        if n_next == n_alive:
+            break  # fixpoint: everyone still alive has degree >= k forever
+        n_alive = n_next
+    core = alive.select(
+        "v", F.lit(final_round).cast("long").alias("survived_rounds")
+    )
+    out = core if peeled is None else peeled.unionByName(core)
+    return out.select(
+        F.col("v").alias("vertex"),
+        "survived_rounds",
+        (F.col("survived_rounds") >= max_rounds).alias("in_core"),
+    )

@@ -206,3 +206,40 @@ def test_star_cc_converges_where_hashmin_budget_splits(spark):
         for r in connected_components_star(edf, max_rounds=7).collect()
     }
     assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_kcore_peel_structure(spark):
+    """Triangle + pendant chain: the triangle is the 2-core; chain
+    vertices peel outside-in with survived_rounds = their depth; core
+    vertices carry the round cap."""
+    from scipi_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {
+        r["vertex"]: (r["survived_rounds"], r["in_core"])
+        for r in graph.kcore_peel(edges, k=2, max_rounds=8).collect()
+    }
+    assert out[5] == (0, False)  # degree 1: peels immediately
+    assert out[4] == (1, False)  # loses its only support next round
+    for v in (1, 2, 3):
+        assert out[v] == (8, True)
+    # k=3: nothing survives (triangle degrees are 2)
+    out3 = graph.kcore_peel(edges, k=3, max_rounds=8).collect()
+    assert all(not r["in_core"] for r in out3)
+    assert {r["vertex"] for r in out3} == {1, 2, 3, 4, 5}
+
+
+def test_kcore_peel_cap_reports_remaining_as_core(spark):
+    """A chain longer than the round cap: the unpeeled middle reports
+    in_core at the cap — the documented approximation direction."""
+    from scipi_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    out = graph.kcore_peel(chain, k=2, max_rounds=3).collect()
+    core = {r["vertex"] for r in out if r["in_core"]}
+    # 3 rounds peel 3 vertices from each end; the middle 7 hit the cap
+    assert core == set(range(3, 10))
