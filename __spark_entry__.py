@@ -1809,8 +1809,8 @@ def _q_multimodal_decode_png(spark, sf_dir):
 
 def _jpeg_real_assets(spark, sf_dir):
     """Deterministic REAL baseline JPEGs generated distributed, cycling
-    doc_id % 3 through 4:4:4 RGB, 4:2:0 RGB, and single-component
-    grayscale scans. Images are CONSTANT within each 8x8 block with
+    doc_id % 4 through 4:4:4 RGB, 4:2:0 RGB, single-component
+    grayscale, and 4:2:2 RGB scans. Images are CONSTANT within each 8x8 block with
     neutral chroma (r=g=b), and quality 75 makes the luma DC step
     exactly 8 = the DC scaling factor, so the lossy format round-trips
     BIT-EXACTLY (``operators/jpegcodec.py`` module docstring derives
@@ -1832,7 +1832,7 @@ def _jpeg_real_assets(spark, sf_dir):
                 bx, by = _np.indices((nby, nbx), dtype=_np.int64)[::-1]
                 vals = ((did + 3 * bx + 7 * by) % 256).astype("uint8")
                 img = _np.repeat(_np.repeat(vals, 8, axis=0), 8, axis=1)
-                cls = did % 3
+                cls = did % 4
                 ri = 2 if did % 5 == 0 else 0  # exercise DRI/RSTn path
                 if cls == 2:
                     payload = encode_jpeg(img, quality=75, restart_interval=ri)
@@ -1840,7 +1840,7 @@ def _jpeg_real_assets(spark, sf_dir):
                     rgb = _np.stack([img] * 3, axis=-1)
                     payload = encode_jpeg(
                         rgb, quality=75,
-                        subsampling="444" if cls == 0 else "420",
+                        subsampling={0: "444", 1: "420", 3: "422"}[cls],
                         restart_interval=ri,
                     )
                 out["asset_id"].append(did)
@@ -1864,7 +1864,7 @@ def _q_multimodal_decode_jpeg(spark, sf_dir):
     constant at quality 75, where JPEG's loss is exactly zero (module
     docstring), so the oracle replays the block formula in SQL and a
     single wrong coefficient anywhere in either direction breaks the
-    channel-statistics hash. Covers 4:4:4, 4:2:0, and grayscale scans;
+    channel-statistics hash. Covers 4:4:4, 4:2:0, 4:2:2, and grayscale;
     every 5th asset additionally carries a DRI segment with RSTn
     restart markers (the decoder's resync + DC-predictor reset path).
     Progressive/arithmetic JPEG remain explicitly refused."""
@@ -6581,7 +6581,7 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
         "multimodal_decode_jpeg": """
             WITH img AS (
               SELECT doc_id, 2 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby,
-                     CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS ch
+                     CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 3 END AS ch
               FROM documents
             ),
             bxs AS (SELECT doc_id, nbx, nby, ch, unnest(range(0, nbx)) AS bx

@@ -4,8 +4,8 @@ sequential DCT, 8-bit, Huffman-coded JPEG/JFIF streams.
 
 Scope (the baseline profile every camera/browser JPEG uses):
 
-- encode: RGB (or single-channel grayscale) -> JFIF with 4:4:4 or
-  4:2:0 chroma subsampling, quality-scaled quantization tables (the
+- encode: RGB (or single-channel grayscale) -> JFIF with 4:4:4,
+  4:2:2 or 4:2:0 chroma subsampling, quality-scaled quantization tables (the
   IJG 0-100 quality curve over the Annex K example luminance/
   chrominance tables), level shift + 8x8 forward DCT (exact float64
   matrix form), zigzag, DC-difference + AC run-length entropy coding,
@@ -284,8 +284,8 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 -> baseline
-    JFIF bytes. ``subsampling``: "444" (full chroma) or "420" (2x2
-    chroma decimation by block mean — requires no particular dimension;
+    JFIF bytes. ``subsampling``: "444" (full chroma), "422" (2x1) or "420"
+    (2x2 chroma decimation by block mean — no dimension requirement;
     edges are replication-padded). Grayscale input emits a
     single-component scan. ``restart_interval`` > 0 emits a DRI segment
     and an RSTn marker (with DC-predictor reset) every that many MCUs —
@@ -297,25 +297,28 @@ def encode_jpeg(
         arr = arr[..., None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
         raise ValueError(f"expected (h, w, 1|3), got {arr.shape}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w = arr.shape[:2]
+    # chroma decimation factors: (horizontal, vertical)
+    sx = 1 if subsampling == "444" else 2
+    sy = 2 if subsampling == "420" else 1
     luma_q, chroma_q = quality_tables(quality)
     if gray:
         planes = [arr[..., 0].astype(np.float64)]
     else:
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-        if subsampling == "420":
+        if sx > 1 or sy > 1:
             for c in (1, 2):
                 p = planes[c]
-                ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+                ph, pw = -(-h // sy) * sy, -(-w // sx) * sx
                 p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
                 planes[c] = (
-                    p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                    p.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
                 )
     n_comp = 1 if gray else 3
-    hv = 2 if (not gray and subsampling == "420") else 1
+    hy, vy = (1, 1) if gray else (sx, sy)  # Y sampling factors
 
     out = bytearray(b"\xff\xd8")  # SOI
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -324,7 +327,7 @@ def encode_jpeg(
     if not gray:
         out += _dqt_segment(1, chroma_q)
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
-    sof += bytes([1, (hv << 4) | hv, 0])  # Y: id, HxV sampling, quant 0
+    sof += bytes([1, (hy << 4) | vy, 0])  # Y: id, HxV sampling, quant 0
     if not gray:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
@@ -367,8 +370,8 @@ def encode_jpeg(
         cb_blocks, cr_blocks = blocks[1], blocks[2]
         yb = blocks[0]
         mcu_y, mcu_x = cb_blocks.shape[:2]
-        # pad Y block grid to hv multiples (replicate edge blocks)
-        need_y, need_x = mcu_y * hv, mcu_x * hv
+        # pad Y block grid to sampling-factor multiples (replicate edge)
+        need_y, need_x = mcu_y * vy, mcu_x * hy
         if yb.shape[0] < need_y or yb.shape[1] < need_x:
             yb = np.pad(
                 yb,
@@ -385,9 +388,9 @@ def encode_jpeg(
                 if maybe_restart():
                     dc = [0, 0, 0]
                 ys = [
-                    yb[my * hv + dy, mx * hv + dx]
-                    for dy in range(hv)
-                    for dx in range(hv)
+                    yb[my * vy + dy, mx * hy + dx]
+                    for dy in range(vy)
+                    for dx in range(hy)
                 ]
                 dc[0] = _encode_blocks(writer, np.stack(ys), luma_q, dc[0])
                 dc[1] = _encode_blocks(

@@ -1295,6 +1295,14 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
         return encode_jpeg(
             resize_pixels(decode_jpeg(payload), width, height), quality=90
         )
+    if payload[:9] == b"YUV4MPEG2":
+        frames, fps = decode_y4m(payload)
+        resized = np.stack(
+            [resize_pixels(f, width, height) for f in frames]
+        ) if frames.shape[0] else np.zeros((0, height, width, 3), np.uint8)
+        # re-encode C444: resampling re-mixes chroma siting anyway, and
+        # C444 is the lossless mode for the now-full-resolution planes
+        return encode_y4m(resized, fps=int(fps))
     return payload
 
 

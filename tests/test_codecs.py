@@ -216,9 +216,9 @@ def test_jpeg_quality75_luma_dc_step_is_8():
     assert quality_tables(100)[0].max() == 1 or quality_tables(100)[0].min() == 1
 
 
-def test_jpeg_block_constant_bit_exact_444_and_420():
+def test_jpeg_block_constant_bit_exact_all_subsamplings():
     rgb = _block_constant_rgb()
-    for sub in ("444", "420"):
+    for sub in ("444", "420", "422"):
         out = decode_jpeg(encode_jpeg(rgb, quality=75, subsampling=sub))
         assert out.shape == rgb.shape
         assert (out == rgb).all(), sub
@@ -400,3 +400,23 @@ def test_gif_single_frame_still_plain():
     assert (mm.decode_image(payload) == plte[idx]).all()
     frames, delays = mm.decode_gif_frames(payload)
     assert frames.shape[0] == 1 and delays == [0]
+
+
+def test_resize_payload_video():
+    """y4m resize: every frame nearest-neighbor resampled, fps kept,
+    output re-encoded C444 (lossless for the resampled planes) even
+    when the source was chroma-subsampled."""
+    f, y, x = np.indices((3, 6, 8))
+    fr = np.empty((3, 6, 8, 3), np.uint8)
+    fr[..., 0] = (3 * f + 7 * x + 13 * y) % 256
+    fr[..., 1] = (5 * (x // 2) + 11 * (y // 2) + f) % 256
+    fr[..., 2] = (9 * (x // 2) + 2 * (y // 2) + 4 * f) % 256
+    for colour in ("444", "420jpeg"):
+        out = mm.resize_payload(mm.encode_y4m(fr, fps=12, colour=colour), 4, 4)
+        assert out[:9] == b"YUV4MPEG2" and b"C444" in out[: out.index(b"\n")]
+        got, fps = mm.decode_y4m(out)
+        assert fps == 12.0 and got.shape == (3, 4, 4, 3)
+        # chroma is block-constant, so subsampled decode == original and
+        # the resize must equal an independent per-frame resample
+        exp = np.stack([mm.resize_pixels(fr[i], 4, 4) for i in range(3)])
+        assert (got == exp).all()
