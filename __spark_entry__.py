@@ -1122,6 +1122,52 @@ def _events_replay_stream(spark, sf_dir):
     )
 
 
+def _q_stream_media_decode(spark, sf_dir):
+    """Streaming multimodal ingest under the hash gate (r9 — the
+    streaming x multimodal cross): the real WAV/PPM/BMP assets are
+    replayed as a 2-micro-batch file stream (asset_id parity split, so
+    every format's running aggregate must merge state across batches),
+    each payload is decoded ON ARRIVAL by the zero-dependency kernels
+    inside the stateless Arrow mapInPandas stage, and per-format
+    counters over the DECODED values converge in a complete-mode sink
+    (``streaming/pipelines.py:media_decode_rollup``). The oracle
+    replays the generating formulas and aggregates per format — a
+    decode drift OR a dropped/duplicated micro-batch row breaks the
+    integer-exact sums."""
+    import tempfile
+    import uuid
+
+    from scipi_spark.streaming.pipelines import media_decode_rollup
+
+    assets = _media_real_assets(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="scipi_stream_media_")
+    src = f"{d}/src"
+    assets.filter(F.col("asset_id") % 2 == 0).coalesce(1).write.parquet(src)
+    assets.filter(F.col("asset_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "asset_id long, format string, payload binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = media_decode_rollup(stream)
+    name = f"stream_media_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def _q_stream_tumbling_windows(spark, sf_dir):
     """Watermarked tumbling-window aggregation as a REAL stream: events
     replayed in 2 micro-batches through ``tumbling_window_counts``
@@ -3887,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         # round 6: windowed-state + custom-stateful streaming gate rows
         "stream_tumbling_windows": _q_stream_tumbling_windows,
+        "stream_media_decode": _q_stream_media_decode,
         "stream_watermark_finalize": _q_stream_watermark_finalize,
         "stream_user_stats": _q_stream_user_stats,
         "stream_session_windows": _q_stream_session_windows,
@@ -7407,6 +7454,16 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     }
     # the store-backed increment produces byte-identical output to the
     # raw-corpus increment (equivalence pytest-pinned) — same oracle
+    # streaming media ingest: the converged per-format rollup over the
+    # same decoded-value replay the batch entry pins
+    d["stream_media_decode"] = (
+        "SELECT fmt, CAST(count(*) AS BIGINT) AS n_assets, "
+        "CAST(sum(n) AS BIGINT) AS sum_vals, "
+        "CAST(sum(d1) AS BIGINT) AS sum_d1, "
+        "CAST(sum(peak) AS BIGINT) AS sum_peak FROM ("
+        + d["multimodal_decode_real"]
+        + ") GROUP BY fmt"
+    )
     d["dedup_store_increment"] = d["dedup_increment"]
     # the streamed per-batch pair union equals the one-shot increment
     # exactly (pytest-pinned set equality), so the oracle is shared

@@ -544,3 +544,28 @@ def interval_join_streams(
             "lag_seconds"
         ),
     )
+
+
+def media_decode_rollup(media_stream: DataFrame) -> DataFrame:
+    """Streaming multimodal ingest: decode every arriving media payload
+    with the REAL zero-dependency kernels (``multimodal.media_stats``
+    is a stateless Arrow ``mapInPandas`` stage, so it composes with
+    micro-batched execution unchanged) and maintain per-format running
+    aggregates of the DECODED values — the "decode as data lands"
+    pipeline a multimodal training corpus runs on arrival, with the
+    decode on executors and only per-format counters as state.
+
+    All aggregate columns are exact integers (counts and sums of
+    decoded integer statistics), so the converged complete-mode table
+    matches a batch SQL replay bit-for-bit. State is one row per
+    format; the decode itself holds NO state — at 100 TB/day the
+    memory bound is the format cardinality, not the corpus."""
+    from scipi_spark.operators.multimodal import media_stats
+
+    stats = media_stats(media_stream)
+    return stats.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("n").cast("long").alias("sum_vals"),
+        F.sum("d1").cast("long").alias("sum_d1"),
+        F.sum("peak").cast("long").alias("sum_peak"),
+    )

@@ -492,3 +492,58 @@ def test_streaming_ann_against_store_folds_batches(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_ann")
         spark.sql("DROP TABLE IF EXISTS t_stream_ann_vectors")
+
+
+def test_stream_media_decode_matches_batch(spark, tmp_path):
+    """Streaming media ingest ≡ batch: real WAV/PPM payloads replayed
+    in 2 micro-batches, decoded on arrival, per-format rollup converged
+    in complete mode == the batch media_stats aggregate. The decode
+    stage is stateless mapInPandas; only per-format counters carry
+    state across batches."""
+    import uuid
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators import multimodal as mm
+    from scipi_spark.streaming.pipelines import media_decode_rollup
+
+    rows = []
+    for aid in range(8):
+        if aid % 2 == 0:
+            samples = ((np.arange(100) * 17 + aid) % 5000 - 2500).astype(
+                "<i2"
+            )
+            rows.append((aid, "wav", bytearray(mm.encode_wav(samples, 8000))))
+        else:
+            y, x, c = np.indices((5, 6, 3))
+            pix = ((aid + x + 2 * y + 3 * c) % 256).astype("uint8")
+            rows.append((aid, "ppm", bytearray(mm.encode_ppm(pix))))
+    df = spark.createDataFrame(
+        rows, "asset_id long, format string, payload binary"
+    )
+    src = str(tmp_path / "src")
+    df.filter(F.col("asset_id") % 2 == 0).coalesce(1).write.parquet(src)
+    df.filter(F.col("asset_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("asset_id long, format string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"t_media_{uuid.uuid4().hex[:8]}"
+    q = (
+        media_decode_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    exp = sorted(map(tuple, media_decode_rollup(df).collect()))
+    assert got == exp and len(got) == 2
