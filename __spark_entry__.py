@@ -2974,6 +2974,23 @@ def _q_dsir_topk_select(spark, sf_dir):
     )
 
 
+def _q_source_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixing (XLM recipe, T=2) over the SKEWED
+    language distribution (en dominates ~44%): sampling weights
+    ``sqrt(n_lang)`` flatten the mix so tail languages keep presence —
+    en's admitted share drops well below its corpus share. sqrt is
+    IEEE-exact in both engines, targets and the md5-ranked admitted
+    SET (pinned by the id-sum) replay bit-for-bit; admission is one
+    source-partitioned window, never a global sort
+    (``operators/sampling.py:source_mixture_temperature``)."""
+    from scipi_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.source_mixture_temperature(
+        docs, budget=120, temperature=2.0, source_col="lang"
+    )
+
+
 def _q_leakage_safe_split(spark, sf_dir):
     """Content-keyed dataset split: exact duplicates land in the same
     split by construction (doc_id-keyed splitting can't guarantee this).
@@ -3994,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": _q_dedup_substring_spans,
         "dsir_importance": _q_dsir_importance,
         "dsir_topk_select": _q_dsir_topk_select,
+        "source_mixture_temperature": _q_source_mixture_temperature,
         "leakage_safe_split": _q_leakage_safe_split,
         "corpus_stats": _q_corpus_stats,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -5029,6 +5047,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # refit both Laplace-smoothed bucket models (target = lang 'en',
         # raw = all) and re-sum each doc's per-occurrence log-ratios
+        # sqrt weights are IEEE-exact cross-engine; targets, ranks and
+        # the admitted id-sum replay deterministically
+        "source_mixture_temperature": r"""
+            WITH counts AS (
+              SELECT lang AS source, count(*) AS n_docs
+              FROM documents GROUP BY 1
+            ), w AS (
+              SELECT source, n_docs, sqrt(n_docs) AS weight FROM counts
+            ), tot AS (SELECT sum(weight) AS wt FROM w),
+            plan AS (
+              SELECT source, n_docs, weight,
+                     CAST(round(120.0 * weight / wt) AS BIGINT) AS target
+              FROM w, tot
+            ), ranked AS (
+              SELECT lang AS source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 15))::BIGINT, doc_id
+                     ) AS rk
+              FROM documents
+            ), adm AS (
+              SELECT r.source, p.n_docs, p.weight, p.target, r.doc_id
+              FROM ranked r JOIN plan p USING (source)
+              WHERE r.rk <= p.target
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(weight, 6) AS weight, target,
+                   CAST(count(*) AS BIGINT) AS n_admitted,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_admitted_ids
+            FROM adm GROUP BY source, n_docs, weight, target
+        """,
         "dsir_topk_select": r"""
             WITH base AS (
               SELECT doc_id, lang = 'en' AS is_t,

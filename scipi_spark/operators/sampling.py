@@ -424,3 +424,78 @@ def weighted_sample(
         .filter(F.col("_rn") <= n)
         .drop("_es", "_rn")
     )
+
+
+def source_mixture_temperature(
+    df: DataFrame,
+    budget: int,
+    temperature: float = 2.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the XLM / multilingual-LLM
+    recipe, Conneau & Lample 2019): sampling weight per source
+    ``w_s = n_s^(1/T)`` — T > 1 flattens the source distribution,
+    upweighting tail sources relative to their corpus share, which is
+    how every multilingual pretraining mix keeps low-resource
+    languages from vanishing. Per-source targets are
+    ``round(budget * w_s / sum(w))``; admission takes each source's
+    top-``target`` documents by portable md5 rank (deterministic,
+    order-free, stable under corpus repartitioning).
+
+    Scale shape: the weight table is one tiny aggregate broadcast
+    back; admission is ONE window shuffle partitioned by source (never
+    a global sort); the corpus is scanned once. With T=2 the weight is
+    an IEEE ``sqrt`` — exactly rounded in every engine, so the oracle
+    reproduces targets bit-for-bit.
+
+    Returns one row per source: (source, n_docs, weight, target,
+    n_admitted, sum_admitted_ids) — the id-sum pins the exact admitted
+    SET, not just its size."""
+    from pyspark.sql import Window
+
+    if temperature != 2.0:
+        # n^(1/T) for general T relies on cross-libm pow parity; sqrt
+        # (T=2, the common production setting) is IEEE-exact everywhere
+        inv_t = 1.0 / temperature
+        weight = F.pow(F.col("n_docs"), F.lit(inv_t))
+    else:
+        weight = F.sqrt(F.col("n_docs"))
+    counts = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("weight", weight)
+    )
+    total = counts.agg(F.sum("weight").alias("w_total"))
+    plan = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.round(F.lit(float(budget)) * F.col("weight") / F.col("w_total"))
+        .cast("long")
+        .alias("target"),
+    )
+    rank_key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(source_col).orderBy(rank_key, F.col(id_col))
+    ranked = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.row_number().over(w).alias("rk"),
+    )
+    admitted = ranked.join(F.broadcast(plan), "source").filter(
+        F.col("rk") <= F.col("target")
+    )
+    return (
+        admitted.groupBy("source", "n_docs", "target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_admitted"),
+            F.sum("doc_id").cast("long").alias("sum_admitted_ids"),
+        )
+        .join(plan.select("source", F.round("weight", 6).alias("weight")), "source")
+        .select(
+            "source", "n_docs", "weight", "target",
+            "n_admitted", "sum_admitted_ids",
+        )
+    )

@@ -394,3 +394,40 @@ def test_pack_sequences_bins_are_dense_token_ranges(spark):
         cum += per_bin[b]
         if b != last:
             assert cum >= 32 * (b + 1), (b, cum)
+
+
+def test_source_mixture_temperature_flattens_shares(spark):
+    """T=2 must pull the dominant source's admitted share BELOW its
+    corpus share and lift tail sources above theirs; admission is
+    deterministic and capped by availability."""
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators import sampling
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r["source"]: r
+        for r in sampling.source_mixture_temperature(df, budget=40).collect()
+    }
+    # corpus shares 90/10; sqrt weights ~9.49/3.16 -> targets 30/10
+    assert out["big"]["target"] == 30 and out["small"]["target"] == 10
+    assert out["big"]["n_admitted"] == 30
+    assert out["small"]["n_admitted"] == 10
+    # flattening: big's admitted share (0.75) < corpus share (0.9)
+    assert out["big"]["n_admitted"] / 40 < 0.9
+    # determinism: identical rerun, including the admitted id-sum
+    again = {
+        r["source"]: r["sum_admitted_ids"]
+        for r in sampling.source_mixture_temperature(df, budget=40).collect()
+    }
+    assert again == {s: r["sum_admitted_ids"] for s, r in out.items()}
+    # target larger than availability: admits everything there is
+    tiny = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    res = {
+        r["source"]: r
+        for r in sampling.source_mixture_temperature(tiny, budget=30).collect()
+    }
+    assert res["a"]["n_admitted"] == 2 and res["b"]["n_admitted"] == 1

@@ -72,6 +72,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("skew_profile_events", "bnlj"): _SCALAR_BNLJ,
     ("dsir_importance", "bnlj"): _SCALAR_BNLJ,
     ("dsir_topk_select", "bnlj"): _SCALAR_BNLJ,
+    ("source_mixture_temperature", "bnlj"): _SCALAR_BNLJ,
     ("events_anomaly_mad", "bnlj"): (
         "median/MAD are 1-row aggregates crossJoined back as the "
         "anomaly threshold"
