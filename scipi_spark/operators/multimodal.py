@@ -680,22 +680,32 @@ def encode_gif_animation(
     trans_index: int | None = None,
     interlace: bool = False,
     loop: int | None = 0,
+    local_palettes: list[np.ndarray | None] | None = None,
 ) -> bytes:
     """(n, h, w) uint8 palette indices + (m<=256, 3) uint8 palette ->
     animated GIF89a: one full-canvas frame per index plane, each with
     its own Graphic Control Extension (disposal 1 = do-not-dispose,
     per-frame delay in centiseconds, optional shared transparent
     index) plus the NETSCAPE2.0 looping extension (``loop=0`` =
-    forever, None = omit). A single frame with ``loop=None`` emits a
-    plain single-image GIF (:func:`encode_gif` delegates here)."""
+    forever, None = omit). ``local_palettes`` optionally gives frame i
+    its own Local Colour Table (None entries fall back to the global
+    one) — the per-frame-palette feature real animated GIFs use when
+    frames have disjoint colour sets. A single frame with
+    ``loop=None`` emits a plain single-image GIF (:func:`encode_gif`
+    delegates here)."""
     fr = np.asarray(frames, dtype=np.uint8)
     plte = np.asarray(palette, dtype=np.uint8)
     if fr.ndim != 3 or fr.shape[0] < 1:
         raise ValueError(f"expected (n, h, w) index array, got {fr.shape}")
     if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= plte.shape[0] <= 256:
         raise ValueError(f"expected (n<=256, 3) palette, got {plte.shape}")
-    if fr.max(initial=0) >= plte.shape[0]:
-        raise ValueError("palette index out of range")
+    if local_palettes is not None and len(local_palettes) != fr.shape[0]:
+        raise ValueError("need one local_palettes entry (or None) per frame")
+    for f in range(fr.shape[0]):
+        lp = local_palettes[f] if local_palettes else None
+        bound = (lp if lp is not None else plte).shape[0]
+        if fr[f].max(initial=0) >= bound:
+            raise ValueError("palette index out of range")
     n, h, w = fr.shape
     if isinstance(delays_cs, int):
         delays = [delays_cs] * n
@@ -731,14 +741,24 @@ def encode_gif_animation(
                 trans_index or 0,
                 0,
             )
-        out += struct.pack(
-            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
-        )
+        lp = local_palettes[f] if local_palettes else None
+        ipacked = 0x40 if interlace else 0
+        fmcs = mcs
+        if lp is not None:
+            lp = np.asarray(lp, dtype=np.uint8)
+            lbits = max(1, int(np.ceil(np.log2(max(2, lp.shape[0])))))
+            lct = np.zeros((1 << lbits, 3), dtype=np.uint8)
+            lct[: lp.shape[0]] = lp
+            ipacked |= 0x80 | (lbits - 1)
+            fmcs = max(2, lbits)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+        if lp is not None:
+            out += lct.tobytes()
         rows = fr[f]
         if interlace:
             rows = np.concatenate([rows[r0::st] for r0, st in _GIF_INTERLACE])
-        out.append(mcs)
-        stream = _lzw_encode_gif(rows.tobytes(), mcs)
+        out.append(fmcs)
+        stream = _lzw_encode_gif(rows.tobytes(), fmcs)
         for i in range(0, len(stream), 255):
             block = stream[i : i + 255]
             out.append(len(block))

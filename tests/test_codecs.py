@@ -420,3 +420,23 @@ def test_resize_payload_video():
         # the resize must equal an independent per-frame resample
         exp = np.stack([mm.resize_pixels(fr[i], 4, 4) for i in range(3)])
         assert (got == exp).all()
+
+
+def test_gif_animation_local_palettes():
+    """Per-frame Local Colour Tables: frame 1 decodes through the LCT,
+    frame 0 through the global table — the decode branch real animated
+    GIFs with disjoint per-frame colour sets exercise."""
+    rng = np.random.default_rng(19)
+    fr = rng.integers(0, 8, (2, 5, 7), dtype=np.uint8)
+    gct = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    lct = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    payload = mm.encode_gif_animation(fr, gct, local_palettes=[None, lct])
+    frames, _ = mm.decode_gif_frames(payload)
+    assert (frames[0] == gct[fr[0]]).all()
+    assert (frames[1] == lct[fr[1]]).all()
+    # index validity is checked against the palette actually in scope
+    with pytest.raises(ValueError):
+        mm.encode_gif_animation(
+            np.full((1, 2, 2), 9, dtype=np.uint8), gct,
+            local_palettes=[np.zeros((4, 3), dtype=np.uint8)],
+        )
