@@ -2943,6 +2943,18 @@ def _q_dedup_substring_spans(spark, sf_dir):
     return dedup.duplicate_substring_spans(planted, k=20, stride=1)
 
 
+def _q_text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy quality screen
+    (``textops.char_entropy``): per document, -sum(p ln p) over its
+    character distribution plus distinct-char and length counts — the
+    cheap gibberish/binary-noise detector that complements the
+    C4/Gopher token-level heuristics. Oracle replays the distribution
+    and the entropy sum in SQL under the established ln-parity
+    contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.char_entropy(docs)
+
+
 def _q_dsir_importance(spark, sf_dir):
     """DSIR data selection (Xie et al. NeurIPS'23 — hashed-n-gram
     importance resampling, ``operators/textops.py:dsir_importance``):
@@ -4010,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "dedup_substring_spans": _q_dedup_substring_spans,
         "dsir_importance": _q_dsir_importance,
+        "text_char_entropy": _q_text_char_entropy,
         "dsir_topk_select": _q_dsir_topk_select,
         "source_mixture_temperature": _q_source_mixture_temperature,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -5078,6 +5091,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_admitted,
                    CAST(sum(doc_id) AS BIGINT) AS sum_admitted_ids
             FROM adm GROUP BY source, n_docs, weight, target
+        """,
+        "text_char_entropy": r"""
+            WITH chars AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, len(text) + 1)) AS i
+                    FROM documents WHERE len(text) > 0)
+            ), by_char AS (
+              SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+            ), totals AS (
+              SELECT doc_id, sum(c) AS n FROM by_char GROUP BY 1
+            )
+            SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS distinct_chars,
+                   round(-sum((c / n) * ln(c / n)), 6) AS entropy
+            FROM by_char JOIN totals USING (doc_id)
+            GROUP BY doc_id
         """,
         "dsir_topk_select": r"""
             WITH base AS (

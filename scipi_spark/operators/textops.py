@@ -1668,3 +1668,51 @@ def bpe_encode_counts(
             ).alias("subword_per_char"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    cheap screen for encoding noise, binary-in-text, and gibberish
+    (natural language sits in a narrow entropy band; base64 blobs and
+    key-mash score high, repeated-char padding scores near zero), used
+    alongside the C4/Gopher heuristics in web-corpus cleaning.
+
+    ``H = -sum(p_c * ln(p_c))`` over the document's character
+    distribution, plus the distinct-character count and length.
+
+    Scale shape: one narrow character explode (positions generated,
+    never shuffled), a (doc, char) count aggregate and the per-doc
+    rollup — two shuffles on doc-prefixed keys, map-side combined; the
+    alphabet (tens of distinct chars per doc) keeps the intermediate
+    tiny relative to the corpus. Float surface: one ln per (doc, char)
+    class and a rounded sum — the established cross-engine ln-parity
+    contract. Empty documents emit no row."""
+    # guard: Spark's sequence(1, 0) DESCENDS rather than being empty,
+    # so a zero-length text must short-circuit to an empty array
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) > 0 THEN "
+                f"transform(sequence(1, length({text_col})), "
+                f"i -> substring({text_col}, i, 1)) "
+                f"ELSE array() END"
+            )
+        ).alias("ch"),
+    )
+    by_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = by_char.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        by_char.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

@@ -1398,3 +1398,27 @@ def test_decontaminate_bloom_no_false_negatives(spark):
         for r in textops.decontaminate_bloom(tr, ev, k=5, m_bits=8).collect()
     }
     assert set(exact) <= set(sat)
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-computable entropy: uniform 2-char text = ln 2; single
+    repeated char = 0; empty doc emits no row; gibberish outscores
+    natural-ish text."""
+    import math
+
+    rows = [
+        (1, "abab"),              # p = {a: .5, b: .5} -> ln 2
+        (2, "aaaa"),              # single symbol -> 0
+        (3, ""),                  # no row
+        (4, "the cat sat on the mat"),
+        (5, "xq9!zK2@pL7#mW4$vB8%"),  # key-mash: near-uniform chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.char_entropy(df).collect()}
+    assert 3 not in out
+    assert out[1]["entropy"] == round(math.log(2), 6)
+    assert out[1]["n_chars"] == 4 and out[1]["distinct_chars"] == 2
+    assert out[2]["entropy"] == 0.0
+    assert out[5]["entropy"] > out[4]["entropy"]
+    # key-mash with all-distinct chars: entropy = ln(n)
+    assert out[5]["entropy"] == round(math.log(20), 6)
