@@ -2955,6 +2955,25 @@ def _q_text_char_entropy(spark, sf_dir):
     return textops.char_entropy(docs)
 
 
+def _q_dedup_trim_spans(spark, sf_dir):
+    """The action arm of ``dedup_substring_spans`` (same planted
+    fixture): per-document accounting of the characters CUT when every
+    corpus-duplicated span is removed — Lee et al.'s actual dedup
+    step. One row per doc including clean ones (n_spans = 0), lengths
+    in the normalized-text coordinate system the spans use, so
+    kept = n_chars - dup_chars is exact. Oracle composes the span
+    oracle with the same left-joined length replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = " standard license header text do not remove this notice verbatim"
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(boiler))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.trim_duplicate_spans(planted, k=20, stride=1)
+
+
 def _q_dsir_importance(spark, sf_dir):
     """DSIR data selection (Xie et al. NeurIPS'23 — hashed-n-gram
     importance resampling, ``operators/textops.py:dsir_importance``):
@@ -4021,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_profile,
         "winnow_overlap": _q_winnow_overlap,
         "dedup_substring_spans": _q_dedup_substring_spans,
+        "dedup_trim_spans": _q_dedup_trim_spans,
         "dsir_importance": _q_dsir_importance,
         "text_char_entropy": _q_text_char_entropy,
         "dsir_topk_select": _q_dsir_topk_select,
@@ -7534,6 +7554,24 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     }
     # the store-backed increment produces byte-identical output to the
     # raw-corpus increment (equivalence pytest-pinned) — same oracle
+    # trim accounting composes the span oracle with a left-joined
+    # normalized-length replay of the same planted projection
+    d["dedup_trim_spans"] = (
+        "WITH spans AS (" + d["dedup_substring_spans"] + "), "
+        "lens AS (SELECT doc_id, len(trim(regexp_replace(lower("
+        "CASE WHEN doc_id % 7 = 0 THEN text || "
+        "' standard license header text do not remove this notice verbatim' "
+        "ELSE text END), '\\s+', ' ', 'g'))) AS n_chars FROM documents), "
+        "agg AS (SELECT doc_id, count(*) AS n_spans, sum(span_len) AS "
+        "dup_chars FROM spans GROUP BY 1) "
+        "SELECT l.doc_id, CAST(l.n_chars AS BIGINT) AS n_chars, "
+        "CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, "
+        "CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars, "
+        "CAST(l.n_chars - coalesce(a.dup_chars, 0) AS BIGINT) AS kept_chars, "
+        "round(coalesce(a.dup_chars, 0) / greatest(l.n_chars, 1), 6) "
+        "AS dup_frac "
+        "FROM lens l LEFT JOIN agg a USING (doc_id)"
+    )
     # streaming media ingest: the converged per-format rollup over the
     # same decoded-value replay the batch entry pins
     d["stream_media_decode"] = (

@@ -1280,3 +1280,54 @@ def paragraph_dedup_stats(
         F.sum("is_dup").cast("long").alias("n_dup"),
         F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
     )
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 1,
+) -> DataFrame:
+    """The ACTION arm of :func:`duplicate_substring_spans` — what Lee
+    et al. actually do with the spans: account per document for the
+    characters that would be CUT when every corpus-duplicated span is
+    removed (repeated license headers, boilerplate paragraphs, quoted
+    blocks), leaving the unique remainder for training.
+
+    Output one row per document (clean docs included): (doc_id,
+    n_chars, n_spans, dup_chars, kept_chars, dup_frac) — lengths over
+    the NORMALIZED text, the same coordinate system the spans use, so
+    ``kept_chars = n_chars - dup_chars`` is exact. Same plan as the
+    span finder plus one per-doc rollup and a left join back to the
+    corpus (broadcast-eligible: one row per spanned doc)."""
+    from scipi_spark.operators.textops import normalize_text
+
+    spans = duplicate_substring_spans(
+        df, id_col=id_col, text_col=text_col, k=k, stride=stride
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("dup_chars"),
+    )
+    lens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(normalize_text(text_col)).cast("long").alias("n_chars"),
+    )
+    return (
+        lens.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            (F.col("n_chars") - F.coalesce("dup_chars", F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

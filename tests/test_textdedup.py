@@ -1422,3 +1422,28 @@ def test_char_entropy_known_values(spark):
     assert out[5]["entropy"] > out[4]["entropy"]
     # key-mash with all-distinct chars: entropy = ln(n)
     assert out[5]["entropy"] == round(math.log(20), 6)
+
+
+def test_trim_duplicate_spans_accounting(spark):
+    """Trim accounting: the shared sentence's chars count as dup in
+    both docs, the clean doc keeps everything, kept = n - dup exactly
+    (normalized-text coordinates)."""
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta epsilon"),
+        (2, "one two three four five " + shared + " six seven"),
+        (3, "totally unique content with no repeats anywhere here at all"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.trim_duplicate_spans(_docs(spark, rows), k=20).collect()
+    }
+    assert len(out) == 3
+    assert out[3]["n_spans"] == 0 and out[3]["dup_chars"] == 0
+    assert out[3]["kept_chars"] == out[3]["n_chars"]
+    for did in (1, 2):
+        r = out[did]
+        # maximal common region = ' ' + shared + ' ' (see span test)
+        assert r["dup_chars"] == len(shared) + 2
+        assert r["kept_chars"] == r["n_chars"] - r["dup_chars"]
+        assert r["dup_frac"] == round(r["dup_chars"] / r["n_chars"], 6)
