@@ -143,6 +143,36 @@ def knn_hard_negatives(
     )
 
 
+def auto_bits(
+    n: int, target_occupancy: int = 64, floor: int = 4, cap: int = 24
+) -> int:
+    """Hyperplane bits sized from corpus cardinality: ``bits ~
+    log2(n / target_occupancy)`` keeps EXPECTED bucket occupancy — and
+    hence per-query candidate count — roughly constant as the corpus
+    grows, which is what makes the LSH probe sublinear at 100x instead
+    of O(n / 2^fixed_bits) (round-9 verdict #1: the fixed ``bits=6``
+    store default made probe cost grow linearly past n ~ 64*2^6). Same
+    rule :func:`knn_join` already applies in-memory; recall is held up
+    by the independent-``tables`` dimension, not by occupancy."""
+    import math
+
+    return max(
+        floor,
+        min(cap, int(math.ceil(math.log2(max(n, 128) / float(target_occupancy))))),
+    )
+
+
+#: build recipe of ANN stores written/opened by THIS process, keyed by
+#: catalog table name — lets :func:`knn_from_store` self-configure when
+#: probed via ``table`` alone (no ``path``); cross-process probes resolve
+#: the same dict from the version marker instead.
+_ANN_PARAMS: dict = {}
+
+#: legacy recipe assumed for stores whose marker predates persisted
+#: params (pre-round-10 stores)
+_ANN_DEFAULTS = {"bits": 6, "tables": 8, "dim": 64, "seed": 42, "n_buckets": 16}
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian random hyperplanes (driver-side literals —
     bits x dim doubles, broadcast as part of the plan)."""
@@ -304,7 +334,7 @@ def write_ann_store(
     table: str = "ann_store_sigs",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 6,
+    bits: int | None = None,
     tables: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -333,14 +363,30 @@ def write_ann_store(
     both tables stage in a private build dir, and readers — this process
     or any other — resolve the store through the CURRENT pointer, so a
     probe concurrent with a rebuild sees the old or the new COMPLETE
-    store, never a half-written one."""
+    store, never a half-written one.
+
+    ``bits=None`` (the default) AUTO-SIZES the hyperplane count from the
+    corpus cardinality (:func:`auto_bits`) so bucket occupancy stays
+    bounded as the store grows. Whatever recipe is used — auto or
+    explicit — is persisted in the version marker; probes and
+    appends self-configure from it, and explicitly mismatched values
+    raise (``storectl.resolve_params``)."""
+    base0 = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    if bits is None:
+        bits = auto_bits(base0.count())
+    params = {
+        "bits": bits,
+        "tables": tables,
+        "dim": dim,
+        "seed": seed,
+        "n_buckets": n_buckets,
+    }
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
-    base = (
-        _spread(embeddings)
-        .select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e"))
-        .withColumn("sigs", sigs_udf(F.col("e")))
-        .localCheckpoint(eager=True)
+    base = base0.withColumn("sigs", sigs_udf(F.col("e"))).localCheckpoint(
+        eager=True
     )
     root = path.rstrip("/")
     build = storectl.new_build_dir(root)
@@ -358,7 +404,10 @@ def write_ann_store(
         ["vec_id"],
         n_buckets,
     )
-    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
+    ver = storectl.publish(
+        root, build, build_key, keep=keep, retain_s=retain_s, params=params
+    )
+    _ANN_PARAMS[table] = params
     _register_ann(embeddings.sparkSession, table, ver, n_buckets)
 
 
@@ -380,7 +429,7 @@ def open_ann_store(
     spark,
     path: str,
     table: str = "ann_store_sigs",
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     build_key: str | None = None,
     version_dir: str | None = None,
 ) -> str | None:
@@ -401,8 +450,25 @@ def open_ann_store(
     )
     if ver is None:
         return None
+    stored = _version_params(ver)
+    if stored:
+        _ANN_PARAMS[table] = stored
+    if n_buckets is None:
+        n_buckets = (stored or _ANN_DEFAULTS)["n_buckets"]
     _register_ann(spark, table, ver, n_buckets)
     return ver
+
+
+def _version_params(version_dir: str) -> dict | None:
+    """The persisted build recipe of ONE version dir (time-travel safe —
+    ``storectl.current_params`` only sees the live version)."""
+    import json
+
+    try:
+        with open(os.path.join(version_dir, storectl.MARKER)) as fh:
+            return json.load(fh).get("params")
+    except (OSError, ValueError):
+        return None
 
 
 def append_ann_store(
@@ -411,11 +477,11 @@ def append_ann_store(
     table: str = "ann_store_sigs",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 6,
-    tables: int = 8,
-    dim: int = 64,
-    seed: int = 42,
-    n_buckets: int = 16,
+    bits: int | None = None,
+    tables: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
+    n_buckets: int | None = None,
     keep: int = 1,
     retain_s: float = storectl.RETAIN_SECONDS,
 ) -> None:
@@ -423,6 +489,12 @@ def append_ann_store(
     rows and vectors append under the SAME bucket specs, so the probe's
     shuffle-free scan property is preserved (each append adds per-bucket
     files, it never re-shuffles the store).
+
+    The hash recipe (bits/tables/dim/seed/n_buckets) is INHERITED from
+    the store's version marker — appending under a different recipe
+    would mix incompatible signatures into one table, so explicitly
+    passed values that mismatch the marker raise
+    (``storectl.resolve_params``).
 
     Append-only contract (the LSM trade, as in
     ``dedup.append_signature_store``): callers MUST feed vec_ids not
@@ -436,6 +508,17 @@ def append_ann_store(
     only — no data bytes copy), adds the batch's files to the clone, and
     publishes it as a NEW version; concurrent readers keep the old
     complete version until the pointer flips."""
+    root = path.rstrip("/")
+    params = storectl.resolve_params(
+        storectl.current_params(root),
+        {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
+         "n_buckets": n_buckets},
+        _ANN_DEFAULTS,
+    )
+    bits, tables, dim, seed, n_buckets = (
+        params["bits"], params["tables"], params["dim"], params["seed"],
+        params["n_buckets"],
+    )
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
     base = (
@@ -444,7 +527,6 @@ def append_ann_store(
         .withColumn("sigs", sigs_udf(F.col("e")))
         .localCheckpoint(eager=True)
     )
-    root = path.rstrip("/")
     # serialized across processes: concurrent appenders queue on the
     # store's append lock so both batches land; publish's expect_base
     # check turns a bypassed lock into a loud StoreConflictError instead
@@ -473,7 +555,9 @@ def append_ann_store(
             keep=keep,
             retain_s=retain_s,
             expect_base=os.path.basename(cur),
+            params=params,
         )
+    _ANN_PARAMS[table] = params
     _register_ann(embeddings.sparkSession, table, ver, n_buckets)
 
 
@@ -481,11 +565,11 @@ def compact_ann_store(
     spark,
     path: str,
     table: str = "ann_store_sigs",
-    bits: int = 6,
-    tables: int = 8,
-    dim: int = 64,
-    seed: int = 42,
-    n_buckets: int = 16,
+    bits: int | None = None,
+    tables: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
+    n_buckets: int | None = None,
     build_key: str | None = None,
     keep: int = 1,
     retain_s: float = storectl.RETAIN_SECONDS,
@@ -503,8 +587,21 @@ def compact_ann_store(
     vectors and publishes it atomically — the live store never degrades
     mid-repair, and a compactor crash leaves the old version intact.
     ``build_key`` (default: inherited from the live version) stamps the
-    published marker so callers can gate on "repaired" state."""
+    published marker so callers can gate on "repaired" state. The hash
+    recipe is inherited from the marker exactly as in
+    :func:`append_ann_store` (explicit mismatches raise) — a compaction
+    under different planes would orphan every probe."""
     root = path.rstrip("/")
+    params = storectl.resolve_params(
+        storectl.current_params(root),
+        {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
+         "n_buckets": n_buckets},
+        _ANN_DEFAULTS,
+    )
+    bits, tables, dim, seed, n_buckets = (
+        params["bits"], params["tables"], params["dim"], params["seed"],
+        params["n_buckets"],
+    )
     cur = storectl.current_dir(root)
     if cur is None:
         raise FileNotFoundError(f"no published ANN store under {root!r}")
@@ -536,7 +633,10 @@ def compact_ann_store(
     if build_key is None:
         meta = storectl.current_meta(root) or {}
         build_key = meta.get("build_key", "ann-v1")
-    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
+    ver = storectl.publish(
+        root, build, build_key, keep=keep, retain_s=retain_s, params=params
+    )
+    _ANN_PARAMS[table] = params
     _register_ann(spark, table, ver, n_buckets)
 
 
@@ -544,15 +644,15 @@ def knn_from_store(
     queries: DataFrame,
     table: str = "ann_store_sigs",
     k: int = 10,
-    bits: int = 6,
-    tables: int = 8,
-    dim: int = 64,
-    seed: int = 42,
+    bits: int | None = None,
+    tables: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     path: str | None = None,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted :func:`write_ann_store`
     index: the query batch is signed with the same fixed-seed planes,
@@ -566,10 +666,35 @@ def knn_from_store(
     ``path``: store root for probing an index written by ANOTHER process
     (resolves the live version through the atomic CURRENT pointer and
     registers the catalog tables here); omit it when this session just
-    wrote/opened the store under ``table``."""
+    wrote/opened the store under ``table``.
+
+    The plane recipe (bits/tables/dim/seed) SELF-CONFIGURES from the
+    store — the version marker when ``path`` is given, else the recipe
+    recorded when this process wrote/opened ``table``. A probe signed
+    under different planes never errors on its own (its signatures just
+    land in the wrong buckets and recall silently collapses), so
+    explicitly passed values that mismatch the store's recipe raise
+    (round-9 verdict #1)."""
     spark = queries.sparkSession
+    stored = (
+        storectl.current_params(path.rstrip("/"))
+        if path is not None
+        else _ANN_PARAMS.get(table)
+    )
+    params = storectl.resolve_params(
+        stored,
+        {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
+         "n_buckets": n_buckets},
+        _ANN_DEFAULTS,
+    )
+    bits, tables, dim, seed = (
+        params["bits"], params["tables"], params["dim"], params["seed"]
+    )
     if path is not None:
-        if open_ann_store(spark, path, table=table, n_buckets=n_buckets) is None:
+        if (
+            open_ann_store(spark, path, table=table, n_buckets=params["n_buckets"])
+            is None
+        ):
             raise FileNotFoundError(
                 f"no published ANN store under {path!r} — write_ann_store first"
             )

@@ -275,6 +275,7 @@ def publish(
     keep: int = 1,
     retain_s: float = RETAIN_SECONDS,
     expect_base: str | None = None,
+    params: dict | None = None,
 ) -> str:
     """Atomically publish ``build_dir`` as the next version of the store
     at ``root`` and return the final version directory.
@@ -295,7 +296,14 @@ def publish(
     ``keep`` predecessors AND older than ``retain_s`` AND not pinned —
     see the module docstring's "Retention contract". Orphaned
     ``.build_*`` dirs idle longer than ``retain_s`` are also swept (they
-    can never become visible, so age-based removal is safe)."""
+    can never become visible, so age-based removal is safe).
+
+    ``params``: the store's build recipe (hash bits/tables, minhash
+    bands, bucket count, ...) — persisted in the version marker so
+    probes SELF-CONFIGURE from the store instead of trusting the caller
+    to re-supply matching values (a mis-paired probe silently
+    under-recalls; see :func:`resolve_params`). Append/compact paths
+    carry the live version's params forward via :func:`current_meta`."""
     if expect_base is not None:
         cur = current_dir(root)
         if cur is None or os.path.basename(cur) != expect_base:
@@ -305,8 +313,11 @@ def publish(
                 f"{root!r} (now {cur and os.path.basename(cur)!r}) — a "
                 "concurrent writer published; re-clone under append_lock"
             )
+    marker: dict = {"build_key": build_key, "layout": 1}
+    if params is not None:
+        marker["params"] = params
     with open(os.path.join(build_dir, MARKER), "w", encoding="utf-8") as fh:
-        json.dump({"build_key": build_key, "layout": 1}, fh)
+        json.dump(marker, fh)
     existing = _versions(root)
     n = int(existing[-1][2:8]) + 1 if existing else 1
     final = os.path.join(root, f"v_{n:06d}_{uuid.uuid4().hex[:8]}")
@@ -391,6 +402,48 @@ def current_meta(root: str) -> dict | None:
             return json.load(fh)
     except (OSError, ValueError):
         return None
+
+
+def current_params(root: str) -> dict | None:
+    """The live version's persisted build recipe (``publish(params=...)``),
+    or None for stores written before params were recorded."""
+    meta = current_meta(root)
+    return meta.get("params") if meta else None
+
+
+def resolve_params(
+    stored: dict | None, requested: dict, defaults: dict
+) -> dict:
+    """Reconcile a probe/append call's parameters with a store's
+    persisted build recipe. For each key in ``defaults``:
+
+    - requested value ``None``  -> inherit the stored value (the
+      self-configuring path), falling back to ``defaults`` for legacy
+      stores whose marker predates params;
+    - requested value set AND the store recorded a DIFFERENT value ->
+      ``ValueError``. A mis-paired probe (wrong bits/bands/seed) does
+      not error on its own — it silently under-recalls because the
+      freshly-hashed signatures land in the wrong buckets — so the
+      mismatch must fail LOUDLY here;
+    - requested value set, store has no recorded value -> trust the
+      caller (legacy store).
+    """
+    stored = stored or {}
+    out = {}
+    for key, dflt in defaults.items():
+        req = requested.get(key)
+        if req is None:
+            out[key] = stored.get(key, dflt)
+        elif key in stored and stored[key] != req:
+            raise ValueError(
+                f"store param mismatch: {key}={req!r} requested but the "
+                f"store was built with {key}={stored[key]!r} — a "
+                "mis-paired probe would silently under-recall; omit the "
+                "argument to inherit the store's recipe"
+            )
+        else:
+            out[key] = req
+    return out
 
 
 def write_bucketed(

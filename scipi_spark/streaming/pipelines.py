@@ -172,11 +172,11 @@ def run_streaming_dedup_against_store(
     table: str = "minhash_store_bands",
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 3,
-    num_perm: int = 64,
-    bands: int = 16,
+    k: int | None = None,
+    num_perm: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ):
     """Continuous near-dup detection against a persisted corpus: each
     micro-batch (1) probes the bucketed signature store for its near-dup
@@ -214,8 +214,14 @@ def run_streaming_dedup_against_store(
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # probe + append reuse
+        # recipe self-configures from the store marker (explicit
+        # mismatches raise) so the batch state below is banded under
+        # exactly the stored coefficients
+        bk, bnum_perm, bbands, _nb = dedup_ops._resolve_sig_params(
+            store_path.rstrip("/"), k, num_perm, bands, n_buckets
+        )
         state = dedup_ops.batch_lsh_state(
-            batch_df, id_col, text_col, k, num_perm, bands
+            batch_df, id_col, text_col, bk, bnum_perm, bbands
         )
         pairs = dedup_ops.minhash_lsh_increment_from_store(
             spark,

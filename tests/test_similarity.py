@@ -450,3 +450,89 @@ def test_compact_ann_store_repairs_duplicate_append(spark, tmp_path):
     )
     reference = set(rows("annstore_ref"))
     assert repaired == reference and repaired
+
+
+def test_ann_store_params_persist_and_self_configure(spark, tmp_path):
+    """Round-10: the store's hash recipe lives in the version marker —
+    a probe with NO recipe args reproduces the explicit-args probe, and
+    an explicitly mismatched probe raises instead of silently
+    under-recalling in the wrong buckets."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scipi_spark.sources import storectl
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for t in ("annstore_params", "annstore_params_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    root = str(tmp_path / "ann")
+    sim.write_ann_store(emb, root, table="annstore_params", bits=5, tables=4)
+    assert storectl.current_params(root) == {
+        "bits": 5, "tables": 4, "dim": 64, "seed": 42, "n_buckets": 16,
+    }
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    auto = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in sim.knn_from_store(
+            queries, table="annstore_params", k=5, path=root
+        ).collect()
+    }
+    explicit = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in sim.knn_from_store(
+            queries, table="annstore_params", k=5, bits=5, tables=4, path=root
+        ).collect()
+    }
+    assert auto == explicit and auto
+    # session-local self-configuration (no path): the write recorded the
+    # recipe for this process too
+    local = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in sim.knn_from_store(
+            queries, table="annstore_params", k=5
+        ).collect()
+    }
+    assert local == explicit
+    with pytest.raises(ValueError, match="store param mismatch"):
+        sim.knn_from_store(
+            queries, table="annstore_params", k=5, bits=7, path=root
+        )
+    with pytest.raises(ValueError, match="store param mismatch"):
+        sim.append_ann_store(queries, root, table="annstore_params", bits=7)
+    with pytest.raises(ValueError, match="store param mismatch"):
+        sim.compact_ann_store(spark, root, table="annstore_params", tables=9)
+
+
+def test_ann_store_auto_bits_sizing(spark, tmp_path):
+    """bits=None sizes the hyperplane count from corpus cardinality
+    (log2(n/occupancy) rule) and the auto-sized store still reproduces
+    the exact top-k on queries drawn from the corpus."""
+    from pyspark.sql import functions as F
+
+    assert sim.auto_bits(500) == 4          # floor
+    assert sim.auto_bits(64 * 2**6) == 6
+    assert sim.auto_bits(64 * 2**10) == 10  # 100x data -> +~7 bits
+    assert sim.auto_bits(10**12, cap=24) == 24
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for t in ("annstore_auto", "annstore_auto_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    root = str(tmp_path / "auto")
+    sim.write_ann_store(emb, root, table="annstore_auto", tables=16)
+    from scipi_spark.sources import storectl
+
+    params = storectl.current_params(root)
+    assert params["bits"] == sim.auto_bits(emb.count())
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.knn_from_store(
+            queries, table="annstore_auto", k=5, path=root
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.knn_brute(emb, qids, k=5).collect()
+    }
+    assert len(got & brute) / len(brute) == 1.0

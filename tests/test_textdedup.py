@@ -1447,3 +1447,55 @@ def test_trim_duplicate_spans_accounting(spark):
         assert r["dup_chars"] == len(shared) + 2
         assert r["kept_chars"] == r["n_chars"] - r["dup_chars"]
         assert r["dup_frac"] == round(r["dup_chars"] / r["n_chars"], 6)
+
+
+def test_signature_store_params_persist_and_mismatch_raises(spark, tmp_path):
+    """Round-10 (r9 verdict #6): the minhash recipe (k, num_perm, bands,
+    n_buckets) is persisted in the store's version marker. A probe with
+    no recipe args self-configures to the stored recipe; an explicitly
+    mismatched probe/append/compact raises LOUDLY instead of silently
+    under-recalling against wrong-bucket band hashes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators import dedup
+    from scipi_spark.sources import storectl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    spark.sql("DROP TABLE IF EXISTS sigstore_params")
+    root = str(tmp_path / "store")
+    dedup.write_signature_store(
+        corpus, root, table="sigstore_params", k=3, num_perm=32, bands=8,
+    )
+    assert storectl.current_params(root) == {
+        "k": 3, "num_perm": 32, "bands": 8, "n_buckets": 16,
+    }
+    # self-configured probe == explicit probe at the stored recipe
+    auto = sorted(map(tuple, dedup.minhash_lsh_increment_from_store(
+        spark, root, batch, table="sigstore_params", threshold=0.3,
+    ).collect()))
+    explicit = sorted(map(tuple, dedup.minhash_lsh_increment_from_store(
+        spark, root, batch, table="sigstore_params",
+        k=3, num_perm=32, bands=8, threshold=0.3,
+    ).collect()))
+    assert auto == explicit
+    with pytest.raises(ValueError, match="store param mismatch"):
+        dedup.minhash_lsh_increment_from_store(
+            spark, root, batch, table="sigstore_params",
+            num_perm=64, bands=16,
+        )
+    with pytest.raises(ValueError, match="store param mismatch"):
+        dedup.append_signature_store(
+            batch, root, table="sigstore_params", k=5,
+        )
+    with pytest.raises(ValueError, match="store param mismatch"):
+        dedup.compact_signature_store(
+            spark, root, table="sigstore_params", bands=16,
+        )
+    # append inheriting the stored recipe keeps probes green and carries
+    # the recipe into the new version's marker
+    dedup.append_signature_store(batch, root, table="sigstore_params")
+    assert storectl.current_params(root)["num_perm"] == 32
