@@ -1072,7 +1072,13 @@ def _run_stream_aggregation(spark, sf_dir, which: str):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out)
+    # materialize the sink before dropping the whole replay dir (src +
+    # ckpt + out) — the result must not lazily re-read deleted files
+    import shutil
+
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(d, ignore_errors=True)
+    return result
 
 
 def _q_stream_keyword_count(spark, sf_dir):
@@ -1093,11 +1099,31 @@ def _q_stream_yrwise_dist(spark, sf_dir):
     return _run_stream_aggregation(spark, sf_dir, "yrwise_dist")
 
 
+#: replay source/checkpoint tempdirs awaiting cleanup — each streaming
+#: gate registers its mkdtemp here and calls :func:`_materialize_and_sweep`
+#: on its final table, so a run leaves nothing on disk (round-9 advice:
+#: the gates leaked two parquet files per run)
+_REPLAY_DIRS: list = []
+
+
+def _materialize_and_sweep(df):
+    """Eagerly materialize a streaming gate's result (localCheckpoint —
+    the rows must not be lazily re-read from files about to vanish),
+    then delete every registered replay tempdir."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    while _REPLAY_DIRS:
+        shutil.rmtree(_REPLAY_DIRS.pop(), ignore_errors=True)
+    return out
+
+
 def _events_replay_stream(spark, sf_dir):
     """The events table replayed as a 2-micro-batch parquet file stream
     (split on event_id parity, so every aggregation's state must merge
     across batches — the rows of any (window, type) or user group land in
-    BOTH files)."""
+    BOTH files). The tempdir is registered for the caller's
+    ``_materialize_and_sweep`` pass."""
     import tempfile
 
     from scipi_spark.sources.tables import load_events
@@ -1106,6 +1132,7 @@ def _events_replay_stream(spark, sf_dir):
         "event_id", "ts", "user_id", "event_type", "value"
     )
     d = tempfile.mkdtemp(prefix="scipi_stream_events_")
+    _REPLAY_DIRS.append(d)
     src = f"{d}/src"
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
     ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
@@ -1165,7 +1192,10 @@ def _q_stream_media_decode(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # materialize the memory table, then drop the replay source dir —
+    # the gates otherwise leak two parquet files per run (round-9 advice)
+    _REPLAY_DIRS.append(d)
+    return _materialize_and_sweep(spark.table(name))
 
 
 def _q_stream_tumbling_windows(spark, sf_dir):
@@ -1192,7 +1222,7 @@ def _q_stream_tumbling_windows(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select(
+    return _materialize_and_sweep(spark.table(name)).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
@@ -1235,6 +1265,7 @@ def _q_stream_watermark_finalize(spark, sf_dir):
     ).drop("h")
 
     d = tempfile.mkdtemp(prefix="scipi_stream_wm_")
+    _REPLAY_DIRS.append(d)
     src = f"{d}/src"
     batches = [
         ev.filter(F.col("event_id") % 2 == 0),
@@ -1271,7 +1302,7 @@ def _q_stream_watermark_finalize(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select(
+    return _materialize_and_sweep(spark.table(name)).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
@@ -1309,7 +1340,7 @@ def _q_stream_user_stats(spark, sf_dir):
     # converged row = max n_events per user (strictly increasing across
     # micro-batches); a per-user window avoids self-joining the memory
     # sink view (whose plan can't be deduplicated for a self-join)
-    tbl = spark.table(name)
+    tbl = _materialize_and_sweep(spark.table(name))
     w = _W.partitionBy("user_id").orderBy(F.desc("n_events"))
     tbl = (
         tbl.withColumn("__rn", F.row_number().over(w))
@@ -1349,7 +1380,7 @@ def _q_stream_session_windows(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select(
+    return _materialize_and_sweep(spark.table(name)).select(
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
             "session_start"
         ),
@@ -2192,6 +2223,7 @@ def _q_stream_dedup(spark, sf_dir):
         F.to_json(F.struct("doc_id", "text")).alias("value")
     )
     d = tempfile.mkdtemp(prefix="scipi_stream_dedup_")
+    _REPLAY_DIRS.append(d)
     src = f"{d}/src"
     raw.coalesce(2).write.mode("overwrite").text(src)
     stream = (
@@ -2222,7 +2254,7 @@ def _q_stream_dedup(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select("fp")
+    return _materialize_and_sweep(spark.table(name)).select("fp")
 
 
 def _stream_two_batches(spark, frames, src_dir):
@@ -5097,10 +5129,22 @@ def oracle_sql() -> dict[str, str]:
             ), w AS (
               SELECT source, n_docs, sqrt(n_docs) AS weight FROM counts
             ), tot AS (SELECT sum(weight) AS wt FROM w),
+            -- largest-remainder allocation: floors, then the leftover
+            -- budget one-each to the biggest fractional parts
+            floors AS (
+              SELECT source, n_docs, weight,
+                     CAST(floor(120.0 * weight / wt) AS BIGINT) AS base,
+                     120.0 * weight / wt
+                       - floor(120.0 * weight / wt) AS frac
+              FROM w, tot
+            ),
             plan AS (
               SELECT source, n_docs, weight,
-                     CAST(round(120.0 * weight / wt) AS BIGINT) AS target
-              FROM w, tot
+                     base + CASE WHEN row_number() OVER (
+                                    ORDER BY frac DESC, source
+                                  ) <= 120 - (SELECT sum(base) FROM floors)
+                            THEN 1 ELSE 0 END AS target
+              FROM floors
             ), ranked AS (
               SELECT lang AS source, doc_id,
                      row_number() OVER (
@@ -7360,10 +7404,17 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                      JOIN peel p2 ON p2.v = s2.b AND p2.round = p.round
                      WHERE s2.a = s.a) >= 2
             )
-            SELECT v AS vertex,
-                   CAST(max(round) AS BIGINT) AS survived_rounds,
-                   max(round) >= 12 AS in_core
-            FROM peel GROUP BY v
+            , rounds AS (
+              SELECT v, CAST(max(round) AS BIGINT) AS sr
+              FROM peel GROUP BY v
+            )
+            -- converged iff the deepest peel round D leaves a no-drop
+            -- round inside the cap (D + 1 <= 11), i.e. D <= 10; an
+            -- all-core graph (no peeled vertex) converges at round 0
+            SELECT v AS vertex, sr AS survived_rounds, sr >= 12 AS in_core,
+                   coalesce((SELECT max(sr) FROM rounds WHERE sr < 12), -1)
+                     <= 10 AS converged
+            FROM rounds
         """,
         "graph_triangles": _GRAPH_CTE
         + """

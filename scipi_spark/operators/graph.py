@@ -432,7 +432,11 @@ def kcore_peel(
     scale. If the loop hits ``max_rounds`` before the alive set
     stabilizes, the remaining vertices are reported as core at the
     cap — callers needing exactness on adversarially deep graphs
-    (a single long chain) raise the cap."""
+    (a single long chain) raise the cap. The ``converged`` output
+    column (constant per call) records whether the fixpoint was
+    actually reached inside the cap, so a capped non-converged peel
+    is visible to quality-screen callers instead of silently labeling
+    unpeeled tendrils as core (round-9 advice)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -447,6 +451,7 @@ def kcore_peel(
     n_alive = alive.count()
     peeled = None
     final_round = max_rounds
+    converged = n_alive == 0
     for r in range(max_rounds):
         deg = (
             sym.join(alive.withColumnRenamed("v", "a"), "a")
@@ -466,6 +471,7 @@ def kcore_peel(
         peeled = dropped if peeled is None else peeled.unionByName(dropped)
         alive = nxt
         if n_next == n_alive:
+            converged = True
             break  # fixpoint: everyone still alive has degree >= k forever
         n_alive = n_next
     core = alive.select(
@@ -476,4 +482,5 @@ def kcore_peel(
         F.col("v").alias("vertex"),
         "survived_rounds",
         (F.col("survived_rounds") >= max_rounds).alias("in_core"),
+        F.lit(converged).alias("converged"),
     )

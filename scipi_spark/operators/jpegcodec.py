@@ -420,8 +420,15 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> bool:
+        # bounds-checked so a truncated stream surfaces as the same
+        # ValueError contract the GIF/PPM decoders follow, not a raw
+        # IndexError from deep inside the entropy loop (round-9 advice)
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         byte = self.data[self.pos]
         if byte == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -451,6 +458,8 @@ class _BitReader:
         """Consume an RSTn marker and reset bit alignment."""
         self.acc = 0
         self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         if not (
             self.data[self.pos] == 0xFF
             and 0xD0 <= self.data[self.pos + 1] <= 0xD7
@@ -546,14 +555,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG stream")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG stream")
         (seg_len,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seg_len]
+        if seg_len < 2 or len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG stream")
         pos += seg_len
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             off = 0
@@ -578,7 +593,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
                 off += 17 + n
         elif marker == 0xC0:  # SOF0: baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG stream")
             prec, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * n_comp:
+                raise ValueError("truncated JPEG stream")
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
             comps = []
@@ -591,10 +610,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG stream")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG stream")
             n_scan = body[0]
             scan = []
             for i in range(n_scan):

@@ -438,22 +438,40 @@ def source_mixture_temperature(
     ``w_s = n_s^(1/T)`` — T > 1 flattens the source distribution,
     upweighting tail sources relative to their corpus share, which is
     how every multilingual pretraining mix keeps low-resource
-    languages from vanishing. Per-source targets are
-    ``round(budget * w_s / sum(w))``; admission takes each source's
-    top-``target`` documents by portable md5 rank (deterministic,
-    order-free, stable under corpus repartitioning).
+    languages from vanishing. Per-source targets use LARGEST-REMAINDER
+    allocation (round-9 advice — independent per-source rounding could
+    miss the budget by up to ~n_sources/2): each source gets
+    ``floor(budget * w_s / sum(w))``, and the leftover
+    ``budget - sum(floors)`` goes one-each to the largest fractional
+    parts (ties by source name), so ``sum(target) == budget`` exactly
+    whenever ``budget <= n_docs`` per source allows. Admission takes
+    each source's top-``target`` documents by portable md5 rank
+    (deterministic, order-free, stable under corpus repartitioning).
 
     Scale shape: the weight table is one tiny aggregate broadcast
-    back; admission is ONE window shuffle partitioned by source (never
-    a global sort); the corpus is scanned once. With T=2 the weight is
-    an IEEE ``sqrt`` — exactly rounded in every engine, so the oracle
-    reproduces targets bit-for-bit.
+    back; the remainder ranking is a window over the SOURCE table
+    (one row per source, never the corpus); admission is ONE window
+    shuffle partitioned by source (never a global sort); the corpus is
+    scanned once. With T=2 the weight is an IEEE ``sqrt`` — exact in
+    every engine, so the oracle reproduces targets bit-for-bit.
+
+    ``id_col`` must be NUMERIC: the output pins the admitted set via
+    ``sum_admitted_ids`` (and the md5 rank hashes the id's canonical
+    integer string) — a non-numeric id column raises up front instead
+    of producing a null checksum.
 
     Returns one row per source: (source, n_docs, weight, target,
     n_admitted, sum_admitted_ids) — the id-sum pins the exact admitted
     SET, not just its size."""
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
 
+    if not isinstance(df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"source_mixture_temperature requires a numeric id_col; "
+            f"{id_col!r} is {df.schema[id_col].dataType.simpleString()} — "
+            "the admitted-set checksum sums ids"
+        )
     if temperature != 2.0:
         # n^(1/T) for general T relies on cross-libm pow parity; sqrt
         # (T=2, the common production setting) is IEEE-exact everywhere
@@ -467,13 +485,34 @@ def source_mixture_temperature(
         .withColumn("weight", weight)
     )
     total = counts.agg(F.sum("weight").alias("w_total"))
-    plan = counts.crossJoin(F.broadcast(total)).select(
+    quota = F.lit(float(budget)) * F.col("weight") / F.col("w_total")
+    floors = counts.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "weight",
-        F.round(F.lit(float(budget)) * F.col("weight") / F.col("w_total"))
-        .cast("long")
-        .alias("target"),
+        F.floor(quota).cast("long").alias("base"),
+        (quota - F.floor(quota)).alias("frac"),
+    )
+    # largest-remainder: the leftover budget goes one-each to the
+    # biggest fractional parts — windows over the tiny per-source table
+    w_all = Window.partitionBy(F.lit(1))
+    w_frac = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("frac"), F.asc("source")
+    )
+    plan = (
+        floors.withColumn(
+            "leftover", F.lit(int(budget)) - F.sum("base").over(w_all)
+        )
+        .withColumn("frac_rank", F.row_number().over(w_frac))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            (
+                F.col("base")
+                + (F.col("frac_rank") <= F.col("leftover")).cast("long")
+            ).alias("target"),
+        )
     )
     rank_key = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10

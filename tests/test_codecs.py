@@ -440,3 +440,14 @@ def test_gif_animation_local_palettes():
             np.full((1, 2, 2), 9, dtype=np.uint8), gct,
             local_palettes=[np.zeros((4, 3), dtype=np.uint8)],
         )
+
+
+def test_jpeg_truncated_streams_raise_valueerror():
+    """Round-10 (r9 advice): truncation anywhere — inside the marker
+    loop, a segment body, or the entropy-coded data — surfaces as the
+    ValueError contract the other decoders follow, never a raw
+    IndexError/struct.error from the bit reader."""
+    full = encode_jpeg(_block_constant_rgb(16, 16), 75)
+    for cut in (3, 6, 21, len(full) // 2, len(full) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])

@@ -243,3 +243,22 @@ def test_kcore_peel_cap_reports_remaining_as_core(spark):
     core = {r["vertex"] for r in out if r["in_core"]}
     # 3 rounds peel 3 vertices from each end; the middle 7 hit the cap
     assert core == set(range(3, 10))
+
+
+def test_kcore_peel_converged_flag(spark):
+    """Round-10 (r9 advice): the constant ``converged`` column separates
+    a true fixpoint from a capped peel — the capped chain reports
+    converged=False while the triangle fixture reports True."""
+    from scipi_spark.operators import graph
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = graph.kcore_peel(tri, k=2, max_rounds=8).collect()
+    assert all(r["converged"] for r in out)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    capped = graph.kcore_peel(chain, k=2, max_rounds=3).collect()
+    assert all(not r["converged"] for r in capped)

@@ -431,3 +431,30 @@ def test_source_mixture_temperature_flattens_shares(spark):
         for r in sampling.source_mixture_temperature(tiny, budget=30).collect()
     }
     assert res["a"]["n_admitted"] == 2 and res["b"]["n_admitted"] == 1
+
+
+def test_source_mixture_temperature_hits_budget_exactly(spark):
+    """Round-10 (r9 advice): largest-remainder allocation — the targets
+    sum to the requested budget exactly (independent rounding could
+    drift by ~n_sources/2), and a non-numeric id column raises up
+    front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators import sampling
+
+    rows = [(i, f"s{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for budget in (100, 101, 117, 250):
+        out = sampling.source_mixture_temperature(
+            df, budget=budget, source_col="source"
+        )
+        got = out.agg(
+            F.sum("target").alias("t"), F.sum("n_admitted").alias("a")
+        ).collect()[0]
+        assert got["t"] == budget, f"budget {budget}: targets sum {got['t']}"
+        assert got["a"] == budget  # every source can fill its target here
+
+    bad = df.select(F.col("doc_id").cast("string").alias("doc_id"), "source")
+    with pytest.raises(TypeError, match="numeric id_col"):
+        sampling.source_mixture_temperature(bad, budget=10, source_col="source")
