@@ -3886,9 +3886,16 @@ def _stamp_rounds_from_git(here: str, missing: list[str]) -> dict:
 
 
 def archived_green_entries(entries: dict, oracles: dict) -> set[str]:
-    """Entries with a driver-archived GREEN row (CORRECTNESS_r*.json beside
-    this file) whose recorded code fingerprint still matches the current
-    code. Green requires ``hash_match`` when the entry has an oracle (the
+    """Entries with a still-current archived green row — see
+    :func:`archived_green_rounds` (this is its key set)."""
+    return set(archived_green_rounds(entries, oracles))
+
+
+def archived_green_rounds(entries: dict, oracles: dict) -> dict[str, int]:
+    """Map of entry -> NEWEST round number with a driver-archived GREEN
+    row (CORRECTNESS_r*.json beside this file) whose recorded code
+    fingerprint still matches the current code. Green requires
+    ``hash_match`` when the entry has an oracle (the
     round-3 ``train_shards`` red row counted rows_match as green and could
     never re-enter the window); rows-only entries need ``rows_match``.
 
@@ -3956,8 +3963,12 @@ def archived_green_entries(entries: dict, oracles: dict) -> set[str]:
         except OSError:
             pass
 
-    archived: set[str] = set()
+    import re as _re
+
+    archived: dict[str, int] = {}
     for base, rows in recs.items():
+        m = _re.search(r"_r(\d+)", base)
+        rnd = int(m.group(1)) if m else 0
         stamp = stamps.get(base, {})
         for name, row in rows.items():
             if not isinstance(row, dict) or name not in fps:
@@ -3968,7 +3979,7 @@ def archived_green_entries(entries: dict, oracles: dict) -> set[str]:
                 else row.get("rows_match")
             )
             if green and stamp.get(name) == fps[name]:
-                archived.add(name)
+                archived[name] = max(archived.get(name, 0), rnd)
     return archived
 
 
@@ -3980,11 +3991,23 @@ def _gate_order(entries: dict) -> dict:
     code edit to the entry / its operator modules (fingerprint change) all
     count as not-archived, so the entry is automatically re-evaluated next
     round. Manual rotation (the round-2 judge's #1 finding) is thereby
-    permanently unnecessary."""
-    archived = archived_green_entries(entries, oracle_sql())
-    fresh = [k for k in entries if k not in archived]
-    seen = [k for k in entries if k in archived]
-    return {k: entries[k] for k in fresh + seen}
+    permanently unnecessary.
+
+    Round-10 (r9 verdict #5): window slots the fresh block leaves free
+    are filled with the OLDEST-evidenced archived entries (up to 12 per
+    round, by last green round then name), so stale archive rows
+    continuously rotate back through live driver evaluation and no
+    entry's newest driver row ages indefinitely behind a fingerprint
+    match. Fresh entries always front — rotation only consumes slack."""
+    rounds = archived_green_rounds(entries, oracle_sql())
+    fresh = [k for k in entries if k not in rounds]
+    slots = max(0, 50 - len(fresh))
+    rotate = sorted(
+        (k for k in entries if k in rounds), key=lambda k: (rounds[k], k)
+    )[: min(12, slots)]
+    rot_set = set(rotate)
+    rest = [k for k in entries if k in rounds and k not in rot_set]
+    return {k: entries[k] for k in fresh + rotate + rest}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -365,6 +365,33 @@ def build_output(
         "task_total": round(sum(task.values()), 3),
         "sf": sf_val,
     }
+    # Warm-spread stability metric (round-9 verdict #3), stated so it is
+    # not gameable: ELIGIBLE = entries whose trimmed-min task time is
+    # >= 1.0 s (sub-second entries are scheduler-quantum/GC-noise
+    # dominated — a 0.2 s -> 0.5 s wobble is a 2.5x "spread" carrying no
+    # information about the query; the floor value is fixed here, in
+    # code, not tuned per round). WITHIN = trimmed max <= 1.3x trimmed
+    # min. Sub-second entries are still published untrimmed in
+    # queries_task_samples for audit.
+    spread_floor = 1.0
+    eligible = {
+        k: v for k, v in (task_spread or {}).items() if v[0] >= spread_floor
+    }
+    within = [k for k, v in eligible.items() if v[-1] <= 1.3 * v[0]]
+    detail["warm_spread"] = {
+        "floor_task_s": spread_floor,
+        "ratio_bar": 1.3,
+        "n_eligible": len(eligible),
+        "n_within": len(within),
+        "pct_within": round(100.0 * len(within) / len(eligible), 1)
+        if eligible
+        else None,
+        "over_bar": sorted(
+            (k for k in eligible if k not in within),
+            key=lambda k: -(eligible[k][-1] / eligible[k][0]),
+        ),
+        "n_subsecond_excluded": len(task_spread or {}) - len(eligible),
+    }
     line_obj = {
         "metric": "headline_queries_hot_cache_total",
         "value": total,
@@ -374,6 +401,7 @@ def build_output(
         "queries_task": {k: round(v, 2) for k, v in task.items()},
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "total_cold": detail["total_cold"],
+        "warm_spread_pct": detail["warm_spread"]["pct_within"],
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }

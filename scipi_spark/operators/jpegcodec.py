@@ -156,6 +156,17 @@ _AC_BITS, _AC_VALS = _fixed_table(_AC_SYMBOLS, 8)
 _DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
 
+# progressive AC alphabet: the baseline symbols plus EOBn (r<<4, size 0
+# for r = 1..14) — the end-of-band RUN codes spectral-selection scans
+# use to skip whole all-zero-band block runs in O(1) bits
+_AC_SYMBOLS_PROG = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_BITS_PROG, _AC_VALS_PROG = _fixed_table(_AC_SYMBOLS_PROG, 8)
+_AC_CODES_PROG = _canonical_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
 
 class _BitWriter:
     """MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF
@@ -401,6 +412,265 @@ def encode_jpeg(
                 )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _sos_segment(comps: list[tuple[int, int, int]], ss: int, se: int,
+                 ah: int, al: int) -> bytes:
+    """SOS header for one progressive scan: ``comps`` =
+    [(component_id, dc_table, ac_table)], plus the spectral band
+    (Ss..Se) and successive-approximation bit positions (Ah, Al)."""
+    body = bytes([len(comps)])
+    for cid, tdc, tac in comps:
+        body += bytes([cid, (tdc << 4) | tac])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def _enc_ac_first(
+    writer: _BitWriter, blocks: list[np.ndarray], ss: int, se: int, al: int
+) -> None:
+    """First AC scan of one component (spec G.1.2.2): band Ss..Se of
+    each block at point transform Al (AC divides toward zero), with
+    EOB RUNS — consecutive all-zero-band blocks collapse into one EOBn
+    symbol + extension bits instead of one EOB each."""
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, width = _AC_CODES_PROG[r << 4]
+            writer.write(code, width)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [int(v) // (1 << al) if v >= 0 else -((-int(v)) >> al)
+                for v in zz[ss : se + 1]]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        pos = 0
+        for i in nz:
+            run = i - pos
+            while run >= 16:
+                code, width = _AC_CODES_PROG[0xF0]
+                writer.write(code, width)
+                run -= 16
+            v = band[i]
+            size = _size_cat(v)
+            code, width = _AC_CODES_PROG[(run << 4) | size]
+            writer.write(code, width)
+            writer.write(_amplitude(v, size), size)
+            pos = i + 1
+        if pos <= se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def _enc_ac_refine(
+    writer: _BitWriter, blocks: list[np.ndarray], ss: int, se: int, al: int
+) -> None:
+    """AC successive-approximation refinement scan (spec G.1.2.3 /
+    libjpeg ``encode_mcu_AC_refine``): newly-significant coefficients
+    (|coef| >> Al == 1) are coded as run/size-1 symbols with a sign
+    bit; already-significant ones contribute one raw correction bit
+    each, buffered and appended after the next symbol (or the EOBn
+    that closes a run of symbol-free blocks)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the open EOB run
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, width = _AC_CODES_PROG[r << 4]
+            writer.write(code, width)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+        eobrun = 0
+        for b in pending:
+            writer.write(b, 1)
+        pending.clear()
+
+    for zz in blocks:
+        band = [int(v) for v in zz[ss : se + 1]]
+        t = [abs(v) >> al for v in band]
+        # EOB position: past the LAST newly-significant coefficient —
+        # correction bits beyond it ride the EOB run
+        eob = 0
+        for i, ti in enumerate(t):
+            if ti == 1:
+                eob = i + 1
+        run = 0
+        br: list[int] = []  # correction bits since the last symbol
+        emitted = False
+        for i in range(len(band)):
+            if t[i] == 0:
+                run += 1
+                continue
+            # ZRL flush sits BEFORE the t>1 branch (libjpeg
+            # encode_mcu_AC_refine): the decoder's ZRL walk consumes
+            # exactly 16 zero-HISTORY positions, so a correction bit
+            # whose position lies beyond that span must be emitted
+            # after a LATER symbol — flushing only at newly-significant
+            # coefficients would misplace it and desync the stream
+            while run > 15 and i < eob:
+                flush_eobrun()
+                code, width = _AC_CODES_PROG[0xF0]
+                writer.write(code, width)
+                run -= 16
+                for b in br:
+                    writer.write(b, 1)
+                br.clear()
+            if t[i] > 1:  # already significant: one correction bit
+                br.append(t[i] & 1)
+                continue
+            # newly significant (t == 1; i < eob by construction)
+            flush_eobrun()
+            code, width = _AC_CODES_PROG[(run << 4) | 1]
+            writer.write(code, width)
+            writer.write(1 if band[i] > 0 else 0, 1)
+            for b in br:
+                writer.write(b, 1)
+            br.clear()
+            run = 0
+            emitted = True
+        if run > 0 or br or not emitted:
+            # trailing zeros / correction bits (or a symbol-free block)
+            # ride the EOB run; their bits flush with its EOBn symbol
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFE or len(pending) > 900:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 -> PROGRESSIVE
+    (SOF2) JFIF bytes, 4:4:4 chroma. The scan script exercises every
+    progressive mechanism a real libjpeg file uses: an interleaved DC
+    first scan at Al=1, spectral-selection AC first scans (luma split
+    into 1-5 / 6-63 bands, chroma 1-63) at Al=1 with EOB runs, a DC
+    refinement scan, and AC successive-approximation refinement scans
+    down to Al=0. All coefficient bits are eventually transmitted, so
+    decoding reproduces exactly the baseline-encode pixels for the same
+    quantized coefficients (progressive is a lossless reordering of the
+    entropy layer)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2 or arr.shape[-1] == 1
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError(f"expected (h, w, 1|3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    luma_q, chroma_q = quality_tables(quality)
+    if gray:
+        planes = [arr[..., 0].astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    n_comp = len(planes)
+    quants = [luma_q] + [chroma_q] * (n_comp - 1)
+
+    # quantized zigzag coefficients per component: (nby, nbx, 64)
+    coefs = []
+    for p, q in zip(planes, quants):
+        b = _blockify(p - 128.0)
+        nby, nbx = b.shape[:2]
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                c = _DCT_C @ b[by, bx] @ _DCT_C.T
+                zz[by, bx] = np.round(c / q).astype(np.int64).ravel()[_ZIGZAG]
+        coefs.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    out += _dqt_segment(0, luma_q)
+    if not gray:
+        out += _dqt_segment(1, chroma_q)
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    sof += bytes([1, 0x11, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS_PROG, _AC_VALS_PROG)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_BITS, _DC_VALS)
+        out += _dht_segment(1, 1, _AC_BITS_PROG, _AC_VALS_PROG)
+
+    ids = list(range(1, n_comp + 1))
+    tbl = [0] + [1] * (n_comp - 1)  # table assignment per component
+
+    # scan 1: DC first, interleaved, Al=1 (4:4:4 -> MCU == one block per
+    # component, raster order)
+    out += _sos_segment([(ids[c], tbl[c], 0) for c in range(n_comp)],
+                        0, 0, 0, 1)
+    writer = _BitWriter()
+    pred = [0] * n_comp
+    nby, nbx = coefs[0].shape[:2]
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(n_comp):
+                shifted = int(coefs[c][by, bx, 0]) >> 1
+                diff = shifted - pred[c]
+                pred[c] = shifted
+                size = _size_cat(diff)
+                code, width = _DC_CODES[size]
+                writer.write(code, width)
+                if size:
+                    writer.write(_amplitude(diff, size), size)
+    out += writer.flush()
+
+    def blocks_of(c: int) -> list[np.ndarray]:
+        z = coefs[c]
+        return [z[by, bx] for by in range(z.shape[0])
+                for bx in range(z.shape[1])]
+
+    # scans 2..: AC first, per component, Al=1 (luma band-split)
+    ac_first = [(0, 1, 5), (0, 6, 63)] + [
+        (c, 1, 63) for c in range(1, n_comp)
+    ]
+    for c, ss, se in ac_first:
+        out += _sos_segment([(ids[c], 0, tbl[c])], ss, se, 0, 1)
+        writer = _BitWriter()
+        _enc_ac_first(writer, blocks_of(c), ss, se, 1)
+        out += writer.flush()
+
+    # DC refinement, interleaved, Ah=1 -> Al=0: one raw bit per block
+    out += _sos_segment([(ids[c], tbl[c], 0) for c in range(n_comp)],
+                        0, 0, 1, 0)
+    writer = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(n_comp):
+                writer.write(int(coefs[c][by, bx, 0]) & 1, 1)
+    out += writer.flush()
+
+    # AC refinement, per component, Ah=1 -> Al=0
+    for c in range(n_comp):
+        out += _sos_segment([(ids[c], 0, tbl[c])], 1, 63, 1, 0)
+        writer = _BitWriter()
+        _enc_ac_refine(writer, blocks_of(c), 1, 63, 0)
+        out += writer.flush()
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 

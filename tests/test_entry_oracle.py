@@ -3,6 +3,8 @@ and compare with its ``oracle_sql()`` twin via DuckDB at sf0.01."""
 
 from __future__ import annotations
 
+import sys
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -83,36 +85,38 @@ def test_bench_output_line_fits_driver_buffer():
 
 
 def test_scaling_curves_artifact_near_linear():
-    """SCALING.json (tools/scaling_curves.py) must cover the seven curve
-    headliners at all three SFs with a near-linear task-time-vs-rows
-    slope on the 0.01 -> 0.1 leg (1.0 = linear, 2.0 = quadratic; the
-    band allows log factors and constant-overhead amortization but fails
-    a blowup long before wall-clock noise could hide one). Slopes are
-    only asserted where the large-SF cost is big enough for overhead not
-    to dominate the exponent."""
+    """SCALING.json (tools/scaling_curves.py) must cover the declared
+    curve cohort (round-10: the full heavy cohort — the 10 most
+    task-expensive entries all carry a current-code curve) at all three
+    SFs with a near-linear task-time-vs-rows slope on the 0.01 -> 0.1
+    leg (1.0 = linear, 2.0 = quadratic; the band allows log factors and
+    constant-overhead amortization but fails a blowup long before
+    wall-clock noise could hide one). Entries in SLOPE_CEILINGS carry a
+    documented looser bound (the declared exact-baseline ops whose
+    honest cost is super-linear by design). Slopes are only asserted
+    where the large-SF cost is big enough for overhead not to dominate
+    the exponent."""
     import json
     from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    from scaling_curves import CURVES, SLOPE_CEILINGS
 
     data = json.loads(
         (Path(__file__).resolve().parent.parent / "SCALING.json").read_text()
     )
     curves = data["curves"]
-    assert set(curves) == {
-        "p1_p5_ingest_oag",
-        "c8_store_lpa",
-        "dedup_minhash_lsh",
-        "dedup_semantic",
-        "knn_store_search",
-        "dedup_substring_spans",
-        "dsir_importance",
-    }
+    assert set(curves) == set(CURVES)
     for name, by_sf in curves.items():
         assert name in QUERIES, name
         for sf in ("0.001", "0.01", "0.1"):
             assert by_sf[sf]["task"] >= 0 and by_sf[sf]["rows_in"] > 0
         assert by_sf["0.1"]["rows_in"] > by_sf["0.01"]["rows_in"], name
         if by_sf["0.1"]["task"] > 0.5:
-            assert by_sf["slope"] <= 1.6, (name, by_sf["slope"])
+            ceiling = SLOPE_CEILINGS.get(name, 1.6)
+            assert by_sf["slope"] <= ceiling, (name, by_sf["slope"])
 
 
 def test_coverage_totals_match_registry():

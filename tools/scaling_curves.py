@@ -48,7 +48,10 @@ SF_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
-#: entry -> tables whose row count is the entry's input scale
+#: entry -> tables whose row count is the entry's input scale.
+#: Round-10 (r9 verdict #4): extended to the full heavy cohort — every
+#: entry among the 10 most task-expensive at sf0.1 now has a
+#: current-code curve.
 CURVES = {
     "p1_p5_ingest_oag": ["orders", "lineitem"],
     "c8_store_lpa": ["lineitem"],
@@ -57,7 +60,20 @@ CURVES = {
     "knn_store_search": ["embeddings"],
     "dedup_substring_spans": ["documents"],
     "dsir_importance": ["documents"],
+    "dedup_ngram_jaccard": ["documents"],
+    "knn_cosine_lsh": ["embeddings"],
+    "knn_cosine_pq": ["embeddings"],
+    "emb_neardup_pairs": ["embeddings"],
+    "community_pipeline": ["orders", "lineitem"],
+    "c14_decorated_subgraph": ["orders", "lineitem"],
 }
+
+#: per-entry slope ceilings where the default near-linear band does not
+#: apply, with the reason; everything else asserts <= 1.6 in
+#: tests/test_entry_oracle.py. dedup_ngram_jaccard is the DOCUMENTED
+#: exact all-pairs baseline (its scale path is dedup_minhash_lsh), so
+#: its honest cost is up to quadratic in the shared-shingle pair count.
+SLOPE_CEILINGS = {"dedup_ngram_jaccard": 2.3}
 
 WARM_SAMPLES = 2
 
