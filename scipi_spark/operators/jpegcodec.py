@@ -807,13 +807,224 @@ def _decode_block(
     return block, dc
 
 
+def _decode_prog_scan(
+    payload: bytes,
+    pos: int,
+    scan: list[tuple[int, int, int]],
+    frame,
+    coefs: dict[int, np.ndarray],
+    huff_dc: dict[int, _HuffDecoder],
+    huff_ac: dict[int, _HuffDecoder],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    accumulators and return the stream position of the next marker.
+
+    DC scans (Ss == 0) may be interleaved (MCU order with sampling
+    sub-blocks) or single-component; first scans (Ah == 0) are DPCM at
+    point transform Al, refinements read one raw bit per block. AC
+    scans are single-component by spec, iterated over the component's
+    own block grid, with EOB-run skipping (first scans) and the
+    correction-bit walk of G.1.2.3 (refinements). Restart markers reset
+    DC predictors and the open EOB run."""
+    h, w, comps = frame
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    reader = _BitReader(payload, pos)
+    preds = {cid: 0 for cid, _t, _a in scan}
+    eobrun = 0
+    n_unit = 0  # restart-interval unit counter (MCU or block)
+
+    def maybe_restart() -> None:
+        nonlocal n_unit, eobrun
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            reader.sync_restart()
+            for cid in preds:
+                preds[cid] = 0
+            eobrun = 0
+        n_unit += 1
+
+    def dec_dc(zz: np.ndarray, cid: int, tdc: int) -> None:
+        if ah == 0:
+            size = huff_dc[tdc].decode(reader)
+            diff = _extend(reader.read_bits(size), size)
+            preds[cid] += diff
+            zz[0] = preds[cid] << al
+        elif reader.read_bit():
+            zz[0] |= 1 << al
+
+    def dec_ac_first(zz: np.ndarray, tac: int) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = huff_ac[tac].decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: 16 zero coefficients
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC band overrun")
+            zz[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(zz: np.ndarray, k: int) -> None:
+        # one correction bit for an already-nonzero coefficient
+        if reader.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    def dec_ac_refine(zz: np.ndarray, tac: int) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = huff_ac[tac].decode(reader)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn: close this and r extension blocks
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # ZRL: pass 16 zero-history positions
+                elif s == 1:
+                    val = p1 if reader.read_bit() else m1
+                else:
+                    raise ValueError("bad JPEG AC refinement symbol")
+                while True:
+                    if k > se:
+                        raise ValueError("JPEG AC refinement band overrun")
+                    if zz[k] != 0:
+                        correct(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    correct(zz, k)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with nonzero Se")
+        if len(scan) > 1:  # interleaved MCU order
+            mcu_x = -(-w // (8 * hmax))
+            mcu_y = -(-h // (8 * vmax))
+            for _my in range(mcu_y):
+                for _mx in range(mcu_x):
+                    maybe_restart()
+                    for cid, tdc, _tac in scan:
+                        _, ch_, cv, _tq = by_id[cid]
+                        for dy in range(cv):
+                            for dx in range(ch_):
+                                dec_dc(
+                                    coefs[cid][_my * cv + dy, _mx * ch_ + dx],
+                                    cid,
+                                    tdc,
+                                )
+        else:
+            cid, tdc, _tac = scan[0]
+            _, ch_, cv, _tq = by_id[cid]
+            bw = -(-(-(-w * ch_ // hmax)) // 8)
+            bh = -(-(-(-h * cv // vmax)) // 8)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    dec_dc(coefs[cid][by, bx], cid, tdc)
+    else:  # AC scan: single component over its own block grid
+        if len(scan) != 1:
+            raise ValueError("interleaved JPEG AC scan is not allowed")
+        cid, _tdc, tac = scan[0]
+        _, ch_, cv, _tq = by_id[cid]
+        bw = -(-(-(-w * ch_ // hmax)) // 8)
+        bh = -(-(-(-h * cv // vmax)) // 8)
+        dec = dec_ac_first if ah == 0 else dec_ac_refine
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                dec(coefs[cid][by, bx], tac)
+
+    # step past any padding bits to the next marker
+    p = reader.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] not in (0x00,):
+            return p
+        p += 1
+    raise ValueError("truncated JPEG stream")
+
+
+def _reconstruct_progressive(
+    frame, coefs: dict[int, np.ndarray], quant: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the final image (upsample subsampled chroma, crop to the
+    frame size, YCbCr -> RGB) — the same tail as the baseline scan."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, ch_, cv, tq in comps:
+        z = coefs[cid]
+        nby, nbx = z.shape[:2]
+        qz = quant[tq].ravel()[_ZIGZAG]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = (z[by, bx] * qz)[_UNZIGZAG].reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_C.T @ coef.astype(np.float64) @ _DCT_C
+                )
+        plane += 128.0
+        if ch_ < hmax or cv < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch_, axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return gray[..., None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w, 1)
-    for single-component grayscale scans). Supports 8-bit baseline
-    sequential DCT (SOF0), 1 or 3 components, any HxV sampling factors
-    in {1, 2} (4:4:4, 4:2:2, 4:2:0), restart intervals, and arbitrary
-    DHT/DQT table assignments. Progressive (SOF2), arithmetic coding,
-    and 12-bit precision raise ``NotImplementedError``."""
+    """JFIF/JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w, 1) for
+    single-component grayscale scans). Supports 8-bit baseline
+    sequential DCT (SOF0) — 1 or 3 components, any HxV sampling factors
+    in {1, 2} (4:4:4, 4:2:2, 4:2:0), restart intervals, arbitrary
+    DHT/DQT table assignments — and PROGRESSIVE DCT (SOF2): interleaved
+    or single-component DC scans, spectral-selection AC scans with EOB
+    runs, and successive-approximation DC/AC refinement scans, with
+    coefficients accumulated across scans and reconstructed at EOI.
+    Arithmetic coding, lossless/hierarchical SOFs, and 12-bit precision
+    raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -822,6 +1033,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    prog_coefs: dict[int, np.ndarray] = {}
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -832,6 +1045,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
+            if progressive and frame is not None and prog_coefs:
+                return _reconstruct_progressive(frame, prog_coefs, quant)
             break
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG stream")
@@ -862,7 +1077,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6:
                 raise ValueError("truncated JPEG stream")
             prec, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
@@ -875,9 +1090,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            if marker == 0xC2:
+                progressive = True
+                # coefficient accumulators at MCU geometry (covers both
+                # the interleaved-DC and non-interleaved-AC block
+                # grids), zigzag order, refined scan by scan
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcu_x = -(-w // (8 * hmax))
+                mcu_y = -(-h // (8 * vmax))
+                for cid, ch_, cv, _tq in comps:
+                    prog_coefs[cid] = np.zeros(
+                        (mcu_y * cv, mcu_x * ch_, 64), dtype=np.int64
+                    )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})"
+                f"unsupported JPEG frame type (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -886,13 +1114,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            if not body or len(body) < 1 + 2 * body[0]:
+            if not body or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated JPEG stream")
             n_scan = body[0]
             scan = []
             for i in range(n_scan):
                 cid, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tables >> 4, tables & 0x0F))
+            if progressive:
+                ss, se = body[1 + 2 * n_scan], body[2 + 2 * n_scan]
+                ahl = body[3 + 2 * n_scan]
+                pos = _decode_prog_scan(
+                    payload, pos, scan, frame, prog_coefs,
+                    huff_dc, huff_ac, ss, se, ahl >> 4, ahl & 0x0F,
+                    restart_interval,
+                )
+                continue
             h, w, comps = frame
             by_id = {c[0]: c for c in comps}
             hmax = max(c[1] for c in comps)

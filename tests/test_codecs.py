@@ -280,10 +280,11 @@ def test_jpeg_dispatches_from_decode_image():
 
 
 def test_jpeg_rejects_non_baseline():
-    # progressive (SOF2) must refuse, not garble
+    # lossless (SOF3) must refuse, not garble (SOF2 progressive is
+    # supported since round 10)
     payload = bytearray(encode_jpeg(_block_constant_rgb(8, 8)))
     idx = bytes(payload).index(b"\xff\xc0")
-    payload[idx + 1] = 0xC2
+    payload[idx + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
@@ -449,5 +450,68 @@ def test_jpeg_truncated_streams_raise_valueerror():
     IndexError/struct.error from the bit reader."""
     full = encode_jpeg(_block_constant_rgb(16, 16), 75)
     for cut in (3, 6, 21, len(full) // 2, len(full) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline_bit_for_bit():
+    """Round-10: progressive (SOF2) is a lossless reordering of the
+    entropy layer — for identical quantized coefficients the decoded
+    pixels must EQUAL the baseline decode exactly. Random noise makes
+    the scan script exercise EOB runs > 1, the luma band split, DC
+    refinement, and AC successive-approximation correction bits."""
+    from scipi_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(23)
+    noisy = rng.integers(0, 256, (41, 53, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(noisy, 75, subsampling="444"))
+    prog = decode_jpeg(encode_jpeg_progressive(noisy, 75))
+    assert (base == prog).all()
+
+    gray = rng.integers(0, 256, (17, 29)).astype(np.uint8)
+    bg = decode_jpeg(encode_jpeg(gray, 75))
+    pg = decode_jpeg(encode_jpeg_progressive(gray, 75))
+    assert bg.shape == pg.shape == (17, 29, 1)
+    assert (bg == pg).all()
+
+
+def test_jpeg_progressive_block_constant_bit_exact():
+    """Block-constant fixtures decode bit-exactly through the
+    progressive path (same zero-loss argument as baseline), and the
+    stream really is SOF2 with the full 8-scan script."""
+    from scipi_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rgb = _block_constant_rgb(16, 24)
+    payload = encode_jpeg_progressive(rgb, 75)
+    # walk the marker stream (raw byte counts false-positive on segment
+    # bodies that happen to contain FF DA): expect SOF2 and the full
+    # 9-scan script — DC, 4x AC first (luma split 1-5/6-63 + 2 chroma),
+    # DC refine, 3x AC refine
+    markers, pos = [], 2
+    while pos + 4 < len(payload):
+        assert payload[pos] == 0xFF
+        m = payload[pos + 1]
+        markers.append(m)
+        if m == 0xDA:  # skip entropy: find next unstuffed non-RST marker
+            pos += 2 + struct.unpack_from(">H", payload, pos + 2)[0]
+            while not (
+                payload[pos] == 0xFF
+                and payload[pos + 1] not in (0x00,)
+                and not (0xD0 <= payload[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+        else:
+            pos += 2 + struct.unpack_from(">H", payload, pos + 2)[0]
+    assert 0xC2 in markers and 0xC0 not in markers
+    assert markers.count(0xDA) == 9
+    assert (decode_jpeg(payload) == rgb).all()
+    assert (mm.decode_image(payload) == rgb).all()  # magic dispatch
+
+
+def test_jpeg_progressive_truncation_raises():
+    from scipi_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    full = encode_jpeg_progressive(_block_constant_rgb(16, 16), 75)
+    for cut in (len(full) // 3, len(full) // 2, len(full) - 3):
         with pytest.raises(ValueError):
             decode_jpeg(full[:cut])
