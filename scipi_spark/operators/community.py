@@ -609,11 +609,20 @@ def subgraph_by_labels(
     vertices_typed: DataFrame, edges: DataFrame, labels: DataFrame, keep: list[int]
 ) -> tuple[DataFrame, DataFrame]:
     """C11/C12/C13: induced subgraph on vertices in the kept communities,
-    with entity types restored; edges deduped for output."""
+    with entity types restored; edges deduped for output.
+
+    ``kept_v`` is materialized (localCheckpoint): downstream consumes it
+    THREE times (both sides of the edge-induction semi-joins here, both
+    decoration sides in :func:`decorate_edges`), and without the cut
+    each consumer re-executes the full vertex-extraction + label chain —
+    measured as the dominant share of c14's 161-Exchange plan (round-9
+    verdict #4). The kept subgraph is the filtered community, far
+    smaller than the corpus, so the checkpoint is cheap at any scale."""
     kept_v = (
         labels.filter(F.col("label").isin([int(k) for k in keep]))
         .join(vertices_typed, "id")
         .select("id", "vtype", "label")
+        .localCheckpoint(eager=True)
     )
     ids = kept_v.select("id")
     kept_e = (

@@ -1468,9 +1468,6 @@ def knn_cosine_pq(
     base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
-    enc = pq_encode_udf(C)
-    coded = base.select("vec_id", "e", enc(F.col("e")).alias("codes"))
-
     qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
     dsub = dim // m
     # norms for cosine: query norm exact; corpus norm from reconstruction
@@ -1506,17 +1503,27 @@ def knn_cosine_pq(
     )
     qid_arr = np.array(qids, dtype="int64")
     sub = np.arange(m)
+    Cn = np.asarray(C, dtype="float64")
 
     def adc_topk(batches):
-        # Per-Arrow-batch ADC + top-R fold: only Q x R rows leave each
-        # batch — the full Q x n score matrix never materializes outside
-        # the kernel and never shuffles (the narrow-map claim in the
-        # docstring, made true by construction). Tie-break (adc desc,
-        # vec_id asc) matches the final window's ordering exactly.
+        # Per-Arrow-batch FUSED encode + ADC + top-R fold (round-10:
+        # the encode pandas_udf used to be its own Arrow stage over the
+        # whole corpus; folding the m small argmin matmuls into this
+        # kernel removes one corpus-wide Python round-trip). Only Q x R
+        # rows leave each batch — the full Q x n score matrix never
+        # materializes outside the kernel and never shuffles. Tie-break
+        # (adc desc, vec_id asc) matches the final window's ordering
+        # exactly.
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Cd = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            X = np.stack(pdf["e"].to_numpy())  # (n, dim)
+            Cd = np.empty((len(X), m), dtype="int64")
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                Cd[:, s] = np.argmin(
+                    c_sq[s][None, :] - 2.0 * (Xs @ Cn[s].T), axis=1
+                )
             vids = pdf["vec_id"].to_numpy()
             dots = lut_arr[:, sub, Cd].sum(axis=2)  # (Q, n)
             cn = np.sqrt(c_sq[sub, Cd].sum(axis=1))  # (n,)
@@ -1538,7 +1545,7 @@ def knn_cosine_pq(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    pre = coded.select("vec_id", "codes").mapInPandas(adc_topk, out_schema)
+    pre = base.mapInPandas(adc_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     cand = pre.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= top_r
