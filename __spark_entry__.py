@@ -1814,6 +1814,94 @@ def _q_sorted_scan_prune(spark, sf_dir):
     return out
 
 
+def _q_zorder_scan_prune(spark, sf_dir):
+    """Z-order (Morton-curve) clustered layout + MULTI-dimensional
+    data-skipping read, gated end-to-end (round-10 — the 2-D complement
+    to ``sorted_scan_prune``: a 1-D sort by (user_id, value) leaves
+    value's per-row-group range as wide as the corpus, so a predicate
+    on value alone, or on both columns, cannot skip): events are
+    written clustered by the bit-interleaved (user_id, value) key
+    (``io.write_zordered`` — pure integer expressions inside
+    whole-stage codegen, one tiny min/max aggregate broadcast back, no
+    UDF), then a conjunctive 2-D range predicate is read back through
+    the pushed-filter path. pytest asserts the skipping is REAL on
+    BOTH dimensions (row-group hyper-rectangles tight on each column;
+    scan numOutputRows collapses vs the same filter over a 1-D-sorted
+    copy — tests/test_plans.py). The oracle recomputes the same
+    aggregates from the events view under the same predicate, so a row
+    lost/duplicated by the exchange or misplaced by the curve breaks
+    the hash."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.sources.io import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = _tempfile.mkdtemp(prefix="scipi_zorder_prune_")
+    try:
+        write_zordered(ev, base + "/z", ["user_id", "value"])
+        back = spark.read.parquet(base + "/z").filter(
+            (F.col("user_id") >= 100) & (F.col("user_id") < 200)
+            & (F.col("value") >= 10.0) & (F.col("value") < 30.0)
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+                F.sum("user_id").cast("long").alias("sum_uid"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the dir goes
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _q_scd2_customer_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension merge (``sources/store.py:
+    scd2_apply``), gated end-to-end — the attribute-HISTORY warehouse
+    pattern (the type-1 last-write-wins sibling is
+    ``s5_latest_publications``). Dimension: customers opened at
+    ``valid_from = c_custkey % 1000`` with their market segment;
+    update batch: each customer's orders replayed as timestamped
+    segment changes (segment = the order's priority string, ts =
+    10000 + o_orderkey, globally unique so the version order is total —
+    multiple updates per key, consecutive duplicates included). One
+    key-window pass applies the whole batch:
+    change-detect via lag, interval-close via lead. The oracle replays
+    the identical versioning in SQL windows, so a wrong interval
+    boundary, a missed no-op collapse, or a lost insert breaks the
+    hash. Output: one row per version, aggregated per (is_current,
+    version-count bucket) to keep the gate row stable."""
+    from scipi_spark.sources.store import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_custkey") % 1000).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("segment"),
+        (F.lit(10000) + F.col("o_orderkey")).cast("long").alias("ts"),
+    )
+    hist = scd2_apply(dim, updates, "k", ["segment"])
+    return hist.groupBy("is_current", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("valid_from").cast("long").alias("sum_from"),
+        F.sum(F.coalesce("valid_to", F.lit(0))).cast("long").alias("sum_to"),
+    )
+
+
 def _q_partition_pruned_scan(spark, sf_dir):
     """Hive-partitioned corpus + partition-pruned read, gated
     end-to-end: the documents table is written partitioned by source
@@ -4195,6 +4283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_format_roundtrip": _q_multi_format_roundtrip,
         "partition_pruned_scan": _q_partition_pruned_scan,
         "sorted_scan_prune": _q_sorted_scan_prune,
+        "zorder_scan_prune": _q_zorder_scan_prune,
+        "scd2_customer_history": _q_scd2_customer_history,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -6746,6 +6836,49 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
             FROM events
             WHERE value >= 10.0 AND value < 20.0
             GROUP BY event_type
+        """,
+        "zorder_scan_prune": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            WHERE user_id >= 100 AND user_id < 200
+              AND value >= 10.0 AND value < 30.0
+            GROUP BY event_type
+        """,
+        # SCD2 versioning replayed: one lag for change detection over
+        # (current + updates), one lead for interval closing
+        "scd2_customer_history": """
+            WITH dim AS (
+              SELECT c_custkey AS k, c_mktsegment AS segment,
+                     CAST(c_custkey % 1000 AS BIGINT) AS ts
+              FROM customer
+            ), ups AS (
+              SELECT o_custkey AS k, o_orderpriority AS segment,
+                     CAST(10000 + o_orderkey AS BIGINT) AS ts
+              FROM orders
+            ), uni AS (
+              SELECT * FROM dim UNION ALL SELECT * FROM ups
+            ), chg AS (
+              SELECT k, segment, ts,
+                     lag(segment) OVER (PARTITION BY k ORDER BY ts) AS prev
+              FROM uni
+            ), kept AS (
+              SELECT k, segment, ts FROM chg
+              WHERE prev IS NULL OR prev <> segment
+            ), vers AS (
+              SELECT k, segment, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+              FROM kept
+            )
+            SELECT valid_to IS NULL AS is_current, segment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(sum(valid_from) AS BIGINT) AS sum_from,
+                   CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS sum_to
+            FROM vers GROUP BY 1, 2
         """,
         "partition_pruned_scan": """
             WITH target AS (SELECT min(source) AS s FROM documents),

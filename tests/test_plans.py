@@ -403,3 +403,93 @@ def test_range_sorted_layout_enables_row_group_skipping(spark, tmp_path):
     # the row groups whose stats intersect the predicate
     assert decoded_plain == total
     assert matching <= decoded_sorted < total / 4
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """Round-10: write_zordered must skip row groups on predicates over
+    the SECOND clustering column, where the 1-D (user_id, value)-sorted
+    layout cannot (user-major sort leaves value's per-file span as wide
+    as the corpus). Also pins that the z-write is row-preserving and
+    UDF-free (the key is built from integer expressions; the plan
+    carries no BatchEvalPython)."""
+    from scipi_spark.sources.io import (
+        write_range_sorted,
+        write_zordered,
+        zorder_key,
+    )
+
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    z_dir = str(tmp_path / "z")
+    s_dir = str(tmp_path / "s")
+    write_zordered(ev, z_dir, ["user_id", "value"], n_ranges=8)
+    write_range_sorted(ev, s_dir, "user_id", "value", n_ranges=8)
+
+    # row-preserving
+    assert sorted(map(tuple, spark.read.parquet(z_dir).collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+
+    def decoded(path, pred):
+        df = spark.read.parquet(path).filter(pred)
+        df.collect()
+        node = df._jdf.queryExecution().executedPlan()
+        while node.children().size() > 0:
+            node = node.children().apply(0)
+        return node.metrics().apply("numOutputRows").value()
+
+    total = ev.count()
+    # second-dimension predicates: the user-major 1-D sort leaves
+    # value's per-file span as wide as the corpus (skips little or
+    # nothing); the Morton layout keeps value tight per file. Measured
+    # at this fixture: v>=200 decodes 125 vs 875, v in [100,150)
+    # decodes 375 vs 1000.
+    for pred in (
+        F.col("value") >= 200.0,
+        (F.col("value") >= 100.0) & (F.col("value") < 150.0),
+    ):
+        matching = ev.filter(pred).count()
+        dz, ds = decoded(z_dir, pred), decoded(s_dir, pred)
+        assert matching <= dz, (matching, dz)
+        assert dz * 2 <= ds, (dz, ds)
+
+    # the z layout still skips on the FIRST dimension too (coarser than
+    # a dedicated 1-D sort — that is the curve's documented trade: some
+    # first-dim sharpness for skipping on EVERY dim)
+    upred = F.col("user_id") <= 2
+    du = decoded(z_dir, upred)
+    assert ev.filter(upred).count() <= du < total
+
+    keyed, z = zorder_key(ev, ["user_id", "value"])
+    assert "BatchEvalPython" not in _plan(keyed.select(z))
+
+
+def test_scd2_apply_semantics(spark):
+    """Change detection, interval closing, replay no-ops, new-key
+    insert, and closed-history passthrough — the SCD2 contract."""
+    from scipi_spark.sources.store import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "gold", 100, 200, False), (1, "silver", 200, None, True),
+         (2, "bronze", 50, None, True)],
+        "k long, tier string, valid_from long, valid_to long, "
+        "is_current boolean",
+    )
+    ups = spark.createDataFrame(
+        [(1, "gold", 300), (1, "gold", 350),   # change, then replay
+         (2, "bronze", 400),                    # no-op (same attrs)
+         (3, "new", 500)],                      # unknown key
+        "k long, tier string, ts long",
+    )
+    out = {
+        (r["k"], r["valid_from"]): (r["tier"], r["valid_to"], r["is_current"])
+        for r in scd2_apply(dim, ups, "k", ["tier"]).collect()
+    }
+    assert out == {
+        (1, 100): ("gold", 200, False),     # closed history untouched
+        (1, 200): ("silver", 300, False),   # closed by the update
+        (1, 300): ("gold", None, True),     # replay at 350 collapsed
+        (2, 50): ("bronze", None, True),    # no-op left open
+        (3, 500): ("new", None, True),      # insert
+    }
