@@ -94,6 +94,12 @@ WHITELIST: dict[tuple[str, str], str] = {
         "cumulative-% windows over the authorship-pattern aggregate "
         "(<= distinct author-count buckets, tens of rows by construction)"
     ),
+    ("source_mixture_temperature", "global_window"): (
+        "largest-remainder allocation (round-9 advice): leftover-budget "
+        "sum + fractional-part rank run over the per-SOURCE weight "
+        "table — one row per source, never the corpus (the corpus-side "
+        "admission stays a source-partitioned window)"
+    ),
     ("skew_profile_events", "global_window"): (
         "rank over the k survivors of a TakeOrderedAndProject top-k "
         "(plan-asserted in tests/test_ranking.py)"
