@@ -650,6 +650,18 @@ def _q_text_perplexity(spark, sf_dir):
     return textops.bigram_cross_entropy(docs)
 
 
+def _q_text_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram cross-entropy quality scores
+    (round-10 — the smoothing real KenLM filters use; the Laplace twin
+    is ``text_perplexity``). Absolute discounting + continuation
+    probability over three exact count aggregations; the oracle
+    replays the identical formula with one fixed association order, so
+    a single continuation count or discount application off anywhere
+    breaks the hash on every doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.kneser_ney_cross_entropy(docs)
+
+
 def _q_dedup_paragraph(spark, sf_dir):
     """Cross-document paragraph (8-word-segment) exact dedup stats: one
     explode, one first-occurrence window on segment content, one per-doc
@@ -1900,6 +1912,84 @@ def _q_scd2_customer_history(spark, sf_dir):
         F.sum("valid_from").cast("long").alias("sum_from"),
         F.sum(F.coalesce("valid_to", F.lit(0))).cast("long").alias("sum_to"),
     )
+
+
+def _q_stream_scd2(spark, sf_dir):
+    """SCD2 as CONTINUOUS dimension maintenance (round-10 — the
+    streaming x SCD2 x versioned-store cross): the same customer-
+    segment updates as ``scd2_customer_history``, split at the median
+    timestamp into 2 mtime-ordered micro-batches and folded through a
+    ``foreachBatch`` sink that reads the CURRENT dimension version,
+    applies ``store.scd2_apply``, and publishes the result as a NEW
+    version through storectl's atomic pointer (readers never see a
+    half-merged dimension; a crashed fold leaves the old version
+    intact). Because batches are timestamp-ordered, the incremental
+    fold is associative with the one-shot merge — the converged
+    dimension must hash-match the SAME oracle as the batch entry,
+    so a version lost, a boundary interval misclosed, or a cross-batch
+    no-op not collapsing all break it."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.sources.store import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_custkey") % 1000).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("segment"),
+        (F.lit(10000) + F.col("o_orderkey")).cast("long").alias("ts"),
+    )
+    cut = updates.agg(
+        F.expr("percentile(ts, 0.5)").cast("long").alias("c")
+    ).collect()[0]["c"]  # 1-row scalar: the batch boundary
+    d = _tempfile.mkdtemp(prefix="scipi_stream_scd2_")
+    _REPLAY_DIRS.append(d)
+    root = f"{d}/dim"
+    build = storectl.new_build_dir(root)
+    dim0.write.parquet(build + "/dim")
+    storectl.publish(root, build, "scd2-v1")
+
+    def fold(batch_df, _batch_id):
+        cur = storectl.current_dir(root)
+        dim = spark.read.parquet(cur + "/dim")
+        merged = scd2_apply(dim, batch_df, "k", ["segment"]).localCheckpoint(
+            eager=True
+        )
+        nxt = storectl.new_build_dir(root)
+        merged.write.parquet(nxt + "/dim")
+        storectl.publish(root, nxt, "scd2-v1")
+
+    stream = _stream_two_batches(
+        spark,
+        [updates.filter(F.col("ts") < cut), updates.filter(F.col("ts") >= cut)],
+        f"{d}/src",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .foreachBatch(fold)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hist = spark.read.parquet(storectl.current_dir(root) + "/dim")
+    out = hist.groupBy("is_current", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("valid_from").cast("long").alias("sum_from"),
+        F.sum(F.coalesce("valid_to", F.lit(0))).cast("long").alias("sum_to"),
+    )
+    return _materialize_and_sweep(out)
 
 
 def _q_partition_pruned_scan(spark, sf_dir):
@@ -4232,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": _q_dedup_paragraph,
         "quantize_embeddings": _q_quantize_embeddings,
         "text_perplexity": _q_text_perplexity,
+        "text_kneser_ney": _q_text_kneser_ney,
         "train_shards": _q_train_shards,
         "dedup_store_increment": _q_dedup_store_increment,
         # -- declaration order below is historical; _gate_order re-sorts
@@ -4285,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_scan_prune": _q_sorted_scan_prune,
         "zorder_scan_prune": _q_zorder_scan_prune,
         "scd2_customer_history": _q_scd2_customer_history,
+        "stream_scd2_apply": _q_stream_scd2,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -7886,6 +7978,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # (same corpus after duplicates drop; recall 1.0 regime, see
     # knn_store_search) — same brute-force oracle
     d["ann_store_compact"] = d["knn_store_search"]
+    # the ts-ordered streaming fold converges to the identical
+    # dimension as the one-shot batch merge — same oracle
+    d["stream_scd2_apply"] = d["scd2_customer_history"]
     # the persisted-index BM25 search produces the same scores as the
     # raw-corpus search (equivalence pytest-pinned) — same oracle
     d["bm25_store_search"] = d["text_bm25"]
@@ -7937,6 +8032,37 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
                CAST(count(*) AS BIGINT) AS n_bigrams,
                round(-sum(ln((c2 + 1.0) / (c1 + v))) / count(*), 6) AS xent
         FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1), vv
+        GROUP BY 1
+    """
+    # interpolated Kneser-Ney: same bigram CTEs; KN counts come from the
+    # bigram-TYPE table (bc); formula in the operator's association order
+    d["text_kneser_ney"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), idxd AS (
+          SELECT doc_id, t, unnest(range(1, len(t))) AS i
+          FROM toks WHERE len(t) >= 2
+        ), bi AS MATERIALIZED (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idxd
+        ), bc AS MATERIALIZED (
+          SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+        ), uc AS (
+          SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+          FROM bc GROUP BY 1
+        ), cc AS (
+          SELECT w2, count(*) AS n1p FROM bc GROUP BY 1
+        ), tt AS (
+          SELECT CAST(count(*) AS DOUBLE) AS t FROM bc
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-sum(ln((c2 - 0.75) / c1
+                             + ((0.75 * n1f) / c1) * (n1p / t)))
+                     / count(*), 6) AS xent
+        FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+                JOIN cc USING (w2), tt
         GROUP BY 1
     """
     d["quantize_embeddings"] = """

@@ -925,6 +925,65 @@ def bigram_cross_entropy(
     )
 
 
+def kneser_ney_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document cross-entropy under an INTERPOLATED KNESER-NEY
+    bigram model trained on the corpus itself — the smoothing actual
+    KenLM quality filters use (Laplace, the
+    :func:`bigram_cross_entropy` baseline, systematically over-penalizes
+    frequent contexts; KN's absolute discounting + continuation
+    probability is the published fix, Kneser & Ney 1995):
+
+        P(w2|w1) = (c(w1,w2) - d) / c(w1.)
+                 + (d * N1+(w1.) / c(w1.)) * (N1+(.w2) / N1+(..))
+
+    with d = ``discount``, c(w1.) the context's bigram total, N1+(w1.)
+    the distinct continuations of w1, N1+(.w2) the distinct contexts
+    preceding w2, and N1+(..) the total distinct bigram types. Scoring
+    the training corpus means every scored bigram has c >= 1 > d, so
+    the discounted term never floors at zero here; held-out scoring
+    composes through the same joins with the continuation term carrying
+    unseen bigrams.
+
+    Scale shape identical to the Laplace twin: bigrams explode once
+    (narrow), the model is count aggregations on the bigram table
+    (map-side combined), scoring joins back on the same keys and rolls
+    up per doc; the only scalar broadcast is the 1-row bigram-type
+    total. d = 0.75 is exactly representable, counts are exact
+    integers, and the formula is written with one fixed association
+    order, so the DuckDB oracle reproduces every double bit-for-bit
+    (same ln-parity contract as tfidf/bm25).
+
+    Docs with fewer than 2 tokens have no bigrams and produce no row."""
+    bi = _doc_bigrams(df, id_col, text_col).localCheckpoint(eager=True)
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bc = bc.localCheckpoint(eager=True)  # feeds uc, cc, tot, and the join
+    uc = bc.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cc = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tot = bc.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    d = F.lit(float(discount))
+    p = (F.col("c2") - d) / F.col("c1") + (
+        (d * F.col("n1f")) / F.col("c1")
+    ) * (F.col("n1p") / F.col("t"))
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .join(cc, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("xent"),
+        )
+    )
+
+
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, w1, w2) exploded bigrams — shared by the in-corpus
     cross-entropy and the LM-store train/score paths."""

@@ -1499,3 +1499,25 @@ def test_signature_store_params_persist_and_mismatch_raises(spark, tmp_path):
     # the recipe into the new version's marker
     dedup.append_signature_store(batch, root, table="sigstore_params")
     assert storectl.current_params(root)["num_perm"] == 32
+
+
+def test_kneser_ney_scores_are_finite_and_orderable(spark):
+    """KN sanity: probabilities are in (0, 1] so xent > 0 and finite;
+    a document made of the corpus's most common bigram scores LOWER
+    cross-entropy than one made of a unique bigram; and the KN score
+    genuinely differs from the Laplace twin (the continuation term)."""
+    from scipi_spark.operators import textops
+
+    rows = [(i, "the cat sat") for i in range(20)]
+    rows += [(100, "the cat sat the cat sat"), (101, "zz qq zz qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kn = {r["doc_id"]: r["xent"]
+          for r in textops.kneser_ney_cross_entropy(df).collect()}
+    assert all(x > 0 and x == x for x in kn.values())
+    assert kn[100] < kn[101]
+    lap = {r["doc_id"]: r["xent"]
+           for r in textops.bigram_cross_entropy(df).collect()}
+    assert kn[100] != lap[100]
+    # a 1-token doc yields no row
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert textops.kneser_ney_cross_entropy(one).count() == 0

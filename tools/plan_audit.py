@@ -66,6 +66,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("text_bm25", "bnlj"): _SCALAR_BNLJ,
     ("text_tfidf", "bnlj"): _SCALAR_BNLJ,
     ("text_perplexity", "bnlj"): _SCALAR_BNLJ,
+    ("text_kneser_ney", "bnlj"): _SCALAR_BNLJ,
     ("text_quality_classifier", "bnlj"): _SCALAR_BNLJ,
     ("text_rarity", "bnlj"): _SCALAR_BNLJ,
     ("perplexity_buckets", "bnlj"): _SCALAR_BNLJ,
