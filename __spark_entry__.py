@@ -1914,6 +1914,77 @@ def _q_scd2_customer_history(spark, sf_dir):
     )
 
 
+def _er_records(spark, sf_dir):
+    """Entity-resolution fixture: every part becomes a 4-token record
+    (token i = prefixed ``p_partkey`` residue mod a distinct prime:
+    47/53/59/61), and every 3rd part gets a PLANTED duplicate (rec_id +
+    1,000,000) sharing tokens 1-3 with a corrupted 4th token. The
+    moduli make the match structure provable at the gate SFs (partkey
+    < 20,000): a planted pair shares 3 of 5 distinct tokens (Jaccard
+    0.6), any other pair shares at most 2 of 6 (<= 0.333) — sharing 3
+    arithmetic tokens would need congruence mod lcm(47,53,59) ~ 147k,
+    and the copy-copy mod-5 shortcuts land on rec_ids of different
+    residue mod 3, so no copy pair exists either. Every entity is
+    therefore exactly {original, its copy} or a singleton, which the
+    SQL oracle can state in closed form."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    name = F.concat_ws(
+        " ",
+        F.concat(F.lit("a"), (k % 47).cast("string")),
+        F.concat(F.lit("b"), ((k * 7) % 53).cast("string")),
+        F.concat(F.lit("c"), ((k * 11) % 59).cast("string")),
+        F.concat(F.lit("d"), ((k * 13) % 61).cast("string")),
+    )
+    orig = part.select(k.cast("long").alias("rec_id"), name.alias("name"))
+    dup_name = F.concat_ws(
+        " ",
+        F.concat(F.lit("a"), (k % 47).cast("string")),
+        F.concat(F.lit("b"), ((k * 7) % 53).cast("string")),
+        F.concat(F.lit("c"), ((k * 11) % 59).cast("string")),
+        F.concat(F.lit("x"), (k % 5).cast("string")),
+    )
+    dups = part.filter(k % 3 == 0).select(
+        (k + 1_000_000).cast("long").alias("rec_id"), dup_name.alias("name")
+    )
+    return orig.unionByName(dups)
+
+
+def _q_er_blocked_matches(spark, sf_dir):
+    """Record linkage, stage 1+2 (round-10 — the structured-record twin
+    of the text dedup family; Fellegi-Sunter/Splink shape re-expressed
+    Spark-first, ``operators/linkage.py``): first-token blocking cuts
+    the comparison space to sum-of-block-squares, then word-set Jaccard
+    scores each blocked pair in pure column arithmetic (exact integer
+    set sizes, one division — bit-parity with the SQL replay). Output:
+    every matched pair with its score; the planted duplicates are
+    exactly the pairs that clear 0.5."""
+    from scipi_spark.operators import linkage
+
+    return linkage.match_pairs(
+        _er_records(spark, sf_dir), threshold=0.5
+    )
+
+
+def _q_er_entity_clusters(spark, sf_dir):
+    """Record linkage, stage 3: transitive closure of the match graph
+    via the hash-min connected-components superstep loop — records
+    chained by matches collapse to one entity id (the component min),
+    singletons keep their own. The fixture's modulus argument (see
+    ``_er_records``) makes every component a pair or a singleton, so
+    the oracle states the closure in closed form; a false or missed
+    match anywhere upstream changes some record's entity id and breaks
+    the hash. Output folded per entity: member count, id sum."""
+    from scipi_spark.operators import linkage
+
+    recs = _er_records(spark, sf_dir)
+    ents = linkage.entity_ids(recs, linkage.match_pairs(recs, threshold=0.5))
+    return ents.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("rec_id").cast("long").alias("sum_ids"),
+    )
+
+
 def _q_stream_scd2(spark, sf_dir):
     """SCD2 as CONTINUOUS dimension maintenance (round-10 — the
     streaming x SCD2 x versioned-store cross): the same customer-
@@ -4377,6 +4448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan_prune": _q_zorder_scan_prune,
         "scd2_customer_history": _q_scd2_customer_history,
         "stream_scd2_apply": _q_stream_scd2,
+        "er_blocked_matches": _q_er_blocked_matches,
+        "er_entity_clusters": _q_er_entity_clusters,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -7981,6 +8054,46 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the ts-ordered streaming fold converges to the identical
     # dimension as the one-shot batch merge — same oracle
     d["stream_scd2_apply"] = d["scd2_customer_history"]
+    # entity resolution: blocked pairs + word-set Jaccard replayed with
+    # DuckDB list ops on the same arithmetic-token records
+    d["er_blocked_matches"] = """
+        WITH recs AS (
+          SELECT CAST(p_partkey AS BIGINT) AS rec_id,
+                 ['a' || CAST(p_partkey % 47 AS VARCHAR),
+                  'b' || CAST((p_partkey * 7) % 53 AS VARCHAR),
+                  'c' || CAST((p_partkey * 11) % 59 AS VARCHAR),
+                  'd' || CAST((p_partkey * 13) % 61 AS VARCHAR)] AS w
+          FROM part
+          UNION ALL
+          SELECT CAST(p_partkey + 1000000 AS BIGINT),
+                 ['a' || CAST(p_partkey % 47 AS VARCHAR),
+                  'b' || CAST((p_partkey * 7) % 53 AS VARCHAR),
+                  'c' || CAST((p_partkey * 11) % 59 AS VARCHAR),
+                  'x' || CAST(p_partkey % 5 AS VARCHAR)]
+          FROM part WHERE p_partkey % 3 = 0
+        ), blocked AS (
+          SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+                 len(list_intersect(a.w, b.w)) AS ni,
+                 len(list_distinct(a.w || b.w)) AS nu
+          FROM recs a JOIN recs b
+            ON a.w[1] = b.w[1] AND a.rec_id < b.rec_id
+        )
+        SELECT id_a, id_b, round(ni / nu, 6) AS jaccard
+        FROM blocked WHERE ni / nu >= 0.5
+    """
+    # the planted ground truth in closed form: every entity is exactly
+    # {original, its copy} (parts divisible by 3) or a singleton — the
+    # modulus argument in _er_records' docstring; the live pipeline
+    # (blocking -> Jaccard -> hash-min closure) must reproduce it
+    d["er_entity_clusters"] = """
+        SELECT CAST(p_partkey AS BIGINT) AS entity_id,
+               CAST(CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END
+                    AS BIGINT) AS n_members,
+               CAST(CASE WHEN p_partkey % 3 = 0
+                         THEN 2 * p_partkey + 1000000
+                         ELSE p_partkey END AS BIGINT) AS sum_ids
+        FROM part
+    """
     # the persisted-index BM25 search produces the same scores as the
     # raw-corpus search (equivalence pytest-pinned) — same oracle
     d["bm25_store_search"] = d["text_bm25"]
