@@ -662,6 +662,43 @@ def _q_text_kneser_ney(spark, sf_dir):
     return textops.kneser_ney_cross_entropy(docs)
 
 
+def _q_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN end-to-end (round-10 — the FAISS IVFPQ
+    shape: coarse cells prune the scan to nprobe/n_centroids of the
+    corpus, a RESIDUAL product quantizer compresses what is scanned
+    32x; the two approximations compose in one Arrow ADC kernel with
+    per-cell reconstruction-norm tables). Same operating regime and
+    oracle as ``knn_cosine_pq``: planted near-copies (cosine ~0.99) are
+    each query's true top-1 and the two-stage search must return
+    exactly them with EXACT cosines — so the plain exact top-1 SQL
+    hash-match proves the composite path loses nothing here, at
+    nprobe=4 of 8 cells (the genuinely pruned regime, not
+    probe-everything)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    both = ed.unionByName(similarity.perturbed_copies(ed))
+    key = ("ivfpq-cent", sf_dir, 8, 3)
+    if key not in _CENTROID_CACHE:
+        _cache_put(_CENTROID_CACHE, key, similarity.spherical_kmeans(
+            both, 8, 3, vec_col="e"
+        ))
+    return similarity.knn_cosine_ivfpq(
+        both,
+        query_ids=[0, 1, 2, 3, 4],
+        k=1,
+        n_centroids=8,
+        nprobe=4,
+        m=8,
+        ksub=16,
+        rerank=10,
+        vec_col="e",
+        centroids=_CENTROID_CACHE[key],
+    )
+
+
 def _q_dedup_paragraph(spark, sf_dir):
     """Cross-document paragraph (8-word-segment) exact dedup stats: one
     explode, one first-occurrence window on segment content, one per-doc
@@ -4426,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "pq_encode": _q_pq_encode,
         "knn_cosine_pq": _q_knn_pq,
+        "knn_cosine_ivfpq": _q_knn_ivfpq,
         "epoch_shuffle": _q_epoch_shuffle,
         "corpus_stats_diff": _q_corpus_stats_diff,
         "bm25_store_search": _q_bm25_store_search,
@@ -8054,6 +8092,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the ts-ordered streaming fold converges to the identical
     # dimension as the one-shot batch merge — same oracle
     d["stream_scd2_apply"] = d["scd2_customer_history"]
+    # IVF-PQ runs in the same planted regime with the same exact-top-1
+    # contract as plain PQ — same oracle
+    d["knn_cosine_ivfpq"] = d["knn_cosine_pq"]
     # entity resolution: blocked pairs + word-set Jaccard replayed with
     # DuckDB list ops on the same arithmetic-token records
     d["er_blocked_matches"] = """

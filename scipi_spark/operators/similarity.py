@@ -1634,3 +1634,221 @@ def label_coherence(
         )
         .join(coh, "label", "left")
     )
+
+
+def knn_cosine_ivfpq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    train_iters: int = 3,
+    rerank: int | None = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS IVFPQ shape, Jégou et al. 2011
+    §V): an IVF coarse quantizer prunes the corpus to ``nprobe`` cells
+    per query, and a RESIDUAL product quantizer scores the survivors by
+    ADC — the two approximations compose, so the index is both
+    list-pruned (scan cost ~ nprobe/n_centroids of the corpus) and
+    32x-compressed (m bytes per vector).
+
+    Training: spherical k-means centroids on the corpus, then PQ
+    codebooks on the RESIDUALS e - c(e) (residuals are what makes the
+    composite beat plain PQ: they are centered, so the sub-codebooks
+    spend their 2^ksub codes on a tighter distribution). Both trainers
+    are the existing deterministic distributed loops; pass
+    ``centroids``/``codebooks`` to reuse a cached model (the production
+    shape — train daily, probe per batch).
+
+    Scoring (cosine via reconstruction): for query q and a vector in
+    cell c with codes t, q . x_hat = q . c + sum_s LUT[s, t_s] with
+    LUT = q-subvector dots against the residual codebooks; ||x_hat||^2
+    = ||c||^2 + 2 c.r_hat + ||r_hat||^2 from per-cell precomputed code
+    tables. All tables are (n_centroids x m x ksub) scalars built once
+    per query batch on the driver and closed over an Arrow kernel; per
+    batch only Q x R candidate rows leave each task, and the exact
+    re-rank touches only those. Recall reaches 1.0 as nprobe ->
+    n_centroids (the gate's oracle regime); production operates at
+    nprobe << n_centroids."""
+    import numpy as np
+
+    C = (
+        centroids
+        if centroids is not None
+        else spherical_kmeans(
+            embeddings, n_centroids, train_iters, id_col=id_col,
+            vec_col=vec_col,
+        )
+    )
+    C = np.asarray(C, dtype="float64")  # (ncells, dim)
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    )
+    one = assign_centroid_udf(C, nprobe=1)
+    corpus = base.select(
+        "vec_id", "e", F.element_at(one(F.col("e")), 1).alias("cell")
+    ).localCheckpoint(eager=True)
+
+    if codebooks is None:
+        # residuals via a JVM-side subtract against the broadcast
+        # centroid row (array literal join keeps it in codegen)
+        cent_rows = [(int(i), [float(v) for v in C[i]]) for i in range(len(C))]
+        spark = embeddings.sparkSession
+        cdf = spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
+        resid = corpus.join(F.broadcast(cdf), "cell").select(
+            "vec_id",
+            F.zip_with("e", "cvec", lambda a, b: a - b).alias("r"),
+        )
+        codebooks = pq_codebooks(
+            resid, m, ksub, train_iters, dim, id_col="vec_id", vec_col="r"
+        )
+    B = np.asarray(codebooks, dtype="float64")  # (m, ksub, dsub)
+    dsub = dim // m
+
+    # encode residuals (fused: subtract + subspace argmin in one kernel)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    b_sq = (B**2).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("array<int>")
+    def enc(cell: pd.Series, e: pd.Series) -> pd.Series:
+        X = np.stack(e.to_numpy()) - C[cell.to_numpy()]  # residuals
+        out = np.empty((len(X), m), dtype="int32")
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            out[:, s] = np.argmin(
+                b_sq[s][None, :] - 2.0 * (Xs @ B[s].T), axis=1
+            )
+        return pd.Series(list(out))
+
+    coded = corpus.select(
+        "vec_id", "cell", enc(F.col("cell"), F.col("e")).alias("codes")
+    )
+
+    qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
+    qids = sorted(r["vec_id"] for r in qrows)
+    qe = {r["vec_id"]: np.asarray(r["e"], dtype="float64") for r in qrows}
+    # per-query probed cells (top-nprobe by centroid dot on the
+    # normalized query — same rule as assign_centroid_udf)
+    probed = {}
+    for qid in qids:
+        q = qe[qid]
+        qn = q / max(np.sqrt((q**2).sum()), 1e-12)
+        order = np.argsort(-(C @ qn))
+        probed[qid] = set(int(c) for c in order[:nprobe])
+    # reconstruction norm tables, per (cell, subspace, code):
+    # ||x_hat||^2 = ||c||^2 + 2 sum_s c_s . B[s,t_s] + sum_s ||B[s,t_s]||^2
+    c_sq = (C**2).sum(axis=1)  # (ncells,)
+    cb_dot = np.stack(
+        [
+            np.stack([C[c, s * dsub : (s + 1) * dsub] @ B[s].T
+                      for s in range(m)])
+            for c in range(len(C))
+        ]
+    )  # (ncells, m, ksub)
+    lut = np.stack(
+        [
+            np.stack([B[s] @ qe[qid][s * dsub : (s + 1) * dsub]
+                      for s in range(m)])
+            for qid in qids
+        ]
+    )  # (Q, m, ksub)
+    qc = np.stack([C @ qe[qid] for qid in qids])  # (Q, ncells)
+    qnorm = np.array([np.sqrt((qe[qid] ** 2).sum()) for qid in qids])
+    qid_arr = np.array(qids, dtype="int64")
+    probe_mask = np.zeros((len(qids), len(C)), dtype=bool)
+    for qi, qid in enumerate(qids):
+        for c in probed[qid]:
+            probe_mask[qi, c] = True
+    top_r = rerank or k
+    sub = np.arange(m)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc", DoubleType()),
+        ]
+    )
+
+    def adc_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell"].to_numpy()
+            Cd = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            vids = pdf["vec_id"].to_numpy()
+            # approximate dots and reconstruction norms for the batch
+            r_dot = lut[:, sub, Cd].sum(axis=2)  # (Q, n): q . r_hat
+            dots = qc[:, cells] + r_dot  # (Q, n)
+            xn = np.sqrt(
+                c_sq[cells]
+                + 2.0 * cb_dot[cells[:, None], sub[None, :], Cd].sum(axis=1)
+                + b_sq[sub, Cd].sum(axis=1)
+            )  # (n,)
+            cos = dots / (qnorm[:, None] * np.maximum(xn, 1e-12)[None, :])
+            frames = []
+            for qi in range(len(qid_arr)):
+                mask = probe_mask[qi, cells] & (vids != qid_arr[qi])
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                order = np.lexsort((vids[idx], -cos[qi, idx]))[:top_r]
+                sel = idx[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_arr[qi],
+                            "vec_id": vids[sel],
+                            "adc": cos[qi, sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pre = coded.mapInPandas(adc_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = pre.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= top_r
+    )
+    if rerank is None:
+        return cand.select(
+            "query_id", "vec_id", F.round("adc", 6).alias("cosine")
+        )
+    qdf = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = (
+        cand.select("query_id", "vec_id")
+        .join(base, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -536,3 +536,45 @@ def test_ann_store_auto_bits_sizing(spark, tmp_path):
         for r in sim.knn_brute(emb, qids, k=5).collect()
     }
     assert len(got & brute) / len(brute) == 1.0
+
+
+def test_ivfpq_planted_regime_and_pruning(spark):
+    """Round-10: the IVF-PQ composite returns planted 0.99-twins exactly
+    at nprobe=4 of 8 (genuinely pruned), and pruning is real — with
+    nprobe=1 and no re-rank the candidate set is a strict subset of the
+    probe-everything run."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    ed = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    both = ed.unionByName(sim.perturbed_copies(ed))
+    qids = [0, 1, 2, 3, 4]
+    n = emb.count()
+    got = {
+        r["query_id"]: (r["vec_id"], r["cosine"])
+        for r in sim.knn_cosine_ivfpq(
+            both, qids, k=1, n_centroids=8, nprobe=4, rerank=10, vec_col="e"
+        ).collect()
+    }
+    for q in qids:
+        assert got[q][0] == q + n      # the planted twin
+        assert got[q][1] > 0.99
+
+    cents = sim.spherical_kmeans(both, 8, 3, vec_col="e")
+    # unbounded k exposes the raw candidate pools: one probed cell can
+    # only ever yield that cell's members, all 8 yield the whole corpus
+    narrow = sim.knn_cosine_ivfpq(
+        both, qids, k=10**6, n_centroids=8, nprobe=1, rerank=None,
+        vec_col="e", centroids=cents,
+    )
+    wide = sim.knn_cosine_ivfpq(
+        both, qids, k=10**6, n_centroids=8, nprobe=8, rerank=None,
+        vec_col="e", centroids=cents,
+    )
+    ks = lambda df: {(r["query_id"], r["vec_id"]) for r in df.collect()}
+    nk, wk = ks(narrow), ks(wide)
+    assert nk and nk < wk  # fewer cells -> strictly fewer candidates
+    assert len(wk) == len(qids) * (2 * n - 1)  # all-cells = whole corpus

@@ -101,6 +101,42 @@ def main() -> None:
     )
 
     results: dict = {"dim": DIM, "tables": TABLES, "k": K, "modes": {}}
+
+    # in-memory near-dup family on the same fixture (r9 verdict #1 asked
+    # for similarity-FAMILY curves, not just the store probe): every
+    # vector is a query, so the honest optimum is O(n) — slope ~1 — vs
+    # the all-pairs baseline's slope 2. Banded LSH with auto-sized bits
+    # keeps expected bucket occupancy constant, which is exactly what
+    # makes the candidate count linear instead of quadratic.
+    neardup: dict = {}
+    for n in NS:
+        emb = emb_all.filter(F.col("vec_id") < n).localCheckpoint(eager=True)
+        bits = similarity.auto_bits(n)
+
+        def run_nd():
+            return similarity.cosine_neardup_pairs(
+                emb, threshold=0.95, bits=bits, tables=8
+            ).count()
+
+        run_nd()
+        tasks = []
+        for _ in range(WARM_SAMPLES):
+            time.sleep(0.5)
+            _w, tr, _tc = timer.measure(run_nd)
+            tasks.append(round(tr, 3))
+        neardup[str(n)] = {"bits": bits, "task": min(tasks),
+                           "task_samples": sorted(tasks)}
+        print(f"neardup n={n} bits={bits} task={min(tasks)}", flush=True)
+        emb.unpersist()
+    xs = [math.log10(n) for n in (NS[0], NS[-1])]
+    ys = [math.log10(max(neardup[str(n)]["task"], 1e-3))
+          for n in (NS[0], NS[-1])]
+    results["neardup_inmem"] = {
+        "curve": neardup,
+        "slope_full_range": round((ys[1] - ys[0]) / (xs[1] - xs[0]), 3),
+        "honest_optimum_slope": 1.0,
+    }
+
     for mode in ("auto", "fixed"):
         curve: dict = {}
         for n in NS:
