@@ -1910,6 +1910,37 @@ def _q_zorder_scan_prune(spark, sf_dir):
     return out
 
 
+def _scd2_fixture(spark, sf_dir):
+    """(dim0, updates) shared by the one-shot and streaming SCD2 gates —
+    they must stay byte-identical because both hash against ONE oracle
+    (the streaming fold converges to the one-shot merge)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_custkey") % 1000).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("segment"),
+        (F.lit(10000) + F.col("o_orderkey")).cast("long").alias("ts"),
+    )
+    return dim0, updates
+
+
+def _scd2_rollup(hist):
+    """The stable gate projection both SCD2 entries report."""
+    return hist.groupBy("is_current", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("valid_from").cast("long").alias("sum_from"),
+        F.sum(F.coalesce("valid_to", F.lit(0))).cast("long").alias("sum_to"),
+    )
+
+
 def _q_scd2_customer_history(spark, sf_dir):
     """Type-2 slowly-changing-dimension merge (``sources/store.py:
     scd2_apply``), gated end-to-end — the attribute-HISTORY warehouse
@@ -1928,27 +1959,8 @@ def _q_scd2_customer_history(spark, sf_dir):
     version-count bucket) to keep the gate row stable."""
     from scipi_spark.sources.store import scd2_apply
 
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    dim = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_mktsegment").alias("segment"),
-        (F.col("c_custkey") % 1000).cast("long").alias("valid_from"),
-        F.lit(None).cast("long").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    updates = orders.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderpriority").alias("segment"),
-        (F.lit(10000) + F.col("o_orderkey")).cast("long").alias("ts"),
-    )
-    hist = scd2_apply(dim, updates, "k", ["segment"])
-    return hist.groupBy("is_current", "segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("k").cast("long").alias("sum_k"),
-        F.sum("valid_from").cast("long").alias("sum_from"),
-        F.sum(F.coalesce("valid_to", F.lit(0))).cast("long").alias("sum_to"),
-    )
+    dim, updates = _scd2_fixture(spark, sf_dir)
+    return _scd2_rollup(scd2_apply(dim, updates, "k", ["segment"]))
 
 
 def _er_records(spark, sf_dir):
@@ -2041,20 +2053,7 @@ def _q_stream_scd2(spark, sf_dir):
 
     from scipi_spark.sources.store import scd2_apply
 
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    dim0 = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_mktsegment").alias("segment"),
-        (F.col("c_custkey") % 1000).cast("long").alias("valid_from"),
-        F.lit(None).cast("long").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    updates = orders.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderpriority").alias("segment"),
-        (F.lit(10000) + F.col("o_orderkey")).cast("long").alias("ts"),
-    )
+    dim0, updates = _scd2_fixture(spark, sf_dir)
     cut = updates.agg(
         F.expr("percentile(ts, 0.5)").cast("long").alias("c")
     ).collect()[0]["c"]  # 1-row scalar: the batch boundary
@@ -2091,13 +2090,7 @@ def _q_stream_scd2(spark, sf_dir):
     finally:
         q.stop()
     hist = spark.read.parquet(storectl.current_dir(root) + "/dim")
-    out = hist.groupBy("is_current", "segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("k").cast("long").alias("sum_k"),
-        F.sum("valid_from").cast("long").alias("sum_from"),
-        F.sum(F.coalesce("valid_to", F.lit(0))).cast("long").alias("sum_to"),
-    )
-    return _materialize_and_sweep(out)
+    return _materialize_and_sweep(_scd2_rollup(hist))
 
 
 def _q_partition_pruned_scan(spark, sf_dir):

@@ -967,12 +967,19 @@ def _decode_prog_scan(
                 maybe_restart()
                 dec(coefs[cid][by, bx], tac)
 
-    # step past any padding bits to the next marker
+    # step past any padding bits (and spec-legal 0xFF fill bytes — a
+    # marker is the first non-FF byte after a run of FFs, B.1.1.2) to
+    # the position of the 0xFF that introduces the next marker
     p = reader.pos
     while p + 1 < len(payload):
-        if payload[p] == 0xFF and payload[p + 1] not in (0x00,):
+        if payload[p] != 0xFF:
+            p += 1
+        elif payload[p + 1] == 0x00:  # stuffed entropy byte
+            p += 2
+        elif payload[p + 1] == 0xFF:  # fill byte
+            p += 1
+        else:
             return p
-        p += 1
     raise ValueError("truncated JPEG stream")
 
 
@@ -1040,6 +1047,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
         if pos + 1 >= len(payload):
             raise ValueError("truncated JPEG stream")
+        if payload[pos + 1] == 0xFF:  # spec-legal fill byte (B.1.1.2)
+            pos += 1
+            continue
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -375,6 +375,9 @@ def write_ann_store(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
     if bits is None:
+        # checkpoint BEFORE counting so the signing pass below reads the
+        # materialized frame instead of re-scanning the raw input
+        base0 = base0.localCheckpoint(eager=True)
         bits = auto_bits(base0.count())
     params = {
         "bits": bits,
@@ -450,25 +453,20 @@ def open_ann_store(
     )
     if ver is None:
         return None
-    stored = _version_params(ver)
+    stored = storectl.params_of(ver)
     if stored:
         _ANN_PARAMS[table] = stored
+    else:
+        # a legacy (pre-params) store must not inherit a recipe recorded
+        # for a DIFFERENT store previously bound to this table name — a
+        # stale entry would silently sign probes with the wrong planes
+        _ANN_PARAMS.pop(table, None)
     if n_buckets is None:
         n_buckets = (stored or _ANN_DEFAULTS)["n_buckets"]
     _register_ann(spark, table, ver, n_buckets)
     return ver
 
 
-def _version_params(version_dir: str) -> dict | None:
-    """The persisted build recipe of ONE version dir (time-travel safe —
-    ``storectl.current_params`` only sees the live version)."""
-    import json
-
-    try:
-        with open(os.path.join(version_dir, storectl.MARKER)) as fh:
-            return json.load(fh).get("params")
-    except (OSError, ValueError):
-        return None
 
 
 def append_ann_store(

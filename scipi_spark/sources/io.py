@@ -151,6 +151,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     leaves b's per-row-group ranges as wide as the corpus)."""
     from functools import reduce
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    # the interleaved key must fit the POSITIVE range of a long: Spark's
+    # shiftleft masks shift counts mod 64, so positions >= 64 would wrap
+    # onto low bits and silently corrupt the curve, and bit 63 is the
+    # sign bit (it would split the sort order at the sign boundary) —
+    # clamp per-column precision to what 63 bits hold
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(
+            f"zorder_key: {len(cols)} columns cannot share 63 key bits"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]

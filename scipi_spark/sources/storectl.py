@@ -411,6 +411,18 @@ def current_params(root: str) -> dict | None:
     return meta.get("params") if meta else None
 
 
+def params_of(version_dir: str) -> dict | None:
+    """The persisted build recipe of ONE version dir — the time-travel
+    variant of :func:`current_params` (which only sees the version
+    CURRENT points at). storectl owns the marker format; callers must
+    not parse it themselves."""
+    try:
+        with open(os.path.join(version_dir, MARKER), encoding="utf-8") as fh:
+            return json.load(fh).get("params")
+    except (OSError, ValueError):
+        return None
+
+
 def resolve_params(
     stored: dict | None, requested: dict, defaults: dict
 ) -> dict:

@@ -272,11 +272,11 @@ def run_streaming_ann_against_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    bits: int = 6,
-    tables: int = 8,
-    dim: int = 64,
-    seed: int = 42,
-    n_buckets: int = 16,
+    bits: int | None = None,
+    tables: int | None = None,
+    dim: int | None = None,
+    seed: int | None = None,
+    n_buckets: int | None = None,
     fold: bool = True,
 ):
     """Continuous similarity search against a persisted vector index:
@@ -294,7 +294,12 @@ def run_streaming_ann_against_store(
     guarded by a per-batch marker dir written after the append — a crash
     inside the residual window duplicates one batch's vectors until a
     :func:`~scipi_spark.operators.similarity.compact_ann_store` repairs
-    it. Returns the StreamingQuery (caller awaits/stops)."""
+    it. Returns the StreamingQuery (caller awaits/stops).
+
+    The hash recipe defaults to None and self-configures from the
+    store's version marker (round-10: concrete defaults would raise
+    against any auto-sized store); explicitly mismatched values fail
+    loudly through ``storectl.resolve_params``."""
     from scipi_spark.operators import similarity as sim_ops
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -311,6 +316,7 @@ def run_streaming_ann_against_store(
             seed=seed,
             id_col=id_col,
             vec_col=vec_col,
+            path=store_path,
         )
         hits.write.mode("overwrite").parquet(
             out_path.rstrip("/") + f"/batch_id={batch_id}"

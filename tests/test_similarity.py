@@ -578,3 +578,35 @@ def test_ivfpq_planted_regime_and_pruning(spark):
     nk, wk = ks(narrow), ks(wide)
     assert nk and nk < wk  # fewer cells -> strictly fewer candidates
     assert len(wk) == len(qids) * (2 * n - 1)  # all-cells = whole corpus
+
+
+def test_open_legacy_store_clears_stale_table_params(spark, tmp_path):
+    """Round-10 review fix: opening a LEGACY store (marker predates
+    params) under a table name previously bound to a params-bearing
+    store must drop the stale recipe — a probe signed with the old
+    store's planes against the new store's buckets would silently
+    under-recall."""
+    import json
+    import os
+
+    from scipi_spark.sources import storectl
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for t in ("annstore_stale", "annstore_stale_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    root_a = str(tmp_path / "a")
+    sim.write_ann_store(emb, root_a, table="annstore_stale", bits=9, tables=4)
+    assert sim._ANN_PARAMS["annstore_stale"]["bits"] == 9
+
+    # build a second store and strip its marker params -> legacy shape
+    root_b = str(tmp_path / "b")
+    sim.write_ann_store(emb, root_b, table="annstore_b", bits=6, tables=4)
+    ver = storectl.current_dir(root_b)
+    mpath = os.path.join(ver, storectl.MARKER)
+    meta = json.load(open(mpath))
+    meta.pop("params")
+    json.dump(meta, open(mpath, "w"))
+    assert storectl.params_of(ver) is None
+
+    sim.open_ann_store(spark, root_b, table="annstore_stale")
+    assert "annstore_stale" not in sim._ANN_PARAMS
