@@ -1006,13 +1006,19 @@ _SIG_DEFAULTS = {"k": 3, "num_perm": 64, "bands": 16, "n_buckets": 16}
 
 def _resolve_sig_params(
     root: str, k, num_perm, bands, n_buckets
-) -> tuple[int, int, int, int]:
-    p = storectl.resolve_params(
-        storectl.current_params(root),
-        {"k": k, "num_perm": num_perm, "bands": bands, "n_buckets": n_buckets},
-        _SIG_DEFAULTS,
-    )
-    return p["k"], p["num_perm"], p["bands"], p["n_buckets"]
+) -> tuple[int, int, int, int, dict | None]:
+    """Resolved (k, num_perm, bands, n_buckets, persistable): the last
+    element is what a republishing path (append/compact) may stamp into
+    the new version marker — None on a legacy params-less store with
+    omitted args, where the resolved values are assumptions, not the
+    store's recorded recipe (storectl.persistable_params)."""
+    stored = storectl.current_params(root)
+    requested = {
+        "k": k, "num_perm": num_perm, "bands": bands, "n_buckets": n_buckets
+    }
+    p = storectl.resolve_params(stored, requested, _SIG_DEFAULTS)
+    persist = storectl.persistable_params(stored, requested, p)
+    return p["k"], p["num_perm"], p["bands"], p["n_buckets"], persist
 
 
 def batch_lsh_state(
@@ -1085,7 +1091,7 @@ def append_signature_store(
     raise) — a batch banded under a different recipe would poison the
     index with incomparable rows."""
     root = path.rstrip("/")
-    k, num_perm, bands, n_buckets = _resolve_sig_params(
+    k, num_perm, bands, n_buckets, persist = _resolve_sig_params(
         root, k, num_perm, bands, n_buckets
     )
     if batch_state is None:
@@ -1115,8 +1121,7 @@ def append_signature_store(
             keep=keep,
             retain_s=retain_s,
             expect_base=os.path.basename(cur),
-            params={"k": k, "num_perm": num_perm, "bands": bands,
-                    "n_buckets": n_buckets},
+            params=persist,
         )
     storectl.register_bucketed(
         batch.sparkSession,
@@ -1156,7 +1161,7 @@ def compact_signature_store(
     version marker (explicit mismatches raise) — recompacting under
     different coefficients would orphan every probe."""
     root = path.rstrip("/")
-    k, num_perm, bands, n_buckets = _resolve_sig_params(
+    k, num_perm, bands, n_buckets, persist = _resolve_sig_params(
         root, None, num_perm, bands, n_buckets
     )
     assert num_perm % bands == 0
@@ -1193,8 +1198,7 @@ def compact_signature_store(
         build_key = meta.get("build_key", "sig-v1")
     ver = storectl.publish(
         root, build, build_key, keep=keep, retain_s=retain_s,
-        params={"k": k, "num_perm": num_perm, "bands": bands,
-                "n_buckets": n_buckets},
+        params=persist,
     )
     storectl.register_bucketed(
         spark, table, ver + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
@@ -1225,7 +1229,7 @@ def minhash_lsh_increment_from_store(
     passed values that mismatch it raise instead of probing the wrong
     buckets (round-9 verdict #6)."""
     root = path.rstrip("/")
-    k, num_perm, bands, n_buckets = _resolve_sig_params(
+    k, num_perm, bands, n_buckets, _persist = _resolve_sig_params(
         root, k, num_perm, bands, n_buckets
     )
     assert num_perm % bands == 0

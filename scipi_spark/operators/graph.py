@@ -25,6 +25,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     strict: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) where component = min vertex id reachable.
 
@@ -32,7 +33,13 @@ def connected_components(
     is the minimum id in the component. If labels are still changing
     after ``max_iterations`` (component diameter exceeds the budget) the
     result would be a silently split clustering — so this raises when
-    ``strict`` else emits a RuntimeWarning."""
+    ``strict`` else emits a RuntimeWarning.
+
+    ``stats``: pass a dict to receive {"rounds", "converged"} — the
+    round count is the scale-governing quantity (it tracks component
+    DIAMETER, a structural property, not vertex count; the per-round
+    cost is what grows with n), so scale evidence reports both
+    (tools/graph_scale_curve.py)."""
     bidir = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -49,7 +56,9 @@ def connected_components(
     )
 
     changed = 1
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         nbr_min = (
             bidir.join(labels, bidir.b == labels.id)
             .groupBy("a")
@@ -77,6 +86,9 @@ def connected_components(
             break
 
     bidir.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = changed == 0
     if changed != 0:
         msg = (
             "connected_components did not converge within "
@@ -96,6 +108,7 @@ def connected_components_star(
     dst: str = "dst",
     max_rounds: int = 12,
     strict: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, comp) connected components via alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
@@ -166,7 +179,9 @@ def connected_components_star(
         )
 
     converged = False
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
         changed = (
             nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
@@ -175,6 +190,9 @@ def connected_components_star(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         msg = (
             "connected_components_star did not reach its star-forest "

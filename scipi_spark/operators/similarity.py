@@ -461,8 +461,16 @@ def open_ann_store(
         # for a DIFFERENT store previously bound to this table name — a
         # stale entry would silently sign probes with the wrong planes
         _ANN_PARAMS.pop(table, None)
-    if n_buckets is None:
-        n_buckets = (stored or _ANN_DEFAULTS)["n_buckets"]
+    # an explicitly passed n_buckets that mismatches the store's recorded
+    # value must raise like every sibling path (write/append/compact/
+    # probe route through resolve_params) — silently registering the
+    # bucketed tables with the wrong count would make every probe's
+    # bucket-join read the wrong files (round-10 advice #2)
+    n_buckets = storectl.resolve_params(
+        stored,
+        {"n_buckets": n_buckets},
+        {"n_buckets": _ANN_DEFAULTS["n_buckets"]},
+    )["n_buckets"]
     _register_ann(spark, table, ver, n_buckets)
     return ver
 
@@ -507,12 +515,14 @@ def append_ann_store(
     publishes it as a NEW version; concurrent readers keep the old
     complete version until the pointer flips."""
     root = path.rstrip("/")
-    params = storectl.resolve_params(
-        storectl.current_params(root),
-        {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
-         "n_buckets": n_buckets},
-        _ANN_DEFAULTS,
-    )
+    stored = storectl.current_params(root)
+    requested = {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
+                 "n_buckets": n_buckets}
+    params = storectl.resolve_params(stored, requested, _ANN_DEFAULTS)
+    # legacy params-less store + omitted args: the resolved recipe is an
+    # ASSUMPTION — republishing it as the store's recorded recipe would
+    # later reject explicit-correct probes (round-10 advice #3)
+    persist = storectl.persistable_params(stored, requested, params)
     bits, tables, dim, seed, n_buckets = (
         params["bits"], params["tables"], params["dim"], params["seed"],
         params["n_buckets"],
@@ -553,9 +563,12 @@ def append_ann_store(
             keep=keep,
             retain_s=retain_s,
             expect_base=os.path.basename(cur),
-            params=params,
+            params=persist,
         )
-    _ANN_PARAMS[table] = params
+    if persist is not None:
+        _ANN_PARAMS[table] = persist
+    else:
+        _ANN_PARAMS.pop(table, None)  # assumed recipe: don't record it
     _register_ann(embeddings.sparkSession, table, ver, n_buckets)
 
 
@@ -590,12 +603,11 @@ def compact_ann_store(
     :func:`append_ann_store` (explicit mismatches raise) — a compaction
     under different planes would orphan every probe."""
     root = path.rstrip("/")
-    params = storectl.resolve_params(
-        storectl.current_params(root),
-        {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
-         "n_buckets": n_buckets},
-        _ANN_DEFAULTS,
-    )
+    stored = storectl.current_params(root)
+    requested = {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
+                 "n_buckets": n_buckets}
+    params = storectl.resolve_params(stored, requested, _ANN_DEFAULTS)
+    persist = storectl.persistable_params(stored, requested, params)
     bits, tables, dim, seed, n_buckets = (
         params["bits"], params["tables"], params["dim"], params["seed"],
         params["n_buckets"],
@@ -632,9 +644,12 @@ def compact_ann_store(
         meta = storectl.current_meta(root) or {}
         build_key = meta.get("build_key", "ann-v1")
     ver = storectl.publish(
-        root, build, build_key, keep=keep, retain_s=retain_s, params=params
+        root, build, build_key, keep=keep, retain_s=retain_s, params=persist
     )
-    _ANN_PARAMS[table] = params
+    if persist is not None:
+        _ANN_PARAMS[table] = persist
+    else:
+        _ANN_PARAMS.pop(table, None)  # assumed recipe: don't record it
     _register_ann(spark, table, ver, n_buckets)
 
 
@@ -674,11 +689,23 @@ def knn_from_store(
     explicitly passed values that mismatch the store's recipe raise
     (round-9 verdict #1)."""
     spark = queries.sparkSession
-    stored = (
-        storectl.current_params(path.rstrip("/"))
-        if path is not None
-        else _ANN_PARAMS.get(table)
-    )
+    # Resolve the version dir ONCE and read params from THAT version:
+    # reading current_params and then letting open_ann_store re-resolve
+    # CURRENT separately is a TOCTOU — a concurrent republish with a
+    # different auto-sized recipe between the two reads would sign the
+    # queries with stale planes against the new store, the silent
+    # under-recall this self-configuration exists to prevent (round-10
+    # advice #1). Params and registered data now come from one version.
+    ver = None
+    if path is not None:
+        ver = storectl.current_dir(path.rstrip("/"))
+        if ver is None:
+            raise FileNotFoundError(
+                f"no published ANN store under {path!r} — write_ann_store first"
+            )
+        stored = storectl.params_of(ver)
+    else:
+        stored = _ANN_PARAMS.get(table)
     params = storectl.resolve_params(
         stored,
         {"bits": bits, "tables": tables, "dim": dim, "seed": seed,
@@ -689,13 +716,13 @@ def knn_from_store(
         params["bits"], params["tables"], params["dim"], params["seed"]
     )
     if path is not None:
-        if (
-            open_ann_store(spark, path, table=table, n_buckets=params["n_buckets"])
-            is None
-        ):
-            raise FileNotFoundError(
-                f"no published ANN store under {path!r} — write_ann_store first"
-            )
+        open_ann_store(
+            spark,
+            path,
+            table=table,
+            n_buckets=params["n_buckets"],
+            version_dir=ver,
+        )
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
     q = (

@@ -458,6 +458,26 @@ def resolve_params(
     return out
 
 
+def persistable_params(
+    stored: dict | None, requested: dict, resolved: dict
+) -> dict | None:
+    """What an append/compact may stamp into the version marker it
+    republishes: the ``resolved`` recipe only when it is AUTHORITATIVE —
+    the store already recorded params, or the caller explicitly supplied
+    every key. On a legacy store (marker without params) with any key
+    omitted, the resolved values are ASSUMED defaults, not knowledge: if
+    the legacy store was actually built with non-default explicit
+    params, persisting the assumption would republish the store under
+    the wrong recipe and make every subsequent explicit-CORRECT probe
+    raise as 'mismatched' (round-10 advice #3). Returns None then — the
+    republished marker stays params-less, like the store it came from."""
+    if stored and all(k in stored for k in resolved):
+        return resolved
+    if all(requested.get(k) is not None for k in resolved):
+        return resolved
+    return None
+
+
 def write_bucketed(
     df,
     data_dir: str,

@@ -217,7 +217,7 @@ def run_streaming_dedup_against_store(
         # recipe self-configures from the store marker (explicit
         # mismatches raise) so the batch state below is banded under
         # exactly the stored coefficients
-        bk, bnum_perm, bbands, _nb = dedup_ops._resolve_sig_params(
+        bk, bnum_perm, bbands, _nb, _persist = dedup_ops._resolve_sig_params(
             store_path.rstrip("/"), k, num_perm, bands, n_buckets
         )
         state = dedup_ops.batch_lsh_state(
@@ -337,6 +337,83 @@ def run_streaming_ann_against_store(
                     n_buckets=n_buckets,
                 )
                 os.makedirs(marker, exist_ok=True)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def run_streaming_er_against_store(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    table: str = "er_store_blocks",
+    id_col: str = "rec_id",
+    name_col: str = "name",
+    threshold: float | None = None,
+    block_cap: int | None = None,
+    two_keys: int | None = None,
+    n_buckets: int | None = None,
+):
+    """Continuous entity resolution against a persisted entity store:
+    each micro-batch of records (1) resolves against the bucketed block
+    table — corpus side shuffle-free, closure over the batch's match
+    graph only — (2) writes ITS OWN records' entity assignments to the
+    parquet sink, and (3) folds the batch into the store (block rows
+    append, the small non-root entity table rewrites, cross-entity
+    merges included), so every later batch resolves against it. The
+    converged store assignment equals the one-shot closure over
+    corpus + all batches (pytest- and gate-pinned).
+
+    Same ``foreachBatch`` rationale and replay semantics as
+    :func:`run_streaming_dedup_against_store`: the corpus is a mutable
+    external index, the assignment sink overwrites its own
+    ``batch_id=N`` partition (idempotent), and the fold is guarded by a
+    per-batch marker dir written after the append — batch ids double as
+    closure node ids, so an unguarded replay would alias nodes. The
+    matching recipe self-configures from the store's version marker;
+    explicit mismatches raise (``storectl.resolve_params``). Returns
+    the StreamingQuery (caller awaits/stops)."""
+    from scipi_spark.operators import linkage as linkage_ops
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # probe + fold reuse
+        kwargs = dict(
+            table=table,
+            id_col=id_col,
+            name_col=name_col,
+            threshold=threshold,
+            block_cap=block_cap,
+            two_keys=two_keys,
+            n_buckets=n_buckets,
+        )
+        marker = os.path.join(store_path, "_folded", f"batch_{batch_id}")
+        if not os.path.exists(marker):
+            # fold + probe in one pass (append returns the folded
+            # assignment, so the batch is blocked/scored exactly once)
+            assignment = linkage_ops.append_entity_store(
+                batch_df, store_path, **kwargs
+            )
+            os.makedirs(marker, exist_ok=True)
+        else:
+            # replay of an already-folded batch: probe only — a second
+            # fold would alias the batch's node ids in the closure
+            assignment = linkage_ops.er_increment_from_store(
+                spark, store_path, batch_df, **kwargs
+            )
+        batch_ids = batch_df.select(
+            F.col(id_col).cast("long").alias("rec_id")
+        )
+        assignment.join(batch_ids, "rec_id").write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
 
     return (
         stream.writeStream.outputMode("append")

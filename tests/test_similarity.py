@@ -610,3 +610,63 @@ def test_open_legacy_store_clears_stale_table_params(spark, tmp_path):
 
     sim.open_ann_store(spark, root_b, table="annstore_stale")
     assert "annstore_stale" not in sim._ANN_PARAMS
+
+
+def test_open_ann_store_explicit_bucket_mismatch_raises(spark, tmp_path):
+    """Round-10 advice #2: an explicitly passed n_buckets that
+    mismatches the store's recorded value must raise like every sibling
+    path — silently registering the bucketed tables with the wrong
+    count would mis-route every probe's bucket join."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    root = str(tmp_path / "s")
+    for t in ("annstore_nb", "annstore_nb_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    sim.write_ann_store(emb, root, table="annstore_nb", bits=6, tables=4)
+    with pytest.raises(ValueError, match="store param mismatch"):
+        sim.open_ann_store(spark, root, table="annstore_nb", n_buckets=7)
+    # matching or omitted stays fine
+    assert sim.open_ann_store(spark, root, table="annstore_nb") is not None
+
+
+def test_legacy_ann_append_does_not_stamp_assumed_params(spark, tmp_path):
+    """Round-10 advice #3, ANN flavor: append/compact on a params-less
+    legacy store with omitted args must republish a params-less marker
+    (the resolved defaults are assumptions, not the store's recipe)."""
+    import json
+    import os
+
+    from scipi_spark.sources import storectl
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.filter("vec_id % 4 != 0")
+    batch = emb.filter("vec_id % 4 = 0")
+    root = str(tmp_path / "s")
+    for t in ("annstore_leg", "annstore_leg_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    sim.write_ann_store(corpus, root, table="annstore_leg")
+    mpath = os.path.join(storectl.current_dir(root), storectl.MARKER)
+    meta = json.load(open(mpath))
+    stamped = meta.pop("params")
+    json.dump(meta, open(mpath, "w"))
+    assert storectl.current_params(root) is None
+
+    # the append must hash under the SAME recipe the store was built
+    # with for the data to stay coherent; defaults match here by
+    # construction (auto-sizing of bits depends only on corpus size
+    # which straddles no threshold between corpus and corpus+batch)
+    sim.append_ann_store(batch, root, table="annstore_leg",
+                         bits=stamped["bits"], tables=stamped["tables"],
+                         dim=stamped["dim"], seed=stamped["seed"],
+                         n_buckets=stamped["n_buckets"])
+    # FULL explicit args are caller knowledge -> stamped back
+    assert storectl.current_params(root) == stamped
+
+    # strip again, then append with args omitted -> stays params-less
+    mpath = os.path.join(storectl.current_dir(root), storectl.MARKER)
+    meta = json.load(open(mpath))
+    meta.pop("params")
+    json.dump(meta, open(mpath, "w"))
+    sim.compact_ann_store(spark, root, table="annstore_leg")
+    assert storectl.current_params(root) is None

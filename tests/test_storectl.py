@@ -553,3 +553,33 @@ def test_fsck_reports_held_append_lock(tmp_path):
     with storectl.append_lock(root):
         assert storectl.fsck(root)["lock_held"] is True
     assert storectl.fsck(root)["lock_held"] is False
+
+
+def test_persistable_params_legacy_vs_authoritative():
+    """Round-10 advice #3: a republishing path (append/compact) may only
+    stamp params into the new marker when the recipe is AUTHORITATIVE —
+    recorded by the store, or fully supplied by the caller. On a legacy
+    params-less store with any key omitted, the resolved values are
+    assumptions and must NOT be persisted (a later explicit-correct
+    probe would raise as 'mismatched')."""
+    dflt = {"k": 3, "bands": 16}
+    stored = {"k": 5, "bands": 8}
+    res_stored = storectl.resolve_params(stored, {"k": None, "bands": None}, dflt)
+    assert storectl.persistable_params(
+        stored, {"k": None, "bands": None}, res_stored
+    ) == {"k": 5, "bands": 8}
+    # legacy store, args omitted -> resolved is assumed defaults: None
+    res_legacy = storectl.resolve_params(None, {"k": None, "bands": None}, dflt)
+    assert storectl.persistable_params(
+        None, {"k": None, "bands": None}, res_legacy
+    ) is None
+    # legacy store, PARTIAL explicit args -> still assumptions: None
+    res_part = storectl.resolve_params(None, {"k": 7, "bands": None}, dflt)
+    assert storectl.persistable_params(
+        None, {"k": 7, "bands": None}, res_part
+    ) is None
+    # legacy store, FULL explicit args -> caller knowledge: persist
+    res_full = storectl.resolve_params(None, {"k": 7, "bands": 4}, dflt)
+    assert storectl.persistable_params(
+        None, {"k": 7, "bands": 4}, res_full
+    ) == {"k": 7, "bands": 4}

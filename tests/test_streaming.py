@@ -547,3 +547,83 @@ def test_stream_media_decode_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table(name).collect()))
     exp = sorted(map(tuple, media_decode_rollup(df).collect()))
     assert got == exp and len(got) == 2
+
+
+def test_streaming_er_against_store_folds_and_merges(spark, tmp_path):
+    """Two-micro-batch replay of the store-backed streaming ER: batch 1
+    carries a record that BRIDGES two stored entities (the fold must
+    merge them), batch 2 matches the merged entity and must inherit the
+    post-merge id — proving batch 1 was folded before batch 2 resolved.
+    The converged store assignment equals the one-shot closure over
+    corpus + both batches."""
+    from scipi_spark.operators import linkage
+    from scipi_spark.streaming.pipelines import run_streaming_er_against_store
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "aa p q r"),
+            (2, "aa p q s"),
+            (5, "bb p q r"),
+            (6, "bb p q t"),
+            (9, "cc z y x"),
+        ],
+        "rec_id long, name string",
+    )
+    b1 = spark.createDataFrame(
+        [(100, "aa p q bb"), (101, "dd only one")],
+        "rec_id long, name string",
+    )
+    b2 = spark.createDataFrame(
+        [(200, "bb p q u")], "rec_id long, name string"
+    )
+    store = str(tmp_path / "er_store")
+    out = str(tmp_path / "assign")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "stream_src")
+    spark.sql("DROP TABLE IF EXISTS t_er_stream")
+    linkage.write_entity_store(
+        corpus, store, table="t_er_stream", threshold=0.5, two_keys=1
+    )
+    try:
+        b1.coalesce(1).write.parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_streaming_er_against_store(
+            stream, store, out, ckpt, table="t_er_stream"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        combined = corpus.unionByName(b1).unionByName(b2)
+        want = {
+            r["rec_id"]: r["entity_id"]
+            for r in linkage.entity_ids(
+                combined,
+                linkage.match_pairs(
+                    combined, threshold=0.5, second_block=True
+                ),
+            ).collect()
+        }
+        assert want == {
+            1: 1, 2: 1, 5: 1, 6: 1, 100: 1, 200: 1, 9: 9, 101: 101
+        }
+        stored = {
+            r["rec_id"]: r["entity_id"]
+            for r in linkage.entity_store_assignment(spark, store).collect()
+        }
+        assert stored == want
+        # per-batch sink rows carry each batch's OWN assignment; batch 2
+        # resolved AFTER the merge, so 200 -> 1 proves the fold ordering
+        sink = {
+            r["rec_id"]: r["entity_id"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert sink == {100: 1, 101: 101, 200: 1}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_er_stream")

@@ -1521,3 +1521,36 @@ def test_kneser_ney_scores_are_finite_and_orderable(spark):
     # a 1-token doc yields no row
     one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert textops.kneser_ney_cross_entropy(one).count() == 0
+
+
+def test_legacy_sigstore_append_does_not_stamp_assumed_params(
+    spark, tmp_path
+):
+    """Round-10 advice #3: appending to a LEGACY store (marker without
+    params) with omitted args resolves the recipe from defaults — an
+    ASSUMPTION, not the store's recorded recipe. The republished marker
+    must stay params-less; stamping the assumed defaults would make a
+    later explicit-correct probe raise as 'mismatched'."""
+    import json
+    import os
+
+    from scipi_spark.operators import dedup
+    from scipi_spark.sources import storectl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    spark.sql("DROP TABLE IF EXISTS sigstore_legacy")
+    root = str(tmp_path / "store")
+    # defaults recipe, then strip the marker's params -> legacy shape
+    dedup.write_signature_store(corpus, root, table="sigstore_legacy")
+    mpath = os.path.join(storectl.current_dir(root), storectl.MARKER)
+    meta = json.load(open(mpath))
+    meta.pop("params")
+    json.dump(meta, open(mpath, "w"))
+    assert storectl.current_params(root) is None
+
+    dedup.append_signature_store(batch, root, table="sigstore_legacy")
+    assert storectl.current_params(root) is None  # assumption not stamped
+    dedup.compact_signature_store(spark, root, table="sigstore_legacy")
+    assert storectl.current_params(root) is None

@@ -1,0 +1,275 @@
+"""Scale evidence for the iterative graph family (round-10 verdict #5 —
+the ANN_SCALE treatment for LPA, connected components, and k-core).
+
+The sf0.1 publications graph is too small to pin superstep scaling, so
+this measures on synthetic graphs with CONTROLLED structure across >= 2
+decades of size, separating the two quantities that govern cost at
+100 TB:
+
+- **per-round cost** grows with the edge count (each superstep is one
+  message aggregation + one join over the live edge/state set);
+- **round count** tracks a STRUCTURAL property — component diameter
+  (hash-min CC), log(diameter) (star-contraction CC), tendril depth
+  (k-core peel), or the fixed iteration budget (LPA) — never the vertex
+  count.
+
+Fixture A ("shallow", the corpus shape): n vertices in hub-and-spoke
+communities of 10 (diameter 2, constant in n), n in {1K, 10K, 100K}.
+Expected: rounds CONSTANT across all n for every algorithm; task-s
+slope ~1 (per-round linear — the honest optimum; sub-linear would mean
+work skipped, super-linear a scalability bug).
+
+Fixture B ("deep", the adversarial shape): one chain of depth d in
+{64, 512, 4096} plus hub filler to keep total edges constant at 10K —
+so ROUND growth is isolated from per-round cost. Expected: hash-min
+rounds ~ d (measured only at d=64 — the point of the star upgrade is
+that diameter-sized budgets are unaffordable), star-contraction rounds
+~ log(d) while its task-s stays nearly flat (edge count fixed).
+
+Methodology: per (algo, size) one untimed warm-up run, then
+WARM_SAMPLES timed runs; minimum executor-task-time is the
+steady-state cost (task time, not wall — contention-robust on this
+shared box, same as tools/scaling_curves.py). Rounds come from the
+operators' own instrumentation (``stats`` out-param on the CC
+variants; ``survived_rounds``/``converged`` columns on k-core; the
+iteration parameter for LPA). Writes GRAPH_SCALE.json at the repo
+root.
+
+Usage: python tools/graph_scale_curve.py     (~6 min)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NS = [1_000, 10_000, 100_000]
+DEPTHS = [64, 512, 4096]
+DEEP_EDGES = 10_000
+WARM_SAMPLES = 3
+LPA_ITERATIONS = 5
+
+
+def shallow_edges(spark, n: int):
+    """Hub-and-spoke communities of 10 over vertex ids 0..n-1: vertex
+    10c is the hub, spokes 10c+1..10c+9 attach to it, plus a ring edge
+    between consecutive spokes — diameter 2, ~1.8 edges/vertex, n/10
+    components. Structure (and therefore round count) is IDENTICAL at
+    every n; only the volume grows."""
+    from pyspark.sql import functions as F
+
+    v = spark.range(n)
+    spoke = v.filter(F.col("id") % 10 != 0).select(
+        ((F.col("id") / 10).cast("long") * 10).alias("src"),
+        F.col("id").alias("dst"),
+    )
+    ring = v.filter((F.col("id") % 10).isin([1, 3, 5, 7])).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    return spoke.unionByName(ring).localCheckpoint(eager=True)
+
+
+def deep_edges(spark, depth: int):
+    """One chain 0-1-...-depth plus a single hub star over the
+    remaining ids so the TOTAL edge count is constant (DEEP_EDGES):
+    round growth is isolated from per-round volume."""
+    from pyspark.sql import functions as F
+
+    chain = spark.range(depth).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    n_fill = DEEP_EDGES - depth
+    base = depth + 1
+    fill = spark.range(base + 1, base + 1 + n_fill).select(
+        F.lit(base).alias("src"), F.col("id").alias("dst")
+    )
+    return chain.unionByName(fill).localCheckpoint(eager=True)
+
+
+def timed(timer, fn) -> tuple[float, list[float]]:
+    fn()  # untimed warm-up (codegen, registration)
+    tasks = []
+    for _ in range(WARM_SAMPLES):
+        time.sleep(0.5)
+        _w, tr, _tc = timer.measure(fn)
+        tasks.append(round(tr, 3))
+    return min(tasks), sorted(tasks)
+
+
+def slope(curve: dict, xs: list[int]) -> float:
+    x0, x1 = math.log10(xs[0]), math.log10(xs[-1])
+    y0 = math.log10(max(curve[str(xs[0])]["task"], 1e-3))
+    y1 = math.log10(max(curve[str(xs[-1])]["task"], 1e-3))
+    return round((y1 - y0) / (x1 - x0), 3)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from scipi_spark.operators import community, graph
+    from scipi_spark.session import get_spark
+    from scipi_spark.taskmetrics import TaskTimer
+
+    spark = get_spark(app_name="scipi-graph-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    timer = TaskTimer(spark)
+    results: dict = {
+        "warm_samples": WARM_SAMPLES,
+        "lpa_iterations": LPA_ITERATIONS,
+        "shallow": {},
+        "deep": {},
+    }
+
+    # ---------------- Fixture A: shallow communities -----------------
+    algos: dict[str, dict] = {
+        "cc_hashmin": {}, "cc_star": {}, "kcore": {}, "lpa": {},
+    }
+    for n in NS:
+        edges = shallow_edges(spark, n)
+        n_edges = edges.count()
+
+        st: dict = {}
+        graph.connected_components(edges, stats=st).count()
+        rounds_hm = st["rounds"]
+        t, samples = timed(
+            timer, lambda: graph.connected_components(edges).count()
+        )
+        algos["cc_hashmin"][str(n)] = {
+            "task": t, "task_samples": samples, "rounds": rounds_hm,
+            "edges": n_edges,
+        }
+
+        st = {}
+        graph.connected_components_star(edges, stats=st).count()
+        rounds_star = st["rounds"]
+        t, samples = timed(
+            timer, lambda: graph.connected_components_star(edges).count()
+        )
+        algos["cc_star"][str(n)] = {
+            "task": t, "task_samples": samples, "rounds": rounds_star,
+            "edges": n_edges,
+        }
+
+        kc = graph.kcore_peel(edges, k=2, max_rounds=12).localCheckpoint(
+            eager=True
+        )
+        peel = kc.agg(
+            F.max(
+                F.when(~F.col("in_core"), F.col("survived_rounds"))
+            ).alias("d"),
+            F.min("converged").alias("c"),
+        ).collect()[0]
+        kc.unpersist()
+        t, samples = timed(
+            timer, lambda: graph.kcore_peel(edges, k=2, max_rounds=12).count()
+        )
+        algos["kcore"][str(n)] = {
+            "task": t, "task_samples": samples,
+            "peel_depth": int(peel["d"]) if peel["d"] is not None else 0,
+            "converged": bool(peel["c"]), "edges": n_edges,
+        }
+
+        vertices = spark.range(n).select(F.col("id").cast("string").alias("id"))
+        wedges = edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        t, samples = timed(
+            timer,
+            lambda: community.community_detection(
+                vertices, wedges, iterations=LPA_ITERATIONS, delta=0.5
+            ).count(),
+        )
+        algos["lpa"][str(n)] = {
+            "task": t, "task_samples": samples,
+            "rounds": LPA_ITERATIONS, "task_per_round": round(
+                t / LPA_ITERATIONS, 3
+            ), "edges": n_edges,
+        }
+        print(f"shallow n={n}: " + ", ".join(
+            f"{a}={algos[a][str(n)]['task']}" for a in algos
+        ), flush=True)
+        edges.unpersist()
+
+    for a, curve in algos.items():
+        rounds_key = "peel_depth" if a == "kcore" else "rounds"
+        results["shallow"][a] = {
+            "curve": curve,
+            "slope_full_range": slope(curve, NS),
+            "rounds_by_n": {k: v[rounds_key] for k, v in curve.items()},
+            "expected": "rounds constant (structure fixed), task slope ~1",
+        }
+
+    # ---------------- Fixture B: deep chains --------------------------
+    deep: dict[str, dict] = {"cc_star": {}, "cc_hashmin": {}}
+    for d in DEPTHS:
+        edges = deep_edges(spark, d)
+        st: dict = {}
+        graph.connected_components_star(edges, max_rounds=24, stats=st).count()
+        t, samples = timed(
+            timer,
+            lambda: graph.connected_components_star(
+                edges, max_rounds=24
+            ).count(),
+        )
+        deep["cc_star"][str(d)] = {
+            "task": t, "task_samples": samples, "rounds": st["rounds"],
+            "log2_depth": round(math.log2(d), 1),
+        }
+        print(
+            f"deep d={d}: star rounds={st['rounds']} task={t}", flush=True
+        )
+        if d == DEPTHS[0]:
+            # hash-min only at the smallest depth: its rounds ~ d is the
+            # exact unaffordability the star variant exists to avoid
+            st = {}
+            graph.connected_components(
+                edges, max_iterations=d + 2, stats=st
+            ).count()
+            t, samples = timed(
+                timer,
+                lambda: graph.connected_components(
+                    edges, max_iterations=d + 2
+                ).count(),
+            )
+            deep["cc_hashmin"][str(d)] = {
+                "task": t, "task_samples": samples, "rounds": st["rounds"],
+                "note": "rounds ~ depth; larger depths intentionally skipped",
+            }
+            print(
+                f"deep d={d}: hashmin rounds={st['rounds']} task={t}",
+                flush=True,
+            )
+        edges.unpersist()
+    results["deep"] = deep
+    star_rounds = [deep["cc_star"][str(d)]["rounds"] for d in DEPTHS]
+    results["deep"]["star_rounds_vs_log2_depth"] = {
+        str(d): {"rounds": r, "log2_depth": round(math.log2(d), 1)}
+        for d, r in zip(DEPTHS, star_rounds)
+    }
+
+    with open(os.path.join(REPO, "GRAPH_SCALE.json"), "w") as fh:
+        json.dump(results, fh, indent=1, sort_keys=True)
+    print(json.dumps(
+        {
+            "shallow_slopes": {
+                a: results["shallow"][a]["slope_full_range"] for a in algos
+            },
+            "shallow_rounds": {
+                a: results["shallow"][a]["rounds_by_n"] for a in algos
+            },
+            "deep_star_rounds": star_rounds,
+        },
+        indent=1,
+    ))
+
+
+if __name__ == "__main__":
+    main()
