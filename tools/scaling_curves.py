@@ -66,6 +66,12 @@ CURVES = {
     "emb_neardup_pairs": ["embeddings"],
     "community_pipeline": ["orders", "lineitem"],
     "c14_decorated_subgraph": ["orders", "lineitem"],
+    # round-11: the distributed XML transport (round-10 verdict #6 — the
+    # one reference SOURCE operator without a perf number; publications
+    # analog derives from orders+lineitem) and the incremental-ER store
+    # probe (record fixture derives from part)
+    "xml_ingest_distributed": ["orders", "lineitem"],
+    "er_store_increment": ["part"],
 }
 
 #: per-entry slope ceilings where the default near-linear band does not
