@@ -4507,17 +4507,21 @@ def _gate_order(entries: dict) -> dict:
     permanently unnecessary.
 
     Round-10 (r9 verdict #5): window slots the fresh block leaves free
-    are filled with the OLDEST-evidenced archived entries (up to 12 per
-    round, by last green round then name), so stale archive rows
-    continuously rotate back through live driver evaluation and no
-    entry's newest driver row ages indefinitely behind a fingerprint
-    match. Fresh entries always front — rotation only consumes slack."""
+    are filled with the OLDEST-evidenced archived entries (by last
+    green round then name), so stale archive rows continuously rotate
+    back through live driver evaluation and no entry's newest driver
+    row ages indefinitely behind a fingerprint match. Fresh entries
+    always front — rotation only consumes slack. Round-11 (r10 verdict
+    #3 asked the tail kept rotating): EVERY free slot rotates — the
+    driver evaluates 50 entries regardless of which, so capping
+    rotation below the slack (the old 12) only slowed the tail's
+    turnover for zero saved work."""
     rounds = archived_green_rounds(entries, oracle_sql())
     fresh = [k for k in entries if k not in rounds]
     slots = max(0, 50 - len(fresh))
     rotate = sorted(
         (k for k in entries if k in rounds), key=lambda k: (rounds[k], k)
-    )[: min(12, slots)]
+    )[:slots]
     rot_set = set(rotate)
     rest = [k for k in entries if k in rounds and k not in rot_set]
     return {k: entries[k] for k in fresh + rotate + rest}

@@ -616,6 +616,66 @@ def append_entity_store(
     return assignment
 
 
+def compact_entity_store(
+    spark,
+    path: str,
+    table: str = "er_store_blocks",
+    n_buckets: int | None = None,
+    build_key: str | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
+) -> None:
+    """Rewrite the store's three artifacts with duplicate rows dropped —
+    the repair for a crash between an append and its fold marker (the
+    same residual window every LSM-style store family here documents;
+    ``dedup.compact_signature_store`` / ``similarity.compact_ann_store``
+    are the siblings). Probe CORRECTNESS survives duplicated block rows
+    without this (the candidate join dedups (brid, rid) pairs), so
+    compaction here is a space/probe-cost repair plus the id-universe
+    fix: a replayed id-append would double-count records in
+    :func:`entity_store_assignment` joins. One distinct per artifact,
+    proportional to the store, never re-matching the corpus; the entity
+    assignment itself is folded state and carries over unchanged.
+    Publishes atomically as a new version; the recipe is inherited from
+    the marker (explicit n_buckets mismatch raises)."""
+    root = path.rstrip("/")
+    params = _resolve_er_params(root, None, None, None, n_buckets)
+    cur = storectl.current_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published entity store under {root!r}")
+    blocks = (
+        spark.read.parquet(cur + "/blocks")
+        .dropDuplicates(["blk", "rid"])
+        .localCheckpoint(eager=True)
+    )
+    ids = spark.read.parquet(cur + "/ids").distinct().localCheckpoint(
+        eager=True
+    )
+    nonroot = (
+        spark.read.parquet(cur + "/entities")
+        .dropDuplicates(["rec_id"])
+        .localCheckpoint(eager=True)
+    )
+    build = storectl.new_build_dir(root)
+    storectl.write_bucketed(
+        blocks, build + "/blocks", ["blk"], ["blk"], params["n_buckets"]
+    )
+    ids.write.mode("overwrite").parquet(build + "/ids")
+    nonroot.write.mode("overwrite").parquet(build + "/entities")
+    if build_key is None:
+        meta = storectl.current_meta(root) or {}
+        build_key = meta.get("build_key", "er-v1")
+    persist = storectl.persistable_params(
+        storectl.current_params(root), {}, params
+    )
+    ver = storectl.publish(
+        root, build, build_key, keep=keep, retain_s=retain_s, params=persist
+    )
+    storectl.register_bucketed(
+        spark, table, ver + "/blocks", ["blk"], ["blk"], params["n_buckets"]
+    )
+
+
 def entity_store_assignment(
     spark, path: str
 ) -> DataFrame:

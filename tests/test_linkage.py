@@ -297,3 +297,60 @@ def test_entity_store_probe_is_corpus_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
     assert "Bucketed: true" in plan_b
     assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+
+
+def test_compact_entity_store_repairs_replayed_append(spark, tmp_path):
+    """A crash between an append and its fold marker replays the
+    append: block rows and id rows land twice. Probe matching survives
+    (the candidate join dedups pairs) but the id universe double-counts.
+    compact_entity_store drops the duplicates and the store's
+    assignment + a follow-up probe are bit-identical to the clean
+    store's."""
+    import os
+
+    from pyspark.sql import functions as F
+    from scipi_spark.sources import storectl
+
+    corpus, batch = _bridge_records(spark)
+    spark.sql("DROP TABLE IF EXISTS er_store_cmp")
+    root = str(tmp_path / "er")
+    linkage.write_entity_store(
+        corpus, root, table="er_store_cmp", threshold=0.5, two_keys=1
+    )
+    clean_assign = {
+        (r["rec_id"], r["entity_id"])
+        for r in linkage.entity_store_assignment(spark, root).collect()
+    }
+
+    # simulate the crash-replayed append: clone the live version, append
+    # the SAME block/id rows again, publish (exactly what a replayed
+    # append_entity_store does before its marker lands)
+    cur = storectl.current_dir(root)
+    blocks = spark.read.parquet(cur + "/blocks").localCheckpoint(eager=True)
+    ids = spark.read.parquet(cur + "/ids").localCheckpoint(eager=True)
+    with storectl.append_lock(root):
+        build, cur = storectl.clone_current(root)
+        storectl.append_bucketed(
+            blocks, build + "/blocks", ["blk"], ["blk"], 16
+        )
+        ids.write.mode("append").parquet(build + "/ids")
+        storectl.publish(
+            root, build, "er-v1", expect_base=os.path.basename(cur),
+            params=storectl.current_params(root),
+        )
+    poisoned = linkage.entity_store_assignment(spark, root).count()
+    assert poisoned == 2 * len(clean_assign)  # the corruption is real
+
+    linkage.compact_entity_store(spark, root, table="er_store_cmp")
+    repaired = {
+        (r["rec_id"], r["entity_id"])
+        for r in linkage.entity_store_assignment(spark, root).collect()
+    }
+    assert repaired == clean_assign
+    got = {
+        r["rec_id"]: r["entity_id"]
+        for r in linkage.er_increment_from_store(
+            spark, root, batch, table="er_store_cmp"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 100: 1, 9: 9, 101: 101}
