@@ -2131,9 +2131,13 @@ def _q_er_store_increment(spark, sf_dir):
 
     The store is written ONCE per (app, sf) — the probe never mutates
     it (folding is ``append_entity_store``'s job, gated separately by
-    ``stream_er_store_probe``), so the returned DataFrame is the LAZY
-    probe plan and a bench re-count measures the real incremental-ER
-    cost, exactly like ``dedup_store_increment``."""
+    ``stream_er_store_probe``). Bench cost shape: ``_er_probe``
+    materializes its block/closure state eagerly (localCheckpoint — the
+    closure's superstep loop cannot be lazy), so a bench WARM re-count
+    measures only the residual assignment assembly; the full
+    probe-per-batch cost is the SCALING curve's rebuild-per-sample
+    number (110 task-s at sf0.1, slope 0.63) and the one-time store
+    build lands in the cold column."""
     from scipi_spark.operators import linkage
 
     recs = _er_records(spark, sf_dir)

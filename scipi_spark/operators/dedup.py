@@ -1004,15 +1004,24 @@ def write_signature_store(
 _SIG_DEFAULTS = {"k": 3, "num_perm": 64, "bands": 16, "n_buckets": 16}
 
 
+_UNSET = object()
+
+
 def _resolve_sig_params(
-    root: str, k, num_perm, bands, n_buckets
+    root: str, k, num_perm, bands, n_buckets, stored=_UNSET
 ) -> tuple[int, int, int, int, dict | None]:
     """Resolved (k, num_perm, bands, n_buckets, persistable): the last
     element is what a republishing path (append/compact) may stamp into
     the new version marker — None on a legacy params-less store with
     omitted args, where the resolved values are assumptions, not the
-    store's recorded recipe (storectl.persistable_params)."""
-    stored = storectl.current_params(root)
+    store's recorded recipe (storectl.persistable_params).
+
+    ``stored``: pass ``storectl.params_of(ver)`` when the caller has
+    already resolved a version dir, so recipe and data come from ONE
+    CURRENT read (a concurrent rebuild between two separate reads would
+    pair one version's recipe with another's files)."""
+    if stored is _UNSET:
+        stored = storectl.current_params(root)
     requested = {
         "k": k, "num_perm": num_perm, "bands": bands, "n_buckets": n_buckets
     }
@@ -1229,16 +1238,17 @@ def minhash_lsh_increment_from_store(
     passed values that mismatch it raise instead of probing the wrong
     buckets (round-9 verdict #6)."""
     root = path.rstrip("/")
-    k, num_perm, bands, n_buckets, _persist = _resolve_sig_params(
-        root, k, num_perm, bands, n_buckets
-    )
-    assert num_perm % bands == 0
+    # one CURRENT read: recipe and registered data from the SAME version
     ver = storectl.current_dir(root)
     if ver is None:
         raise FileNotFoundError(
             f"no published signature store under {root!r} — "
             "write_signature_store first"
         )
+    k, num_perm, bands, n_buckets, _persist = _resolve_sig_params(
+        root, k, num_perm, bands, n_buckets, stored=storectl.params_of(ver)
+    )
+    assert num_perm % bands == 0
     storectl.register_bucketed(
         spark, table, ver + "/bands", ["band", "bh"], ["band", "bh"], n_buckets
     )

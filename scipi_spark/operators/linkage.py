@@ -90,12 +90,39 @@ def _block_rows(
         rows = recs.select(
             "rid", "w", F.element_at("w", 1).alias("blk")
         ).filter(F.col("blk").isNotNull())
-    if max_block_size is not None:
-        sizes = rows.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
-        rows = rows.join(
-            sizes.filter(F.col("_n") <= max_block_size).select("blk"), "blk"
-        )
-    return rows
+    return _capped(rows, max_block_size)
+
+
+def _capped(rows: DataFrame, max_block_size: int | None) -> DataFrame:
+    """Drop oversized blocks whole from (blk, ...) membership rows —
+    the shared cap both the name-token and the FS field blocking use."""
+    if max_block_size is None:
+        return rows
+    sizes = rows.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
+    return rows.join(
+        sizes.filter(F.col("_n") <= max_block_size).select("blk"), "blk"
+    )
+
+
+def _blocked_pairs(
+    rows: DataFrame, carry: list[str], dedup: bool
+) -> DataFrame:
+    """(id_a, id_b, <c>_a..., <c>_b...) from (blk, rid, *carry)
+    membership rows: the block-key self-join with id_a < id_b — ONE
+    implementation of the pair enumeration shared by the name-Jaccard
+    and the Fellegi-Sunter paths (a fix to the blocking logic lands in
+    one place). ``dedup`` drops pairs co-blocked under several keys."""
+    a, b = rows.alias("a"), rows.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.rid") < F.col("b.rid")),
+    ).select(
+        F.col("a.rid").alias("id_a"),
+        F.col("b.rid").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"]) if dedup else pairs
 
 
 def candidate_pairs(
@@ -114,20 +141,12 @@ def candidate_pairs(
     before the self-join — the recall trade that keeps a hot token from
     going quadratic (round-10 verdict #2)."""
     rows = _block_rows(df, id_col, name_col, second_block, max_block_size)
-    a, b = rows.alias("a"), rows.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.rid") < F.col("b.rid")),
-    ).select(
-        F.col("a.rid").alias("id_a"),
-        F.col("b.rid").alias("id_b"),
-        F.col("a.w").alias("wa"),
-        F.col("b.w").alias("wb"),
+    return _blocked_pairs(rows, ["w"], dedup=second_block).select(
+        "id_a",
+        "id_b",
+        F.col("w_a").alias("wa"),
+        F.col("w_b").alias("wb"),
     )
-    if second_block:
-        # one pair can co-block under both keys — count it once
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    return pairs
 
 
 def match_pairs(
@@ -195,47 +214,36 @@ def fs_match_pairs(
     exactly as in :func:`candidate_pairs`."""
     if not fields:
         raise ValueError("fields must be non-empty")
+    if {"blk", "rid"} & set(fields):
+        raise ValueError(
+            "field names 'blk'/'rid' collide with the blocking row schema"
+        )
     m_of = (lambda f: m[f]) if isinstance(m, dict) else (lambda f: m)
     u_of = (lambda f: u[f]) if isinstance(u, dict) else (lambda f: u)
     weights = {f: fs_weights(m_of(f), u_of(f)) for f in fields}
 
     block_cols = block_cols or [fields[0]]
-    recs = df.select(
-        F.col(id_col).alias("rid"), *[F.col(f) for f in fields]
-    )
-    rows = recs.select(
-        "rid",
-        *fields,
-        F.explode(
-            F.array_distinct(F.array(*[F.col(c) for c in block_cols]))
-        ).alias("_blk"),
-    ).filter(F.col("_blk").isNotNull())
-    if max_block_size is not None:
-        sizes = rows.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
-        rows = rows.join(
-            sizes.filter(F.col("_n") <= max_block_size).select("_blk"),
-            "_blk",
+    rows = (
+        df.select(F.col(id_col).alias("rid"), *[F.col(f) for f in fields])
+        .select(
+            "rid",
+            *fields,
+            F.explode(
+                F.array_distinct(F.array(*[F.col(c) for c in block_cols]))
+            ).alias("blk"),
         )
-    a, b = rows.alias("a"), rows.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a._blk") == F.col("b._blk"))
-        & (F.col("a.rid") < F.col("b.rid")),
-    ).select(
-        F.col("a.rid").alias("id_a"),
-        F.col("b.rid").alias("id_b"),
-        *[F.col(f"a.{f}").alias(f"_a_{f}") for f in fields],
-        *[F.col(f"b.{f}").alias(f"_b_{f}") for f in fields],
+        .filter(F.col("blk").isNotNull())
     )
-    if len(block_cols) > 1:
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    pairs = _blocked_pairs(
+        _capped(rows, max_block_size), fields, dedup=len(block_cols) > 1
+    )
     # explicit left-to-right sum in field order: the oracle SQL writes
     # the same chain, so double addition order (and thus the rounded
     # score) is bit-identical cross-engine
     score: Column | None = None
     for f in fields:
         aw, dw = weights[f]
-        fa, fb = F.col(f"_a_{f}"), F.col(f"_b_{f}")
+        fa, fb = F.col(f"{f}_a"), F.col(f"{f}_b")
         term = (
             F.when(fa.isNull() | fb.isNull(), F.lit(0.0))
             .when(fa == fb, F.lit(aw))
@@ -290,16 +298,24 @@ _ER_DEFAULTS = {
 
 
 def _resolve_er_params(
-    root: str, threshold, block_cap, two_keys, n_buckets
-) -> dict:
-    stored = storectl.current_params(root)
+    stored: dict | None, threshold, block_cap, two_keys, n_buckets
+) -> tuple[dict, dict | None]:
+    """(resolved, persistable): reconcile caller args with ONE version's
+    persisted recipe. Callers pass ``storectl.params_of(ver)`` for the
+    version dir they resolved (never a second independent CURRENT read)
+    — reading params and data from two separate CURRENT resolutions is
+    the TOCTOU a concurrent rebuild with a different recipe exploits
+    (the round-10 knn_from_store fix, applied here from the start).
+    ``persistable`` is what a republishing path may stamp into the new
+    marker (``storectl.persistable_params``)."""
     requested = {
         "threshold": threshold,
         "block_cap": block_cap,
         "two_keys": two_keys,
         "n_buckets": n_buckets,
     }
-    return storectl.resolve_params(stored, requested, _ER_DEFAULTS)
+    resolved = storectl.resolve_params(stored, requested, _ER_DEFAULTS)
+    return resolved, storectl.persistable_params(stored, requested, resolved)
 
 
 def write_entity_store(
@@ -377,7 +393,6 @@ def write_entity_store(
 
 def _er_probe(
     spark,
-    root: str,
     ver: str,
     batch: DataFrame,
     params: dict,
@@ -522,18 +537,23 @@ def er_increment_from_store(
     self-configures from the store's version marker; explicitly passed
     values that mismatch it raise."""
     root = path.rstrip("/")
-    params = _resolve_er_params(root, threshold, block_cap, two_keys, n_buckets)
+    # resolve the version ONCE and read the recipe from ITS marker — a
+    # concurrent rebuild between a params read and a separate CURRENT
+    # read would register the new files under the old bucket count
     ver = storectl.current_dir(root)
     if ver is None:
         raise FileNotFoundError(
             f"no published entity store under {root!r} — "
             "write_entity_store first"
         )
+    params, _persist = _resolve_er_params(
+        storectl.params_of(ver), threshold, block_cap, two_keys, n_buckets
+    )
     storectl.register_bucketed(
         spark, table, ver + "/blocks", ["blk"], ["blk"], params["n_buckets"]
     )
     _rows, _nonroot, assignment = _er_probe(
-        spark, root, ver, batch, params, table, id_col, name_col
+        spark, ver, batch, params, table, id_col, name_col
     )
     return assignment
 
@@ -572,14 +592,20 @@ def append_entity_store(
     the batch exactly once."""
     spark = batch.sparkSession
     root = path.rstrip("/")
-    params = _resolve_er_params(root, threshold, block_cap, two_keys, n_buckets)
     with storectl.append_lock(root):
         build, cur = storectl.clone_current(root)
+        # recipe from the CLONED version's own marker, resolved under
+        # the lock — a rebuild landing between an early resolve and the
+        # clone would otherwise fold the batch under the old recipe
+        params, persist = _resolve_er_params(
+            storectl.params_of(cur), threshold, block_cap, two_keys,
+            n_buckets,
+        )
         storectl.register_bucketed(
             spark, table, cur + "/blocks", ["blk"], ["blk"], params["n_buckets"]
         )
         batch_rows, new_nonroot, assignment = _er_probe(
-            spark, root, cur, batch, params, table, id_col, name_col
+            spark, cur, batch, params, table, id_col, name_col
         )
         assignment = assignment.localCheckpoint(eager=True)
         storectl.append_bucketed(
@@ -600,7 +626,7 @@ def append_entity_store(
 
         shutil.rmtree(build + "/entities", ignore_errors=True)
         new_nonroot.write.mode("overwrite").parquet(build + "/entities")
-        meta = storectl.current_meta(root) or {}
+        meta = storectl.meta_of(cur) or {}
         ver = storectl.publish(
             root,
             build,
@@ -608,7 +634,7 @@ def append_entity_store(
             keep=keep,
             retain_s=retain_s,
             expect_base=os.path.basename(cur),
-            params=params,
+            params=persist,
         )
     storectl.register_bucketed(
         spark, table, ver + "/blocks", ["blk"], ["blk"], params["n_buckets"]
@@ -639,10 +665,12 @@ def compact_entity_store(
     Publishes atomically as a new version; the recipe is inherited from
     the marker (explicit n_buckets mismatch raises)."""
     root = path.rstrip("/")
-    params = _resolve_er_params(root, None, None, None, n_buckets)
     cur = storectl.current_dir(root)
     if cur is None:
         raise FileNotFoundError(f"no published entity store under {root!r}")
+    params, persist = _resolve_er_params(
+        storectl.params_of(cur), None, None, None, n_buckets
+    )
     blocks = (
         spark.read.parquet(cur + "/blocks")
         .dropDuplicates(["blk", "rid"])
@@ -663,11 +691,8 @@ def compact_entity_store(
     ids.write.mode("overwrite").parquet(build + "/ids")
     nonroot.write.mode("overwrite").parquet(build + "/entities")
     if build_key is None:
-        meta = storectl.current_meta(root) or {}
+        meta = storectl.meta_of(cur) or {}
         build_key = meta.get("build_key", "er-v1")
-    persist = storectl.persistable_params(
-        storectl.current_params(root), {}, params
-    )
     ver = storectl.publish(
         root, build, build_key, keep=keep, retain_s=retain_s, params=persist
     )

@@ -454,6 +454,20 @@ def open_ann_store(
     if ver is None:
         return None
     stored = storectl.params_of(ver)
+    # an explicitly passed n_buckets that mismatches the store's recorded
+    # value must raise like every sibling path (write/append/compact/
+    # probe route through resolve_params) — silently registering the
+    # bucketed tables with the wrong count would make every probe's
+    # bucket-join read the wrong files (round-10 advice #2). Resolve
+    # BEFORE touching _ANN_PARAMS: a raise after the cache write would
+    # leave this table's previous registration paired with the NEW
+    # store's recipe — the wrong-planes probe the cache hygiene below
+    # exists to prevent.
+    n_buckets = storectl.resolve_params(
+        stored,
+        {"n_buckets": n_buckets},
+        {"n_buckets": _ANN_DEFAULTS["n_buckets"]},
+    )["n_buckets"]
     if stored:
         _ANN_PARAMS[table] = stored
     else:
@@ -461,16 +475,6 @@ def open_ann_store(
         # for a DIFFERENT store previously bound to this table name — a
         # stale entry would silently sign probes with the wrong planes
         _ANN_PARAMS.pop(table, None)
-    # an explicitly passed n_buckets that mismatches the store's recorded
-    # value must raise like every sibling path (write/append/compact/
-    # probe route through resolve_params) — silently registering the
-    # bucketed tables with the wrong count would make every probe's
-    # bucket-join read the wrong files (round-10 advice #2)
-    n_buckets = storectl.resolve_params(
-        stored,
-        {"n_buckets": n_buckets},
-        {"n_buckets": _ANN_DEFAULTS["n_buckets"]},
-    )["n_buckets"]
     _register_ann(spark, table, ver, n_buckets)
     return ver
 

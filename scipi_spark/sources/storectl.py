@@ -411,16 +411,26 @@ def current_params(root: str) -> dict | None:
     return meta.get("params") if meta else None
 
 
+def meta_of(version_dir: str) -> dict | None:
+    """The marker json of ONE version dir — the version-pinned variant
+    of :func:`current_meta`, for callers that already resolved a version
+    and must not re-read CURRENT (a concurrent republish between the two
+    reads would pair one version's data with another's metadata).
+    storectl owns the marker format; callers must not parse it."""
+    try:
+        with open(os.path.join(version_dir, MARKER), encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
 def params_of(version_dir: str) -> dict | None:
     """The persisted build recipe of ONE version dir — the time-travel
     variant of :func:`current_params` (which only sees the version
     CURRENT points at). storectl owns the marker format; callers must
     not parse it themselves."""
-    try:
-        with open(os.path.join(version_dir, MARKER), encoding="utf-8") as fh:
-            return json.load(fh).get("params")
-    except (OSError, ValueError):
-        return None
+    meta = meta_of(version_dir)
+    return meta.get("params") if meta else None
 
 
 def resolve_params(
@@ -462,20 +472,26 @@ def persistable_params(
     stored: dict | None, requested: dict, resolved: dict
 ) -> dict | None:
     """What an append/compact may stamp into the version marker it
-    republishes: the ``resolved`` recipe only when it is AUTHORITATIVE —
-    the store already recorded params, or the caller explicitly supplied
-    every key. On a legacy store (marker without params) with any key
-    omitted, the resolved values are ASSUMED defaults, not knowledge: if
-    the legacy store was actually built with non-default explicit
-    params, persisting the assumption would republish the store under
-    the wrong recipe and make every subsequent explicit-CORRECT probe
-    raise as 'mismatched' (round-10 advice #3). Returns None then — the
-    republished marker stays params-less, like the store it came from."""
-    if stored and all(k in stored for k in resolved):
-        return resolved
-    if all(requested.get(k) is not None for k in resolved):
-        return resolved
-    return None
+    republishes: the subset of ``resolved`` that is AUTHORITATIVE —
+    each key either recorded by the store or explicitly supplied by the
+    caller. Keys that resolved from DEFAULTS alone are ASSUMPTIONS, not
+    knowledge: if the store was actually built with different explicit
+    values, persisting the assumption would republish it under the
+    wrong recipe and make every subsequent explicit-CORRECT probe raise
+    as 'mismatched' (round-10 advice #3). The subset (not
+    all-or-nothing) matters when a family grows a NEW recipe key: an
+    existing marker has every old key but not the new one, and an
+    append must carry the recorded knowledge forward rather than
+    downgrade the store to params-less. Returns None when nothing is
+    authoritative — the republished marker stays params-less, like the
+    legacy store it came from."""
+    stored = stored or {}
+    auth = {
+        k: v
+        for k, v in resolved.items()
+        if k in stored or requested.get(k) is not None
+    }
+    return auth or None
 
 
 def write_bucketed(

@@ -624,8 +624,12 @@ def test_open_ann_store_explicit_bucket_mismatch_raises(spark, tmp_path):
     for t in ("annstore_nb", "annstore_nb_vectors"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     sim.write_ann_store(emb, root, table="annstore_nb", bits=6, tables=4)
+    before = dict(sim._ANN_PARAMS.get("annstore_nb") or {})
     with pytest.raises(ValueError, match="store param mismatch"):
         sim.open_ann_store(spark, root, table="annstore_nb", n_buckets=7)
+    # the raise must not have poisoned the session's recipe cache (the
+    # table still points at the previously registered store)
+    assert dict(sim._ANN_PARAMS.get("annstore_nb") or {}) == before
     # matching or omitted stays fine
     assert sim.open_ann_store(spark, root, table="annstore_nb") is not None
 

@@ -573,13 +573,22 @@ def test_persistable_params_legacy_vs_authoritative():
     assert storectl.persistable_params(
         None, {"k": None, "bands": None}, res_legacy
     ) is None
-    # legacy store, PARTIAL explicit args -> still assumptions: None
+    # legacy store, PARTIAL explicit args -> persist exactly the
+    # explicit key; the defaulted key stays an unrecorded assumption
     res_part = storectl.resolve_params(None, {"k": 7, "bands": None}, dflt)
     assert storectl.persistable_params(
         None, {"k": 7, "bands": None}, res_part
-    ) is None
+    ) == {"k": 7}
     # legacy store, FULL explicit args -> caller knowledge: persist
     res_full = storectl.resolve_params(None, {"k": 7, "bands": 4}, dflt)
     assert storectl.persistable_params(
         None, {"k": 7, "bands": 4}, res_full
     ) == {"k": 7, "bands": 4}
+    # PARTIAL marker (a family grew a new recipe key after this store
+    # was built): the recorded keys carry forward — an append must not
+    # downgrade the store to params-less and lose the mismatch guard
+    old = {"k": 5}
+    res_old = storectl.resolve_params(old, {"k": None, "bands": None}, dflt)
+    assert storectl.persistable_params(
+        old, {"k": None, "bands": None}, res_old
+    ) == {"k": 5}
