@@ -3849,6 +3849,41 @@ def _q_bm25_store_search(spark, sf_dir):
     return textops.bm25_from_store(spark, path, BM25_QUERY, table=table, topk=10)
 
 
+def _q_bm25_store_append(spark, sf_dir):
+    """Incremental BM25 indexing (round-11 — the last persisted store
+    family to gain the fold shape the dedup/ANN/ER/SCD2 stores already
+    had): the 80% corpus is indexed once, the remaining 20% FOLDS in via
+    ``textops.append_text_index_store`` (postings append under the same
+    bucket spec; stats recomputed from the merged doclen — sum/count of
+    longs, so scores are bit-identical to a from-scratch rebuild over
+    the full corpus), and the search result therefore hash-matches
+    ``text_bm25``'s oracle over ALL documents. Store in a fresh temp
+    dir per run (folding mutates it)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    d = _tempfile.mkdtemp(prefix="scipi_bm25_append_")
+    table = "bm25_app_" + os.path.basename(d)[-8:]
+    try:
+        textops.write_text_index_store(corpus, f"{d}/idx", table=table)
+        textops.append_text_index_store(batch, f"{d}/idx", table=table)
+        out = textops.bm25_from_store(
+            spark, f"{d}/idx", BM25_QUERY, table=table, topk=10
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _q_events_pivot_wide(spark, sf_dir):
     """Per-user event-type counts pivoted wide with an explicit value
     list (no distinct-discovery job, scale-stable schema)."""
@@ -4673,6 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_matches": _q_er_fs_matches,
         "er_store_increment": _q_er_store_increment,
         "stream_er_store_probe": _q_stream_er_store_probe,
+        "bm25_store_append": _q_bm25_store_append,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -8368,6 +8404,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # the persisted-index BM25 search produces the same scores as the
     # raw-corpus search (equivalence pytest-pinned) — same oracle
     d["bm25_store_search"] = d["text_bm25"]
+    # append-folded index == from-scratch index over the full corpus
+    # (stats recomputed exactly), so the same oracle proves the fold
+    d["bm25_store_append"] = d["text_bm25"]
     d["dedup_paragraph"] = r"""
         WITH toks AS (
           SELECT doc_id,

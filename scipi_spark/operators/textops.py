@@ -10,6 +10,8 @@ column pruning (only ``text`` is read).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -806,9 +808,105 @@ def write_text_index_store(
     lens.agg(
         F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
     ).write.mode("overwrite").parquet(build + "/stats")
-    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
+    ver = storectl.publish(
+        root, build, build_key, keep=keep, retain_s=retain_s,
+        params={"n_buckets": n_buckets},
+    )
     storectl.register_bucketed(
         df.sparkSession, table, ver + "/postings", ["term"], ["term"], n_buckets
+    )
+
+
+def append_text_index_store(
+    batch: DataFrame,
+    path: str,
+    table: str = "text_index_postings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
+) -> None:
+    """Fold a new document batch into an existing BM25 index — the
+    last persisted store family to gain the incremental shape (dedup
+    signatures, ANN vectors, entity store, SCD2 dimension all fold):
+
+    - the batch's (term, doc, tf) postings APPEND to the bucketed
+      postings table under the same bucket spec, so search's
+      bucket-pruned scan property is preserved;
+    - the batch's (doc, dl) rows append to ``doclen``;
+    - ``stats`` (N, avgdl) is REWRITTEN from the merged doclen — sum
+      and count of longs are order-independent-exact, so the appended
+      store's stats (and therefore every BM25 score) are bit-identical
+      to a from-scratch rebuild over the combined corpus
+      (equivalence pytest-pinned). Scores legitimately CHANGE on
+      append: N, avgdl, and document frequencies are corpus
+      statistics — that is BM25 semantics, not drift.
+
+    Append-only contract: batch doc ids must be new (a replayed id
+    would double its postings and inflate its tf); the repair is a
+    :func:`write_text_index_store` rebuild. The bucket count is
+    inherited from the version marker (explicit mismatches raise);
+    atomicity via clone -> append -> publish under ``append_lock`` with
+    ``expect_base``, like every sibling store."""
+    spark = batch.sparkSession
+    root = path.rstrip("/")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    with storectl.append_lock(root):
+        build, cur = storectl.clone_current(root)
+        # recipe from the CLONED version's own marker, under the lock
+        nb = storectl.resolve_params(
+            storectl.params_of(cur),
+            {"n_buckets": n_buckets},
+            {"n_buckets": 16},
+        )["n_buckets"]
+        terms = batch.select(
+            F.col(id_col).alias("doc"), F.explode(toks).alias("term")
+        )
+        storectl.append_bucketed(
+            terms.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf")),
+            build + "/postings",
+            ["term"],
+            ["term"],
+            nb,
+        )
+        lens = batch.select(
+            F.col(id_col).alias("doc"), F.size(toks).cast("long").alias("dl")
+        )
+        lens.write.mode("append").parquet(build + "/doclen")
+        # stats derive from doclen: recompute over the merged table
+        # (sum/count of longs — exact, order-independent) and REPLACE
+        # the cloned copy. Materialize first: the write must not read
+        # the files it replaces.
+        merged = (
+            spark.read.parquet(build + "/doclen")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                F.avg("dl").alias("avgdl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        import shutil
+
+        shutil.rmtree(build + "/stats", ignore_errors=True)
+        merged.write.mode("overwrite").parquet(build + "/stats")
+        meta = storectl.meta_of(cur) or {}
+        ver = storectl.publish(
+            root,
+            build,
+            meta.get("build_key", "bm25-v1"),
+            keep=keep,
+            retain_s=retain_s,
+            expect_base=os.path.basename(cur),
+            params=storectl.persistable_params(
+                storectl.params_of(cur), {"n_buckets": n_buckets},
+                {"n_buckets": nb},
+            ),
+        )
+    storectl.register_bucketed(
+        spark, table, ver + "/postings", ["term"], ["term"], nb
     )
 
 
@@ -821,7 +919,7 @@ def bm25_from_store(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 against a persisted index (:func:`write_text_index_store`)
     — same scores as :func:`bm25_search` without touching the corpus text:
@@ -829,7 +927,9 @@ def bm25_from_store(
     aggregates over bucketed postings without an Exchange, and the
     corpus-sized doclen table is scanned narrow once and broadcast-joined
     against the tiny query-term posting set. O(postings of the query's
-    terms), not O(corpus)."""
+    terms), not O(corpus). The bucket count self-configures from the
+    resolved version's marker (one CURRENT read — recipe and data from
+    the same version); explicit mismatches raise."""
     q = [t for t in query_terms if t]
     ver = storectl.current_dir(path.rstrip("/"))
     if ver is None:
@@ -837,6 +937,9 @@ def bm25_from_store(
             f"no published text index under {path!r} — "
             "write_text_index_store first"
         )
+    n_buckets = storectl.resolve_params(
+        storectl.params_of(ver), {"n_buckets": n_buckets}, {"n_buckets": 16}
+    )["n_buckets"]
     storectl.register_bucketed(
         spark, table, ver + "/postings", ["term"], ["term"], n_buckets
     )

@@ -1554,3 +1554,48 @@ def test_legacy_sigstore_append_does_not_stamp_assumed_params(
     assert storectl.current_params(root) is None  # assumption not stamped
     dedup.compact_signature_store(spark, root, table="sigstore_legacy")
     assert storectl.current_params(root) is None
+
+
+def test_append_text_index_matches_full_rebuild(spark, tmp_path):
+    """Round-11: the BM25 index fold — append postings + recomputed
+    stats must produce scores BIT-IDENTICAL to a from-scratch index
+    over the combined corpus (stats derive from sum/count of longs,
+    order-independent), and the recipe inherits from the marker with
+    loud mismatch errors."""
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    q = ["join", "hash", "scan"]
+    for t in ("bm25app_a", "bm25app_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    root_a = str(tmp_path / "a")
+    textops.write_text_index_store(corpus, root_a, table="bm25app_a")
+    textops.append_text_index_store(batch, root_a, table="bm25app_a")
+    folded = sorted(
+        map(tuple, textops.bm25_from_store(
+            spark, root_a, q, table="bm25app_a", topk=50
+        ).collect())
+    )
+
+    root_b = str(tmp_path / "b")
+    textops.write_text_index_store(docs, root_b, table="bm25app_b")
+    scratch = sorted(
+        map(tuple, textops.bm25_from_store(
+            spark, root_b, q, table="bm25app_b", topk=50
+        ).collect())
+    )
+    assert folded == scratch and folded
+
+    # recipe enforcement: explicit mismatching bucket count raises on
+    # both the fold and the probe; omitted args inherit
+    with pytest.raises(ValueError, match="store param mismatch"):
+        textops.append_text_index_store(
+            batch, root_a, table="bm25app_a", n_buckets=7
+        )
+    with pytest.raises(ValueError, match="store param mismatch"):
+        textops.bm25_from_store(
+            spark, root_a, q, table="bm25app_a", n_buckets=7
+        )
