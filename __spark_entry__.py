@@ -3884,6 +3884,61 @@ def _q_bm25_store_append(spark, sf_dir):
     return out
 
 
+def _q_stream_bm25_store_fold(spark, sf_dir):
+    """Streaming search indexing with store folding, driver-gated
+    end-to-end — the last streaming x persisted-store cross
+    (dedup/ANN/ER/SCD2 streaming folds are already gated): the 80%
+    corpus is indexed once, the remaining docs arrive as two real
+    micro-batches (doc_id parity split), and each batch FOLDS into the
+    bucketed index through a marker-guarded ``foreachBatch`` sink, then
+    serves the fixed query against the just-published version. After
+    both batches the index is bit-identical to a from-scratch build
+    over ALL documents (stats recompute exactly — sum/count of longs),
+    so the final search hash-matches ``text_bm25``'s full-corpus
+    oracle. Store in a fresh temp dir per run (folding mutates it)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.operators import textops
+    from scipi_spark.streaming.pipelines import run_streaming_text_index_fold
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff).select("doc_id", "text")
+    rest = docs.filter(F.col("doc_id") >= cutoff).select("doc_id", "text")
+    b1 = rest.filter(F.col("doc_id") % 2 == 0)
+    b2 = rest.filter(F.col("doc_id") % 2 == 1)
+    d = _tempfile.mkdtemp(prefix="scipi_bm25_stream_")
+    table = "bm25_sgate_" + os.path.basename(d)[-8:]
+    try:
+        textops.write_text_index_store(corpus, f"{d}/idx", table=table)
+        b1.coalesce(1).write.parquet(f"{d}/src")
+        b2.coalesce(1).write.mode("append").parquet(f"{d}/src")
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        q = run_streaming_text_index_fold(
+            stream, f"{d}/idx", f"{d}/out", f"{d}/ckpt", BM25_QUERY,
+            table=table, topk=10,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the converged index serves the oracle-matched result
+        out = textops.bm25_from_store(
+            spark, f"{d}/idx", BM25_QUERY, table=table, topk=10
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _q_events_pivot_wide(spark, sf_dir):
     """Per-user event-type counts pivoted wide with an explicit value
     list (no distinct-discovery job, scale-stable schema)."""
@@ -4709,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_store_increment": _q_er_store_increment,
         "stream_er_store_probe": _q_stream_er_store_probe,
         "bm25_store_append": _q_bm25_store_append,
+        "stream_bm25_store_fold": _q_stream_bm25_store_fold,
         "neardup_safe_split": _q_neardup_safe_split,
         "dedup_clusters_star": _q_dedup_clusters_star,
         # -- positions 50+: green in CORRECTNESS_r01/r02 (archived evidence).
@@ -8407,6 +8463,8 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # append-folded index == from-scratch index over the full corpus
     # (stats recomputed exactly), so the same oracle proves the fold
     d["bm25_store_append"] = d["text_bm25"]
+    # the 2-micro-batch streaming fold converges to the identical index
+    d["stream_bm25_store_fold"] = d["text_bm25"]
     d["dedup_paragraph"] = r"""
         WITH toks AS (
           SELECT doc_id,

@@ -423,6 +423,74 @@ def run_streaming_er_against_store(
     )
 
 
+def run_streaming_text_index_fold(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    query_terms: list[str],
+    table: str = "text_index_postings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 10,
+    n_buckets: int | None = None,
+):
+    """Continuous search indexing against the persisted BM25 store —
+    the last streaming x store cross (dedup/ANN/ER/SCD2 already fold):
+    each micro-batch of documents (1) FOLDS into the index
+    (``textops.append_text_index_store`` — postings append under the
+    same bucket spec, stats recomputed exactly), then (2) serves a
+    fixed query against the just-published index and writes the top-k
+    to the parquet sink, so the sink's per-batch partitions show the
+    ranking evolve as the corpus grows and the final batch's result
+    equals a from-scratch index over everything ingested
+    (equivalence gate-pinned).
+
+    Same ``foreachBatch`` rationale and replay semantics as the sibling
+    sinks: the index is a mutable external store (never stream-stream
+    state), the result sink overwrites its own ``batch_id=N`` partition
+    (idempotent), and the fold is guarded by a per-batch marker dir —
+    a replayed batch would otherwise double its postings and inflate
+    its tf. Returns the StreamingQuery (caller awaits/stops)."""
+    from scipi_spark.operators import textops as textops_ops
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        marker = os.path.join(store_path, "_folded", f"batch_{batch_id}")
+        if not os.path.exists(marker):
+            textops_ops.append_text_index_store(
+                batch_df,
+                store_path,
+                table=table,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=n_buckets,
+            )
+            os.makedirs(marker, exist_ok=True)
+        hits = textops_ops.bm25_from_store(
+            spark,
+            store_path,
+            query_terms,
+            table=table,
+            topk=topk,
+            id_col=id_col,
+            n_buckets=n_buckets,
+        )
+        hits.write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def run_aggregation_to_memory(
     spark: SparkSession, pubs_stream: DataFrame, which: str, name: str, **agg_kwargs
 ):
