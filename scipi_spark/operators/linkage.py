@@ -211,7 +211,13 @@ def fs_match_pairs(
     ``block_cols`` (default: the first field) may name several columns;
     candidate pairs are the deduplicated union of the per-key blocked
     self-joins, and ``max_block_size`` caps each key's block membership
-    exactly as in :func:`candidate_pairs`."""
+    exactly as in :func:`candidate_pairs`. Block keys are NAMESPACED
+    per column (``"<i>:" + value``): equal values in DIFFERENT columns
+    (a surname that is also a city name) never land in one block, so
+    cross-column pairs cannot form and the cap counts each column's
+    key membership separately (round-11 advice — the merged namespace
+    both paired across columns and let collision inflation cap away a
+    legitimate block)."""
     if not fields:
         raise ValueError("fields must be non-empty")
     if {"blk", "rid"} & set(fields):
@@ -223,15 +229,23 @@ def fs_match_pairs(
     weights = {f: fs_weights(m_of(f), u_of(f)) for f in fields}
 
     block_cols = block_cols or [fields[0]]
+    # one namespaced key per blocking column (NULL column value -> NULL
+    # key, dropped below); array_distinct only collapses a column listed
+    # twice — cross-column keys are distinct by construction
+    keys = F.array_distinct(
+        F.array(
+            *[
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.concat(F.lit(f"{i}:"), F.col(c).cast("string")),
+                )
+                for i, c in enumerate(block_cols)
+            ]
+        )
+    )
     rows = (
         df.select(F.col(id_col).alias("rid"), *[F.col(f) for f in fields])
-        .select(
-            "rid",
-            *fields,
-            F.explode(
-                F.array_distinct(F.array(*[F.col(c) for c in block_cols]))
-            ).alias("blk"),
-        )
+        .select("rid", *fields, F.explode(keys).alias("blk"))
         .filter(F.col("blk").isNotNull())
     )
     pairs = _blocked_pairs(
@@ -399,6 +413,7 @@ def _er_probe(
     table: str,
     id_col: str,
     name_col: str,
+    strict: bool = False,
 ):
     """Probe ``batch`` against the stored corpus and compute the folded
     entity state. Returns (batch_rows, new_nonroot, assignment):
@@ -423,18 +438,61 @@ def _er_probe(
 
     Contract: batch record ids must be NEW (not already stored) — ids
     double as graph node ids, so a replayed id would alias two nodes;
-    the streaming sink guards replays with per-batch fold markers."""
+    the streaming sink guards replays with per-batch fold markers.
+
+    ``strict``: raise (instead of warn) when the match-graph closure
+    does not converge within its iteration budget. The FOLD path
+    (:func:`append_entity_store`, the streaming sink) passes True — a
+    silently split clustering must never be PERSISTED into the store,
+    where it would corrupt every later probe; the one-shot probe keeps
+    the warning (the wrong answer is transient and the caller can
+    retry with a larger budget).
+
+    ``block_cap`` (when set) is enforced against the COMBINED
+    stored+batch occupancy of each block the batch touches, so a
+    block's membership cannot creep past the cap fold after fold.
+    Residual divergence from a one-shot capped run over the combined
+    records remains and is inherent to the incremental shape: a block
+    the BUILD dropped whole has no stored rows, so its batch rows
+    still pair among themselves (a partial block), and conversely
+    stored-internal connectivity from a block that was under the cap
+    at build time is kept even when later folds push that block over
+    the cap (matches are never retracted). With ``block_cap=0`` the
+    fold is EXACTLY equivalent to the one-shot closure
+    (equivalence pytest-pinned)."""
     from scipi_spark.operators import graph
 
     threshold = params["threshold"]
     cap = params["block_cap"] or None
     two = bool(params["two_keys"])
 
-    batch_rows = _block_rows(batch, id_col, name_col, two, cap).select(
+    batch_rows = _block_rows(batch, id_col, name_col, two, None).select(
         F.col("blk"), F.col("rid").alias("brid"), F.col("w").alias("bw")
-    ).localCheckpoint(eager=True)
-
+    )
     store = spark.table(table)
+    if cap:
+        # enforce the cap against COMBINED stored+batch occupancy
+        # (round-11 advice: the old per-slice cap let a block creep past
+        # the cap fold after fold). Stored counts come from one extra
+        # scan of the bucketed block table, broadcast-semi-pruned to the
+        # batch's keys and aggregated Exchange-free on the bucket key —
+        # no corpus shuffle; only the touched-block counts move.
+        bcounts = batch_rows.groupBy("blk").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        scounts = (
+            store.join(F.broadcast(bcounts.select("blk")), "blk", "semi")
+            .groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_sn"))
+        )
+        kept = (
+            bcounts.join(scounts, "blk", "left")
+            .filter(F.col("_bn") + F.coalesce(F.col("_sn"), F.lit(0)) <= cap)
+            .select("blk")
+        )
+        batch_rows = batch_rows.join(F.broadcast(kept), "blk", "semi")
+    batch_rows = batch_rows.localCheckpoint(eager=True)
+
     nonroot = spark.read.parquet(ver + "/entities")
 
     # batch vs corpus: candidates share a block key; scored with the
@@ -453,12 +511,24 @@ def _er_probe(
         F.col("brid").alias("src"),
         F.coalesce("entity_id", "srid").alias("dst"),
     )
-    edges_bb = match_pairs(
-        batch, id_col, name_col, threshold, cap, two
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # batch-batch pairs from the SAME (combined-occupancy-capped) block
+    # membership the batch-store join uses — one capping decision per
+    # block, coherent across both edge sources
+    edges_bb = (
+        _blocked_pairs(
+            batch_rows.select(
+                "blk", F.col("brid").alias("rid"), F.col("bw").alias("w")
+            ),
+            ["w"],
+            dedup=two,
+        )
+        .withColumn("jaccard", _jaccard("w_a", "w_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
 
     comp = graph.connected_components(
-        edges_bs.unionByName(edges_bb)
+        edges_bs.unionByName(edges_bb), strict=strict
     ).localCheckpoint(eager=True)
 
     # fold: remap touched stored entities (a bridge merges two entities
@@ -530,12 +600,15 @@ def er_increment_from_store(
     """The probe side of :func:`write_entity_store`: the full
     (rec_id, entity_id) assignment over the stored corpus UNION
     ``batch`` — identical to a one-shot :func:`entity_ids` over the
-    combined records (equivalence-tested), but the corpus is never
-    re-blocked or re-scored: candidates come from the bucketed block
-    table (corpus side shuffle-free) and corpus-internal connectivity
-    from the stored entity assignment. The matching recipe
-    self-configures from the store's version marker; explicitly passed
-    values that mismatch it raise."""
+    combined records (equivalence-tested; EXACT for ``block_cap=0`` —
+    a non-zero cap is enforced against combined stored+batch block
+    occupancy, with the residual build-time-capped-block divergence
+    :func:`_er_probe` documents), but the corpus is never re-blocked
+    or re-scored: candidates come from the bucketed block table
+    (corpus side shuffle-free) and corpus-internal connectivity from
+    the stored entity assignment. The matching recipe self-configures
+    from the store's version marker; explicitly passed values that
+    mismatch it raise."""
     root = path.rstrip("/")
     # resolve the version ONCE and read the recipe from ITS marker — a
     # concurrent rebuild between a params read and a separate CURRENT
@@ -579,7 +652,11 @@ def append_entity_store(
     rewrite is O(matches), not O(corpus)). Cross-entity merges land
     here: a batch record bridging two stored entities collapses them
     under the component-minimum id, exactly as a one-shot closure over
-    the combined records would.
+    the combined records would (exact for ``block_cap=0``; a non-zero
+    cap checks combined stored+batch occupancy per fold — see
+    :func:`_er_probe` for the residual divergence a capped
+    incremental run inherently carries). A non-converged closure
+    RAISES instead of persisting a split clustering.
 
     Append-only contract: batch record ids must be new (see
     :func:`_er_probe`). Atomicity and concurrency as in every store
@@ -604,8 +681,11 @@ def append_entity_store(
         storectl.register_bucketed(
             spark, table, cur + "/blocks", ["blk"], ["blk"], params["n_buckets"]
         )
+        # strict=True: a non-converged closure must abort the fold, not
+        # persist a silently split clustering that would corrupt every
+        # later probe (round-11 advice)
         batch_rows, new_nonroot, assignment = _er_probe(
-            spark, cur, batch, params, table, id_col, name_col
+            spark, cur, batch, params, table, id_col, name_col, strict=True
         )
         assignment = assignment.localCheckpoint(eager=True)
         storectl.append_bucketed(

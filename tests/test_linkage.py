@@ -354,3 +354,132 @@ def test_compact_entity_store_repairs_replayed_append(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 5: 1, 6: 1, 100: 1, 9: 9, 101: 101}
+
+
+def test_fs_block_keys_are_namespaced_per_column(spark):
+    """Round-11 advice: equal values in DIFFERENT blocking columns must
+    not land in one block. Here record 1's f1 equals record 2's f2 (and
+    vice versa) — under a shared key namespace they would co-block and
+    produce a cross-column candidate pair; namespaced keys keep the
+    column domains disjoint, so no pair forms at all."""
+    df = spark.createDataFrame(
+        [(1, "x", "zz"), (2, "zz", "x")],
+        "rec_id long, f1 string, f2 string",
+    )
+    out = linkage.fs_match_pairs(
+        df, ["f1", "f2"], 0.9, 0.1,
+        block_cols=["f1", "f2"], threshold=-100.0,
+    ).collect()
+    assert out == []
+
+
+def test_fs_block_cap_counts_per_column_key(spark):
+    """Round-11 advice: the block cap must count each column's key
+    membership separately. f1 has a legitimate 3-record block 'v'; f2
+    holds the SAME value 'v' on two other records. With a merged key
+    namespace the combined membership (5) would exceed cap=3 and the
+    legitimate f1 block would be capped away; per-column keys keep it."""
+    df = spark.createDataFrame(
+        [
+            (1, "v", "a1"),
+            (2, "v", "a2"),
+            (3, "v", "a3"),
+            (4, "w1", "v"),
+            (5, "w2", "v"),
+        ],
+        "rec_id long, f1 string, f2 string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in linkage.fs_match_pairs(
+            df, ["f1", "f2"], 0.9, 0.1,
+            block_cols=["f1", "f2"], threshold=-100.0, max_block_size=3,
+        ).collect()
+    }
+    # f1-block 'v' pairs survive (3 <= cap); f2-block 'v' pairs too (2)
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def _chain_records(spark, n: int):
+    """n records forming a single match CHAIN (record i matches only
+    record i+1): names 'b t{i} t{i+1}' share the block token 'b', and
+    consecutive names overlap 2/4 = 0.5 while non-consecutive overlap
+    1/5 — so the match graph is a path with diameter n-1."""
+    rows = [(i, f"b t{i} t{i + 1}") for i in range(n)]
+    return spark.createDataFrame(rows, "rec_id long, name string")
+
+
+def test_fold_raises_on_nonconverged_closure(spark, tmp_path):
+    """Round-11 advice: append_entity_store must ABORT (not persist a
+    silently split clustering) when the match-graph closure does not
+    converge — a 25-deep chain exceeds hash-min's default 20-iteration
+    budget. The one-shot probe path keeps the RuntimeWarning (its wrong
+    answer is transient)."""
+    import pytest
+    import warnings
+
+    corpus = spark.createDataFrame(
+        [(1000, "zz q r s")], "rec_id long, name string"
+    )
+    batch = _chain_records(spark, 25)
+    spark.sql("DROP TABLE IF EXISTS er_store_deep")
+    root = str(tmp_path / "er")
+    linkage.write_entity_store(
+        corpus, root, table="er_store_deep", threshold=0.5
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        linkage.append_entity_store(batch, root, table="er_store_deep")
+    # the failed fold must not have published: the store still holds
+    # only the original corpus
+    assert linkage.entity_store_assignment(spark, root).count() == 1
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        linkage.er_increment_from_store(
+            spark, root, batch, table="er_store_deep"
+        ).collect()
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
+def test_incremental_cap_checks_combined_occupancy(spark, tmp_path):
+    """Round-11 advice: with block_cap set, the probe enforces the cap
+    against stored+batch occupancy, not the batch slice alone. Block
+    'h' holds 3 stored + 3 batch records (combined 6 > cap 5) — its
+    batch rows must not match; block 'k' holds 2 + 2 (4 <= 5) — its
+    batch rows match normally."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "h p q r"),
+            (2, "h p q s"),
+            (3, "h p q t"),
+            (10, "k m n o"),
+            (11, "k m n x"),
+        ],
+        "rec_id long, name string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "h p q u"),
+            (102, "h p q v"),
+            (103, "h p q w"),
+            (110, "k m n y"),
+            (111, "k m n z"),
+        ],
+        "rec_id long, name string",
+    )
+    spark.sql("DROP TABLE IF EXISTS er_store_cap")
+    root = str(tmp_path / "er")
+    linkage.write_entity_store(
+        corpus, root, table="er_store_cap", threshold=0.5, block_cap=5
+    )
+    got = {
+        r["rec_id"]: r["entity_id"]
+        for r in linkage.er_increment_from_store(
+            spark, root, batch, table="er_store_cap"
+        ).collect()
+    }
+    # 'k' batch rows fold into the stored entity; 'h' batch rows stay
+    # singletons (block over the combined cap), and the stored 'h'
+    # entity (built when the block was 3 <= 5) is untouched
+    assert got[110] == 10 and got[111] == 10
+    assert got[101] == 101 and got[102] == 102 and got[103] == 103
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
