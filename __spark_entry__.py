@@ -1064,6 +1064,133 @@ def _q_c8_store_lpa(spark, sf_dir):
     return community.community_sizes(labels, min_size=30)
 
 
+def _graph_split_mirrored(spark, sf_dir):
+    """(agg_a, agg_b, n_est): the graph-analog corpus split in two
+    deterministic slices, each pre-aggregated to its portable-hashed
+    mirrored LPA relation, plus the full-corpus mirrored-row estimate
+    (the same per-publication arithmetic as ``_graph_lpa_mirrored``,
+    one 1-row collect, no explode). Shared by the graph-store fold and
+    compaction entries — the combined slices ARE the full corpus, so
+    both entries inherit ``c8_community_lpa``'s unrolled SQL fixpoint
+    oracle verbatim."""
+    from scipi_spark.operators.dedup import _portable_feature_hash
+
+    pubs = _graph_pubs(spark, sf_dir)
+    sa = pubs.filter(F.xxhash64("title") % 2 == 0)
+    sb = pubs.filter(F.xxhash64("title") % 2 != 0)
+
+    def agg(df):
+        return community.aggregate_undirected_hashed(
+            community.extract_edges_hashed(df, hash_fn=_portable_feature_hash)
+        )
+
+    n = F.size("authors")
+    per_pub = (
+        n * (n - F.lit(1)) / F.lit(2)
+        + F.greatest(n - F.lit(1), F.lit(1))
+        + F.when(
+            F.col("publisher").isNotNull() & (F.col("publisher") != ""), 1
+        ).otherwise(0)
+        + F.when(
+            F.col("venue").isNotNull() & (F.col("venue") != ""), 1
+        ).otherwise(0)
+    )
+    est = pubs.agg(F.sum(per_pub).alias("m")).collect()[0]["m"] or 0
+    return agg(sa), agg(sb), int(2 * est)
+
+
+def _q_graph_store_append(spark, sf_dir):
+    """Incremental graph maintenance against the persisted edge store
+    (round-12 — the graph store was the last persisted family without
+    the fold shape dedup/ANN/BM25/ER/SCD2 already have): slice A of the
+    corpus builds the bucketed mirrored-edge store once, slice B FOLDS
+    in via ``community.append_graph_store`` — partial aggregated rows
+    appended under the store's bucket spec (O(batch) I/O, the LSM
+    merge-on-read shape), collapsed at read time by an Exchange-free
+    ``merge_delta_edges`` aggregate. Edge weights are exact sums, so
+    the merged relation — and therefore the 5-superstep LPA over it —
+    is bit-identical to a from-scratch build over the FULL corpus: the
+    entry shares ``c8_community_lpa``'s unrolled SQL fixpoint oracle
+    verbatim. The reference re-scans its entire Cassandra publications
+    table on every batch community run (``ScipiBatchCommunity.java:
+    122-133``); the store fold is that rebuild's 100-TB answer. Store
+    in a fresh temp dir per run (folding mutates it); the LPA loop
+    checkpoints every superstep, so the returned labels outlive the
+    cleanup. Bench shape: the chain runs at prime time (cold); the
+    store-LPA warm cost is ``c8_store_lpa``'s number."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    agg_a, agg_b, n_est = _graph_split_mirrored(spark, sf_dir)
+    d = _tempfile.mkdtemp(prefix="scipi_graph_append_")
+    table = "graph_app_" + os.path.basename(d)[-8:]
+    try:
+        community.write_graph_store(
+            None, f"{d}/graph", table=table, mirrored=agg_a
+        )
+        community.append_graph_store(
+            None, f"{d}/graph", table=table, mirrored=agg_b
+        )
+        labels = community.community_detection_from_store(
+            spark,
+            table=table,
+            iterations=5,
+            delta=0.5,
+            portable_rounding=True,
+            n_edges=n_est,
+            path=f"{d}/graph",
+        )
+        out = community.community_sizes(labels, min_size=30).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _q_graph_store_compact(spark, sf_dir):
+    """Graph-store compaction, gated end-to-end (the graph twin of
+    ``dedup_store_compact`` / ``ann_store_compact``): build from slice
+    A, fold slice B in (delta rows outstanding), then
+    ``community.compact_graph_store`` rewrites the store one-row-per-
+    pair — Exchange-free merge over the old version's bucket layout,
+    delta counter reset — and the LPA over the compacted store reads it
+    DIRECT (no merge-on-read) yet produces the identical labels: same
+    unrolled-fixpoint oracle as ``c8_community_lpa``. Store in a fresh
+    temp dir per run (the chain mutates it twice)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    agg_a, agg_b, n_est = _graph_split_mirrored(spark, sf_dir)
+    d = _tempfile.mkdtemp(prefix="scipi_graph_compact_")
+    table = "graph_cmp_" + os.path.basename(d)[-8:]
+    try:
+        community.write_graph_store(
+            None, f"{d}/graph", table=table, mirrored=agg_a
+        )
+        community.append_graph_store(
+            None, f"{d}/graph", table=table, mirrored=agg_b
+        )
+        community.compact_graph_store(spark, f"{d}/graph", table=table)
+        labels = community.community_detection_from_store(
+            spark,
+            table=table,
+            iterations=5,
+            delta=0.5,
+            portable_rounding=True,
+            n_edges=n_est,
+            path=f"{d}/graph",
+        )
+        out = community.community_sizes(labels, min_size=30).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _q_s5_latest_publications(spark, sf_dir):
     """S5: upsert-by-(doi,title) store semantics — the analog corpus plus
     a 'second write' for every 10th publication; the last-write-wins view
@@ -4777,6 +4904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: composed C1->C14 lifecycle (fresh — _gate_order fronts it)
         "community_pipeline": _q_community_pipeline,
         "c8_store_lpa": _q_c8_store_lpa,
+        # round 12: graph-store fold + compaction (r11 verdict #1 — the
+        # last persisted family without the incremental shape)
+        "graph_store_append": _q_graph_store_append,
+        "graph_store_compact": _q_graph_store_compact,
         "dedup_store_compact": _q_dedup_store_compact,
         "dedup_increment": _q_dedup_increment,
         "text_rarity": _q_text_rarity,
@@ -8589,6 +8720,12 @@ FROM __LAB__ GROUP BY 1 HAVING count(*) >= 30
     # portable-hashed mirrored relation, same loop), so it shares the
     # unrolled-fixpoint oracle verbatim
     d["c8_store_lpa"] = d["c8_community_lpa"]
+    # the append-folded store's merged relation — and the compacted
+    # rewrite — are bit-identical to a from-scratch build over the full
+    # corpus (edge weights are exact sums), so the same unrolled
+    # fixpoint proves the fold and the compaction end-to-end
+    d["graph_store_append"] = d["c8_community_lpa"]
+    d["graph_store_compact"] = d["c8_community_lpa"]
     d["c16_community_strength"] = _lpa_oracle_sql(
         """
 , csizes AS (

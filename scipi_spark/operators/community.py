@@ -38,6 +38,8 @@ a 3-element set, not data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -318,9 +320,158 @@ def write_graph_store(
     root = path.rstrip("/")
     build = storectl.new_build_dir(root)
     storectl.write_bucketed(rel, build + "/edges", ["src"], ["src"], n_buckets)
-    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
+    ver = storectl.publish(
+        root,
+        build,
+        build_key,
+        keep=keep,
+        retain_s=retain_s,
+        params={"n_buckets": n_buckets, "delta_appends": 0},
+    )
     storectl.register_bucketed(
         rel.sparkSession, table, ver + "/edges", ["src"], ["src"], n_buckets
+    )
+
+
+def merge_delta_edges(mirrored: DataFrame) -> DataFrame:
+    """Collapse delta rows of an APPENDED graph store into one row per
+    directed pair: :func:`append_graph_store` folds a batch as PARTIAL
+    aggregated rows (the LSM merge-on-read shape), so a pair touched by
+    k appends holds k+1 rows whose w_sum values SUM and w_max values
+    MAX to the from-scratch aggregate — exact, because edge weights are
+    small integer-valued doubles (the 1.0-per-edge multiset), so the
+    partial sums recombine bit-identically. Over the bucketed store
+    scan this aggregate is Exchange-free (the bucket key ``src`` is a
+    subset of the grouping key — plan-asserted in tests)."""
+    return mirrored.groupBy("src", "dst").agg(
+        F.sum("w_sum").alias("w_sum"), F.max("w_max").alias("w_max")
+    )
+
+
+def append_graph_store(
+    edges: DataFrame | None,
+    path: str,
+    table: str = "graph_edges_mirrored",
+    mirrored: DataFrame | None = None,
+    n_buckets: int | None = None,
+    build_key: str | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
+) -> None:
+    """Fold a NEW publication batch's edges into an existing graph
+    store — the incremental shape every other persisted family here
+    has (dedup signatures, ANN vectors, BM25 postings, entity store,
+    SCD2). The reference re-scans its entire Cassandra publications
+    table on every batch community run (``ScipiBatchCommunity.java:
+    122-133``); at 100 TB the store is built once and each increment
+    costs O(|batch|):
+
+    - the batch's aggregated mirrored rows (``aggregate_undirected``
+      over ``edges``, or a pre-built ``mirrored`` relation from the
+      same portable hash as the base build) APPEND under the store's
+      bucket spec — pure O(batch) I/O, no merge at write time;
+    - a pair present in both store and batch now holds PARTIAL rows;
+      readers collapse them with :func:`merge_delta_edges` (w_sum
+      sums and w_max maxes recombine exactly), which
+      :func:`community_detection_from_store` applies automatically
+      when the version marker records outstanding deltas;
+    - :func:`compact_graph_store` rewrites the store merged (one row
+      per pair) and resets the delta counter — run it before large
+      LPA campaigns so the per-superstep scan skips the merge.
+
+    The bucket count is inherited from the version marker (explicit
+    mismatches raise); ``build_key`` defaults to the cloned version's
+    own key. Atomicity via clone -> append -> publish under
+    ``append_lock`` with ``expect_base``, like every sibling store."""
+    rel = aggregate_undirected(edges) if mirrored is None else mirrored
+    spark = rel.sparkSession
+    root = path.rstrip("/")
+    with storectl.append_lock(root):
+        build, cur = storectl.clone_current(root)
+        # recipe from the CLONED version's own marker, under the lock
+        stored = storectl.params_of(cur)
+        resolved = storectl.resolve_params(
+            stored, {"n_buckets": n_buckets}, {"n_buckets": 16}
+        )
+        nb = resolved["n_buckets"]
+        storectl.append_bucketed(rel, build + "/edges", ["src"], ["src"], nb)
+        params = dict(
+            storectl.persistable_params(
+                stored, {"n_buckets": n_buckets}, resolved
+            )
+            or {}
+        )
+        # the delta counter is derived knowledge (this append happened),
+        # so it is always stamped — readers merge iff it is non-zero
+        params["delta_appends"] = (stored or {}).get("delta_appends", 0) + 1
+        meta = storectl.meta_of(cur) or {}
+        ver = storectl.publish(
+            root,
+            build,
+            build_key or meta.get("build_key", "graph-v1"),
+            keep=keep,
+            retain_s=retain_s,
+            expect_base=os.path.basename(cur),
+            params=params,
+        )
+    storectl.register_bucketed(
+        spark, table, ver + "/edges", ["src"], ["src"], nb
+    )
+
+
+def compact_graph_store(
+    spark,
+    path: str,
+    table: str = "graph_edges_mirrored",
+    n_buckets: int | None = None,
+    build_key: str | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
+) -> None:
+    """Rewrite an appended graph store with delta rows merged — one row
+    per directed pair again, delta counter reset to 0, so every later
+    LPA run reads the store directly with no per-superstep merge
+    aggregate (``dedup.compact_signature_store`` /
+    ``similarity.compact_ann_store`` are the siblings). The merge
+    aggregate itself runs Exchange-free over the old version's bucket
+    layout; the rewrite shuffles once into the (unchanged) bucket spec.
+    Result is bit-identical to a from-scratch
+    :func:`write_graph_store` over the combined edge multiset
+    (pytest-pinned). Publishes atomically as a new version; the recipe
+    is inherited from the marker (explicit mismatches raise)."""
+    root = path.rstrip("/")
+    cur = storectl.current_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published graph store under {root!r}")
+    stored = storectl.params_of(cur)
+    resolved = storectl.resolve_params(
+        stored, {"n_buckets": n_buckets}, {"n_buckets": 16}
+    )
+    nb = resolved["n_buckets"]
+    # register over the CURRENT version so the merge reads the bucket
+    # partitioning (no Exchange); the write targets a fresh build dir,
+    # so it never reads the files it replaces
+    storectl.register_bucketed(
+        spark, table, cur + "/edges", ["src"], ["src"], nb
+    )
+    merged = merge_delta_edges(spark.table(table))
+    build = storectl.new_build_dir(root)
+    storectl.write_bucketed(merged, build + "/edges", ["src"], ["src"], nb)
+    params = dict(
+        storectl.persistable_params(
+            stored, {"n_buckets": n_buckets}, resolved
+        )
+        or {}
+    )
+    params["delta_appends"] = 0
+    if build_key is None:
+        meta = storectl.meta_of(cur) or {}
+        build_key = meta.get("build_key", "graph-v1")
+    ver = storectl.publish(
+        root, build, build_key, keep=keep, retain_s=retain_s, params=params
+    )
+    storectl.register_bucketed(
+        spark, table, ver + "/edges", ["src"], ["src"], nb
     )
 
 
@@ -333,7 +484,8 @@ def community_detection_from_store(
     portable_rounding: bool = False,
     n_edges: int | None = None,
     path: str | None = None,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
+    merge_deltas: bool = False,
 ) -> DataFrame:
     """LPA over a persisted bucketed edge store: no extraction, no edge
     aggregation, no edge-side repartition — the loop's message join reads
@@ -343,7 +495,14 @@ def community_detection_from_store(
     defaults to the store's metadata row count (a footer read, no scan).
     ``path``: store root for reading a store written by ANOTHER process
     (resolves the live version via the atomic CURRENT pointer and
-    registers ``table`` here); omit when this session wrote it."""
+    registers ``table`` here); omit when this session wrote it. The
+    bucket count self-configures from the resolved version's marker
+    (explicit mismatches raise; legacy params-less stores fall back to
+    16 or the passed value). A store with outstanding
+    :func:`append_graph_store` deltas is collapsed with
+    :func:`merge_delta_edges` automatically — an Exchange-free
+    aggregate per superstep scan; ``merge_deltas=True`` forces the
+    merge for session-registered tables the marker cannot vouch for."""
     if path is not None:
         ver = storectl.current_dir(path.rstrip("/"))
         if ver is None:
@@ -351,10 +510,18 @@ def community_detection_from_store(
                 f"no published graph store under {path!r} — "
                 "write_graph_store first"
             )
+        stored = storectl.params_of(ver)
+        nb = storectl.resolve_params(
+            stored, {"n_buckets": n_buckets}, {"n_buckets": 16}
+        )["n_buckets"]
         storectl.register_bucketed(
-            spark, table, ver + "/edges", ["src"], ["src"], n_buckets
+            spark, table, ver + "/edges", ["src"], ["src"], nb
         )
+        if (stored or {}).get("delta_appends", 0):
+            merge_deltas = True
     mirrored = spark.table(table)
+    if merge_deltas:
+        mirrored = merge_delta_edges(mirrored)
     if n_edges is None:
         n_edges = mirrored.count()
     return community_detection(

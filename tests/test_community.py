@@ -326,3 +326,104 @@ def test_community_pipeline_composed_lifecycle(spark):
     for r in ap:
         ap_by[r["community_a"]] += 1
     assert ap_by == {"paper0": 12, "paper1": 10, "paper2": 8}
+
+
+def test_graph_store_append_fold_matches_rebuild(spark, tmp_path):
+    """Round-12: the graph-store fold. Build the store from slice A,
+    fold slice B in via append_graph_store (partial aggregated rows),
+    and the merged relation — and the LPA labels over it — must be
+    bit-identical to a from-scratch write_graph_store over A union B.
+    Also pins: the merge aggregate over the bucketed scan is
+    Exchange-free, compaction rewrites the store one-row-per-pair and
+    resets the delta counter, and a recipe-mismatched append raises."""
+    import re
+
+    import pytest
+
+    from scipi_spark.sources import storectl
+
+    # slices share the (a1, a2) co-author pair (and a4's self-pub in B
+    # adds a fresh vertex), so the fold really exercises partial-row
+    # merging, not just disjoint appends
+    slice_a = spark.createDataFrame(
+        [
+            ("p1", "acm", "kdd", ["a1", "a2", "a3"], ["graph"], ["cs"]),
+            ("p2", None, "kdd", ["a2"], ["ml"], ["cs"]),
+        ],
+        PUB_SCHEMA,
+    )
+    slice_b = spark.createDataFrame(
+        [
+            ("p3", "acm", None, ["a1", "a2"], ["db"], ["bio"]),
+            ("p4", "mit", "vldb", ["a4", "a5"], ["db"], ["bio"]),
+        ],
+        PUB_SCHEMA,
+    )
+    pubs = slice_a.unionByName(slice_b)
+    edges_a = comm.extract_edges(slice_a)
+    edges_b = comm.extract_edges(slice_b)
+    root = str(tmp_path / "gstore")
+    full_root = str(tmp_path / "gfull")
+    for t in ("t_gs_app", "t_gs_full"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        comm.write_graph_store(edges_a, root, table="t_gs_app", n_buckets=4)
+        comm.append_graph_store(edges_b, root, table="t_gs_app")
+        comm.write_graph_store(
+            comm.extract_edges(pubs), full_root, table="t_gs_full",
+            n_buckets=4,
+        )
+        # relation-level bit-identity: merged delta rows == rebuild
+        merged = sorted(
+            map(tuple, comm.merge_delta_edges(spark.table("t_gs_app")).collect())
+        )
+        rebuilt = sorted(map(tuple, spark.table("t_gs_full").collect()))
+        assert merged == rebuilt
+        # the store really holds delta rows before compaction
+        assert spark.table("t_gs_app").count() > len(merged)
+
+        # the merge aggregate consumes the bucket partitioning: no
+        # Exchange anywhere in its plan
+        plan = comm.merge_delta_edges(
+            spark.table("t_gs_app")
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+        assert "Bucketed: true" in plan
+
+        # LPA from the appended store (auto-merge via the marker) ==
+        # LPA from the rebuilt store
+        lpa_app = comm.community_detection_from_store(
+            spark, table="t_gs_app", iterations=3, delta=0.5, path=root
+        )
+        lpa_full = comm.community_detection_from_store(
+            spark, table="t_gs_full", iterations=3, delta=0.5, path=full_root
+        )
+        assert sorted(map(tuple, lpa_app.collect())) == sorted(
+            map(tuple, lpa_full.collect())
+        )
+
+        # recipe mismatch raises; recipe inheritance works
+        with pytest.raises(ValueError, match="param mismatch"):
+            comm.append_graph_store(
+                edges_b, root, table="t_gs_app", n_buckets=8
+            )
+
+        # compaction: one row per pair, delta counter reset, relation
+        # unchanged, and the next from_store call reads it direct
+        comm.compact_graph_store(spark, root, table="t_gs_app")
+        assert sorted(map(tuple, spark.table("t_gs_app").collect())) == rebuilt
+        ver = storectl.current_dir(root)
+        assert (storectl.params_of(ver) or {}).get("delta_appends") == 0
+        lpa_compacted = comm.community_detection_from_store(
+            spark, table="t_gs_app", iterations=3, delta=0.5, path=root
+        )
+        assert sorted(map(tuple, lpa_compacted.collect())) == sorted(
+            map(tuple, lpa_full.collect())
+        )
+    finally:
+        for t in ("t_gs_app", "t_gs_full"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
