@@ -643,6 +643,46 @@ def _q_lm_store_score(spark, sf_dir):
     return textops.score_from_lm_store(batch, path, table=table)
 
 
+def _q_lm_store_append(spark, sf_dir):
+    """Incremental reference-model training (round-12 — the LM store
+    was the last text-side family without the fold shape): the 80%
+    training corpus arrives in TWO parity slices; slice A builds the
+    persisted bigram LM, slice B FOLDS in via ``textops.
+    append_lm_store`` — partial LONG count rows appended under the
+    bucket specs (merge-on-read), plus the exact vocabulary-set fold
+    (batch tokens anti-joined against the stored ``vocab_toks`` table,
+    store side bucketed on the token). Counts and V recombine exactly,
+    so scoring the 20% batch against the folded model hash-matches
+    ``lm_store_score``'s oracle — the model trained on the full 80% in
+    one shot. The production shape of keeping a CCNet-style reference
+    model current as curated data accrues, without retraining from
+    scratch. Store in a fresh temp dir per run (folding mutates it)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.expr("percentile(doc_id, 0.8)")).cast("long").alias("c")
+    ).collect()[0]["c"]
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    slice_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    slice_b = corpus.filter(F.col("doc_id") % 2 == 1)
+    d = _tempfile.mkdtemp(prefix="scipi_lm_append_")
+    table = "lm_app_" + os.path.basename(d)[-8:]
+    try:
+        textops.write_lm_store(slice_a, f"{d}/lm", table=table)
+        textops.append_lm_store(slice_b, f"{d}/lm", table=table)
+        out = textops.score_from_lm_store(
+            batch, f"{d}/lm", table=table
+        ).localCheckpoint(eager=True)
+    finally:
+        for t in (table, table + "_ctx"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _q_text_perplexity(spark, sf_dir):
     """Bigram cross-entropy quality scores (Laplace-smoothed, corpus-
     trained) — the count-based KenLM-perplexity filter."""
@@ -4977,6 +5017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_screen": _q_emb_norm_screen,
         "events_anomaly_mad": relational.events_anomaly_mad,
         "lm_store_score": _q_lm_store_score,
+        # round 12: LM-store fold (r11 verdict #2 — counts and V fold
+        # exactly, so the folded model == the one-shot 80% model)
+        "lm_store_append": _q_lm_store_append,
         "market_basket_pairs": relational.market_basket_pairs,
         "lang_metadata_audit": _q_lang_metadata_audit,
         "rfm_segments": relational.rfm_segments,
@@ -8941,6 +8984,10 @@ FROM csizes, tot
                round(-sum(logp) / count(*), 6) AS xent
         FROM scored GROUP BY 1
     """
+    # the fold-built model (A then B appended) == the one-shot 80%
+    # model bit-for-bit (LONG counts and the vocabulary-set V fold are
+    # exact), so the append entry shares the score oracle verbatim
+    d["lm_store_append"] = d["lm_store_score"]
     # robust rate anomalies: median/MAD thresholds over (user, hour)
     # counts; quantile_cont parity pinned by events_percentiles
     d["events_anomaly_mad"] = """

@@ -1238,10 +1238,29 @@ def write_lm_store(
         ["w1"],
         n_buckets,
     )
-    df.select(F.explode(tokens(text_col)).alias("w")).agg(
-        F.count_distinct(F.col("w")).cast("double").alias("v")
+    # the vocabulary SET (not just its size) is persisted, bucketed on
+    # the token: V = |vocab| folds exactly on append (new tokens = the
+    # batch's distinct tokens anti-joined against this table, store
+    # side Exchange-free), which keeps every Laplace denominator — and
+    # therefore every score — bit-identical to a from-scratch rebuild
+    storectl.write_bucketed(
+        df.select(F.explode(tokens(text_col)).alias("w")).distinct(),
+        build + "/vocab_toks",
+        ["w"],
+        ["w"],
+        n_buckets,
+    )
+    df.sparkSession.read.parquet(build + "/vocab_toks").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
     ).write.mode("overwrite").parquet(build + "/vocab")
-    ver = storectl.publish(root, build, build_key, keep=keep, retain_s=retain_s)
+    ver = storectl.publish(
+        root,
+        build,
+        build_key,
+        keep=keep,
+        retain_s=retain_s,
+        params={"n_buckets": n_buckets, "delta_appends": 0},
+    )
     _register_lm(df.sparkSession, table, ver, n_buckets)
 
 
@@ -1254,13 +1273,208 @@ def _register_lm(spark, table: str, ver: str, n_buckets: int) -> None:
     )
 
 
+def append_lm_store(
+    batch: DataFrame,
+    path: str,
+    table: str = "lm_store_bigrams",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
+) -> None:
+    """Fold a new document batch into a persisted bigram LM — the
+    reference-model store's incremental shape (round-12; every other
+    persisted family here folds): Kneser-Ney/Laplace inputs are exact
+    LONG counts, so the folded model is bit-identical to a
+    from-scratch :func:`write_lm_store` over the combined corpus
+    (equivalence pytest-pinned):
+
+    - the batch's partial (w1, w2, c2) and (w1, c1) counts APPEND
+      under the stores' bucket specs — O(batch) I/O, the LSM
+      merge-on-read shape; :func:`score_from_lm_store` collapses the
+      partial rows with Exchange-free aggregates while the version
+      marker records outstanding deltas, and :func:`compact_lm_store`
+      restores the one-row-per-key read-optimal layout;
+    - NEW tokens (the batch's distinct tokens anti-joined against the
+      stored ``vocab_toks`` table — store side bucketed on the token,
+      no corpus shuffle) append to the vocabulary set, and the 1-row
+      ``vocab`` size rewrites as stored V + |new| — exact, so every
+      Laplace denominator matches the rebuild bit-for-bit.
+
+    Scores legitimately CHANGE on append: counts and V are corpus
+    statistics — that is LM semantics, not drift. Stores written
+    before the fold shape existed lack ``vocab_toks`` and raise
+    (rebuild once with :func:`write_lm_store`). Atomicity via clone ->
+    append -> publish under ``append_lock`` with ``expect_base``, like
+    every sibling store."""
+    spark = batch.sparkSession
+    root = path.rstrip("/")
+    with storectl.append_lock(root):
+        build, cur = storectl.clone_current(root)
+        # recipe from the CLONED version's own marker, under the lock
+        stored = storectl.params_of(cur)
+        resolved = storectl.resolve_params(
+            stored, {"n_buckets": n_buckets}, {"n_buckets": 16}
+        )
+        nb = resolved["n_buckets"]
+        if not os.path.isdir(build + "/vocab_toks"):
+            raise FileNotFoundError(
+                f"the LM store under {root!r} predates the fold shape "
+                "(no vocab_toks table) — V cannot be folded exactly; "
+                "rebuild it once with write_lm_store"
+            )
+        bi = _doc_bigrams(batch, id_col, text_col).localCheckpoint(eager=True)
+        storectl.append_bucketed(
+            bi.groupBy("w1", "w2").agg(
+                F.count(F.lit(1)).cast("long").alias("c2")
+            ),
+            build + "/bigrams",
+            ["w1", "w2"],
+            ["w1", "w2"],
+            nb,
+        )
+        storectl.append_bucketed(
+            bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1")),
+            build + "/ctx",
+            ["w1"],
+            ["w1"],
+            nb,
+        )
+        # vocabulary fold: batch-distinct tokens not already stored.
+        # Materialize BEFORE appending — the anti-join reads the very
+        # directory the append writes into.
+        import uuid
+
+        vt = f"lm_append_vt_{uuid.uuid4().hex[:12]}"
+        storectl.register_bucketed(
+            spark, vt, build + "/vocab_toks", ["w"], ["w"], nb
+        )
+        try:
+            new_toks = (
+                batch.select(F.explode(tokens(text_col)).alias("w"))
+                .distinct()
+                .join(spark.table(vt), "w", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n_new = new_toks.count()
+            if n_new:
+                storectl.append_bucketed(
+                    new_toks, build + "/vocab_toks", ["w"], ["w"], nb
+                )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {vt}")
+        old_v = spark.read.parquet(build + "/vocab").collect()[0]["v"]
+        import shutil
+
+        shutil.rmtree(build + "/vocab", ignore_errors=True)
+        spark.createDataFrame(
+            [(float(old_v) + n_new,)], "v double"
+        ).write.mode("overwrite").parquet(build + "/vocab")
+        params = dict(
+            storectl.persistable_params(
+                stored, {"n_buckets": n_buckets}, resolved
+            )
+            or {}
+        )
+        params["delta_appends"] = (stored or {}).get("delta_appends", 0) + 1
+        meta = storectl.meta_of(cur) or {}
+        ver = storectl.publish(
+            root,
+            build,
+            meta.get("build_key", "lm-v1"),
+            keep=keep,
+            retain_s=retain_s,
+            expect_base=os.path.basename(cur),
+            params=params,
+        )
+    _register_lm(spark, table, ver, nb)
+
+
+def compact_lm_store(
+    spark,
+    path: str,
+    table: str = "lm_store_bigrams",
+    n_buckets: int | None = None,
+    build_key: str | None = None,
+    keep: int = 1,
+    retain_s: float = storectl.RETAIN_SECONDS,
+) -> None:
+    """Rewrite an appended LM store with partial count rows merged —
+    one row per n-gram key again, delta counter reset, so scoring
+    reads the counts direct with no merge aggregate
+    (``community.compact_graph_store`` et al. are the siblings). Sums
+    of LONG counts recombine exactly; the vocabulary set dedups (a
+    crash-replayed append is the only duplicate source) and the 1-row
+    V rewrites from it. Publishes atomically as a new version; recipe
+    inherited from the marker (explicit mismatches raise)."""
+    root = path.rstrip("/")
+    cur = storectl.current_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published LM store under {root!r}")
+    stored = storectl.params_of(cur)
+    resolved = storectl.resolve_params(
+        stored, {"n_buckets": n_buckets}, {"n_buckets": 16}
+    )
+    nb = resolved["n_buckets"]
+    _register_lm(spark, table, cur, nb)
+    import uuid
+
+    vt = f"lm_compact_vt_{uuid.uuid4().hex[:12]}"
+    storectl.register_bucketed(
+        spark, vt, cur + "/vocab_toks", ["w"], ["w"], nb
+    )
+    try:
+        build = storectl.new_build_dir(root)
+        storectl.write_bucketed(
+            spark.table(table)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c2").alias("c2")),
+            build + "/bigrams",
+            ["w1", "w2"],
+            ["w1", "w2"],
+            nb,
+        )
+        storectl.write_bucketed(
+            spark.table(table + "_ctx")
+            .groupBy("w1")
+            .agg(F.sum("c1").alias("c1")),
+            build + "/ctx",
+            ["w1"],
+            ["w1"],
+            nb,
+        )
+        storectl.write_bucketed(
+            spark.table(vt).distinct(), build + "/vocab_toks", ["w"], ["w"], nb
+        )
+        spark.read.parquet(build + "/vocab_toks").agg(
+            F.count(F.lit(1)).cast("double").alias("v")
+        ).write.mode("overwrite").parquet(build + "/vocab")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {vt}")
+    params = dict(
+        storectl.persistable_params(
+            stored, {"n_buckets": n_buckets}, resolved
+        )
+        or {}
+    )
+    params["delta_appends"] = 0
+    if build_key is None:
+        meta = storectl.meta_of(cur) or {}
+        build_key = meta.get("build_key", "lm-v1")
+    ver = storectl.publish(
+        root, build, build_key, keep=keep, retain_s=retain_s, params=params
+    )
+    _register_lm(spark, table, ver, nb)
+
+
 def score_from_lm_store(
     batch: DataFrame,
     path: str,
     table: str = "lm_store_bigrams",
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy of a NEW batch under a persisted
     :func:`write_lm_store` model: P(w2|w1) = (c2 + 1) / (c1 + V) with
@@ -1271,7 +1485,12 @@ def score_from_lm_store(
 
     Plan: the batch's bigrams explode narrow and shuffle once to each
     stored table's bucket layout; the corpus-sized count tables never
-    move (plan-asserted Exchange-free on the store side). Output is
+    move (plan-asserted Exchange-free on the store side). The bucket
+    count self-configures from the resolved version's marker (explicit
+    mismatches raise). A store with outstanding
+    :func:`append_lm_store` deltas collapses its partial count rows
+    first — Exchange-free aggregates on the bucket keys; scores are
+    bit-identical to the compacted (or rebuilt) store's. Output is
     (doc_id, n_bigrams, xent)."""
     spark = batch.sparkSession
     ver = storectl.current_dir(path.rstrip("/"))
@@ -1279,10 +1498,17 @@ def score_from_lm_store(
         raise FileNotFoundError(
             f"no published LM store under {path!r} — write_lm_store first"
         )
-    _register_lm(spark, table, ver, n_buckets)
+    stored = storectl.params_of(ver)
+    nb = storectl.resolve_params(
+        stored, {"n_buckets": n_buckets}, {"n_buckets": 16}
+    )["n_buckets"]
+    _register_lm(spark, table, ver, nb)
     bi = _doc_bigrams(batch, id_col, text_col)
     bc = spark.table(table)
     uc = spark.table(table + "_ctx")
+    if (stored or {}).get("delta_appends", 0):
+        bc = bc.groupBy("w1", "w2").agg(F.sum("c2").alias("c2"))
+        uc = uc.groupBy("w1").agg(F.sum("c1").alias("c1"))
     vrow = spark.read.parquet(ver + "/vocab")
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))

@@ -1599,3 +1599,78 @@ def test_append_text_index_matches_full_rebuild(spark, tmp_path):
         textops.bm25_from_store(
             spark, root_a, q, table="bm25app_a", n_buckets=7
         )
+
+
+def test_lm_store_append_fold_matches_rebuild(spark, tmp_path):
+    """Round-12 LM-store fold: write slice A, append_lm_store slice B
+    (partial count rows + exact vocabulary-set fold), and batch scores
+    against the folded store are BIT-identical to a from-scratch
+    write_lm_store over A union B — including docs whose bigrams use
+    tokens only slice B introduced (the V fold must be exact, not
+    approximate). Also pins: recipe mismatch raises, compaction
+    resets the delta counter without changing a single score, and a
+    pre-fold-shape store (no vocab_toks) refuses to append."""
+    import shutil
+
+    import pytest
+
+    from scipi_spark.sources import storectl
+
+    slice_a = _docs(spark, [(1, "aa bb cc"), (2, "bb cc dd")])
+    slice_b = _docs(spark, [(3, "cc dd ee zz"), (4, "zz aa bb")])
+    both = slice_a.unionByName(slice_b)
+    batch = _docs(spark, [(9, "aa bb zz qq"), (10, "ee zz cc")])
+    tables = ("lmf_app", "lmf_app_ctx", "lmf_full", "lmf_full_ctx")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        textops.write_lm_store(slice_a, str(tmp_path / "lm"), table="lmf_app")
+        textops.append_lm_store(slice_b, str(tmp_path / "lm"), table="lmf_app")
+        textops.write_lm_store(both, str(tmp_path / "full"), table="lmf_full")
+        folded = {
+            r["doc_id"]: (r["n_bigrams"], r["xent"])
+            for r in textops.score_from_lm_store(
+                batch, str(tmp_path / "lm"), table="lmf_app"
+            ).collect()
+        }
+        rebuilt = {
+            r["doc_id"]: (r["n_bigrams"], r["xent"])
+            for r in textops.score_from_lm_store(
+                batch, str(tmp_path / "full"), table="lmf_full"
+            ).collect()
+        }
+        assert folded == rebuilt and folded
+        # V folded exactly: 4 stored (aa bb cc dd) + 2 new (ee, zz) = 6
+        ver = storectl.current_dir(str(tmp_path / "lm"))
+        vrow = spark.read.parquet(ver + "/vocab").collect()[0]["v"]
+        assert vrow == 6.0
+        assert (storectl.params_of(ver) or {}).get("delta_appends") == 1
+
+        with pytest.raises(ValueError, match="param mismatch"):
+            textops.append_lm_store(
+                slice_b, str(tmp_path / "lm"), table="lmf_app", n_buckets=8
+            )
+
+        textops.compact_lm_store(spark, str(tmp_path / "lm"), table="lmf_app")
+        ver2 = storectl.current_dir(str(tmp_path / "lm"))
+        assert (storectl.params_of(ver2) or {}).get("delta_appends") == 0
+        compacted = {
+            r["doc_id"]: (r["n_bigrams"], r["xent"])
+            for r in textops.score_from_lm_store(
+                batch, str(tmp_path / "lm"), table="lmf_app"
+            ).collect()
+        }
+        assert compacted == rebuilt
+        # one row per key after compaction
+        bc = spark.table("lmf_app")
+        assert bc.count() == bc.select("w1", "w2").distinct().count()
+
+        # a store whose live version lacks vocab_toks cannot fold
+        shutil.rmtree(ver2 + "/vocab_toks")
+        with pytest.raises(FileNotFoundError, match="vocab_toks"):
+            textops.append_lm_store(
+                slice_b, str(tmp_path / "lm"), table="lmf_app"
+            )
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
