@@ -2327,6 +2327,48 @@ def _q_er_store_increment(spark, sf_dir):
     )
 
 
+def _q_er_store_compact(spark, sf_dir):
+    """Entity-store compaction, gated end-to-end (round-12 — the one
+    store maintenance op that was pytest-only; ``dedup_store_compact``
+    / ``ann_store_compact`` / ``graph_store_compact`` are the
+    siblings): build the store from the originals, fold the planted
+    duplicates in, then fold the SAME batch again — the documented
+    at-least-once crash-replay, which duplicates the block rows and the
+    id universe while the assignment stays correct (``_er_probe``'s
+    replay path). ``linkage.compact_entity_store`` drops the duplicate
+    rows; the store's full assignment afterwards must still equal the
+    one-shot closure's closed-form planted truth — compaction repairs
+    the layout without perturbing a single entity. Chain runs once per
+    (warehouse, sf): the final build key lands only after the repair,
+    so a crash mid-sequence re-runs the whole build->poison->repair."""
+    from scipi_spark.operators import linkage
+
+    recs = _er_records(spark, sf_dir)
+    corpus = recs.filter(F.col("rec_id") < 1_000_000)
+    dups = recs.filter(F.col("rec_id") >= 1_000_000)
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    table = "er_store_cpt_" + sfname.replace(".", "_")
+    path = _store_root(table)
+    bkey = "er-v1:compact-chain"
+    if storectl.current_dir(path, bkey) is None:
+        linkage.write_entity_store(
+            corpus, path, table=table, threshold=0.5,
+            build_key=bkey + ":building",
+        )
+        linkage.append_entity_store(dups, path, table=table)
+        # the crash-replayed second fold: assignment unchanged, block
+        # rows + id universe duplicated — the corruption compact repairs
+        linkage.append_entity_store(dups, path, table=table)
+        linkage.compact_entity_store(
+            spark, path, table=table, build_key=bkey
+        )
+    assignment = linkage.entity_store_assignment(spark, path)
+    return assignment.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("rec_id").cast("long").alias("sum_ids"),
+    )
+
+
 def _q_stream_er_store_probe(spark, sf_dir):
     """Streaming entity resolution with store folding, driver-gated
     end-to-end: the originals are indexed once, then the planted
@@ -4930,6 +4972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_matches": _q_er_fs_matches,
         "er_store_increment": _q_er_store_increment,
         "stream_er_store_probe": _q_stream_er_store_probe,
+        # round 12: entity-store compaction repair (r11 verdict #3 —
+        # the one store maintenance op without a driver entry)
+        "er_store_compact": _q_er_store_compact,
         "bm25_store_append": _q_bm25_store_append,
         "stream_bm25_store_fold": _q_stream_bm25_store_fold,
         "neardup_safe_split": _q_neardup_safe_split,
@@ -8591,6 +8636,9 @@ WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.3
     # planted truth
     d["er_store_increment"] = d["er_entity_clusters"]
     d["stream_er_store_probe"] = d["er_entity_clusters"]
+    # the compacted store's assignment is the folded one (row layout
+    # repaired, entities untouched) — same closed-form planted truth
+    d["er_store_compact"] = d["er_entity_clusters"]
     # Fellegi-Sunter scoring: the log2 m/u weights are computed ONCE in
     # Python (_FS_M/_FS_U) and embedded as identical double literals in
     # the Spark plan and this SQL — the field-ordered sum is then
