@@ -184,13 +184,13 @@ def _q_p5_reject_audit(spark, sf_dir):
     )
 
 
-def _q_ingest_dblp(spark, sf_dir):
-    """P2+P3+P5: serialize the analog corpus to raw DBLP JSON (key/
-    conference/plain-string authors, ``ScipiStream.java:379-462`` shape),
-    parse + validate. Poison: orderkey % 7 == 0 gets a symbols-only title
-    (cleans to NULL -> dropped by rule 3), % 11 == 0 a 3-char year
-    (rule 6), so the filter provably drops rows. DBLP keywords/fos are the
-    constant ['computer science'] so n_keywords is identically 1."""
+def _poisoned_dblp_raw(spark, sf_dir):
+    """Raw DBLP JSON fixture (key/conference/plain-string authors,
+    ``ScipiStream.java:379-462`` shape) over the poisoned analog
+    corpus, persisted once per (app, sf_dir) — shared by the DBLP
+    ingest entry and the P6 union entry. Poison: orderkey % 7 == 0
+    gets a symbols-only title (cleans to NULL -> dropped by rule 3),
+    % 11 == 0 a 3-char year (rule 6)."""
     key = ("dblp", sf_dir)
     if key not in _RAW_JSON_CACHE:
         pubs = publications_analog(spark, sf_dir)
@@ -214,7 +214,16 @@ def _q_ingest_dblp(spark, sf_dir):
         _cache_put(_RAW_JSON_CACHE, key, raw.persist())
     raw = _RAW_JSON_CACHE[key]
     raw.persist()  # re-register after an external clearCache()
-    out = ingest.ingest_dblp(raw)
+    return raw
+
+
+def _q_ingest_dblp(spark, sf_dir):
+    """P2+P3+P5: serialize the analog corpus to raw DBLP JSON, parse +
+    validate (see :func:`_poisoned_dblp_raw` for the fixture and its
+    poison rules); the filter provably drops rows. DBLP keywords/fos
+    are the constant ['computer science'] so n_keywords is
+    identically 1."""
+    out = ingest.ingest_dblp(_poisoned_dblp_raw(spark, sf_dir))
     return out.select(
         "doi",
         "title",
@@ -222,6 +231,23 @@ def _q_ingest_dblp(spark, sf_dir):
         F.size("keywords").cast("long").alias("n_keywords"),
         F.size("authors").cast("long").alias("n_authors"),
     )
+
+
+def _q_p6_union_ingest(spark, sf_dir):
+    """P6: the stream/batch union of the two validated sources
+    (``ScipiStream.java:127-133``), gated end-to-end — the one SURVEY
+    §2 pipeline row that was pytest-only (round-11 verdict #7). Both
+    transports ingest their poisoned raw fixtures (P1/P2 parse + the
+    7-rule P5 validation run per source, exactly once, as in the
+    reference), ``ingest.union_sources`` combines them, and P7 keyword
+    counting runs over the COMBINED corpus. Every union row is
+    source-attributable in the oracle: OAG contributes the cleaned
+    per-brand keyword sets, DBLP the constant ['computer science'] —
+    so a row lost (or duplicated) on either side of the union breaks
+    the hash."""
+    oag = ingest.ingest_oag(_poisoned_oag_raw(spark, sf_dir))
+    dblp = ingest.ingest_dblp(_poisoned_dblp_raw(spark, sf_dir))
+    return analytics.keyword_count(ingest.union_sources(oag, dblp))
 
 
 def _xml_chunks_fixture(spark, sf_dir) -> str:
@@ -5009,6 +5035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_p5_ingest_oag": _q_ingest_oag,
         "p5_reject_audit": _q_p5_reject_audit,
         "p2_p5_ingest_dblp": _q_ingest_dblp,
+        # round 12: P6 union gated (r11 verdict #7 — the last testable
+        # §2 row without a driver entry)
+        "p6_union_ingest": _q_p6_union_ingest,
         "xml_ingest_distributed": _q_xml_ingest_distributed,
         "text_token_count": _q_text_token_count,
         "udtf_word_lens": _q_udtf_word_lens,
@@ -5575,6 +5604,37 @@ def oracle_sql() -> dict[str, str]:
         # identical ground truth through the distributed XML transport:
         # same analog corpus, same poison, same P2+P5 semantics
         "xml_ingest_distributed": _DBLP_INGEST_SQL,
+        # P6 union -> P7 over the combined corpus. Both sources share
+        # the poison filter (%7/%11), so `valid` is the surviving order
+        # set for each; OAG rows carry their CLEANED brand keyword sets
+        # (validate_topics lowercases and strips non-alphanumerics),
+        # DBLP rows the constant 'computer science' — one occurrence
+        # per surviving DBLP record
+        "p6_union_ingest": r"""
+            WITH valid AS (
+              SELECT o.o_orderkey AS okey
+              FROM orders o
+              JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+                ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderkey % 7 <> 0 AND o.o_orderkey % 11 <> 0
+            ), oag_kw AS (
+              SELECT DISTINCT v.okey,
+                     lower(regexp_replace(regexp_replace(p.p_brand,
+                           '[^a-zA-Z0-9\s]', '', 'g'),
+                           '^\s+|\s+$', '', 'g')) AS keyword_name
+              FROM valid v
+              JOIN lineitem l ON l.l_orderkey = v.okey
+              JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT keyword_name,
+                   CAST(count(*) AS BIGINT) AS keyword_count
+            FROM (
+              SELECT keyword_name FROM oag_kw
+              UNION ALL
+              SELECT 'computer science' AS keyword_name FROM valid
+            )
+            GROUP BY 1
+        """,
         # the registered-UDAF surface: DuckDB's median uses the same
         # even-count interpolation as pandas Series.median
         "udaf_grouped_median": """
