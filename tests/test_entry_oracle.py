@@ -281,3 +281,16 @@ def test_graph_scale_artifact_rounds_structural_and_slopes_bounded():
     hm = data["deep"]["cc_hashmin"]
     for d, row in hm.items():
         assert row["rounds"] >= int(d), (d, row)  # rounds ~ depth
+
+
+def test_registry_count_matches_pinned():
+    """Round-12 (r11 verdict 'what's wrong' #1): the round narrative
+    once cited a registry count one behind the shipping state. Pin the
+    count here — growing the registry without touching this number
+    fails CI, so closing-state prose (SCALE.md / README / COVERAGE)
+    always cites a test-checked figure."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) == len(o) == 207, (len(q), len(o))
