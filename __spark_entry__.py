@@ -1130,26 +1130,16 @@ def _q_c8_store_lpa(spark, sf_dir):
     return community.community_sizes(labels, min_size=30)
 
 
-def _graph_split_mirrored(spark, sf_dir):
-    """(agg_a, agg_b, n_est): the graph-analog corpus split in two
-    deterministic slices, each pre-aggregated to its portable-hashed
-    mirrored LPA relation, plus the full-corpus mirrored-row estimate
+def _graph_pub_slices(spark, sf_dir):
+    """(pubs_a, pubs_b, n_est): the graph-analog corpus split in two
+    deterministic slices plus the full-corpus mirrored-row estimate
     (the same per-publication arithmetic as ``_graph_lpa_mirrored``,
-    one 1-row collect, no explode). Shared by the graph-store fold and
-    compaction entries — the combined slices ARE the full corpus, so
-    both entries inherit ``c8_community_lpa``'s unrolled SQL fixpoint
-    oracle verbatim."""
-    from scipi_spark.operators.dedup import _portable_feature_hash
-
+    one 1-row collect, no explode). The combined slices ARE the full
+    corpus, so every graph-store fold entry built on them inherits
+    ``c8_community_lpa``'s unrolled SQL fixpoint oracle verbatim."""
     pubs = _graph_pubs(spark, sf_dir)
     sa = pubs.filter(F.xxhash64("title") % 2 == 0)
     sb = pubs.filter(F.xxhash64("title") % 2 != 0)
-
-    def agg(df):
-        return community.aggregate_undirected_hashed(
-            community.extract_edges_hashed(df, hash_fn=_portable_feature_hash)
-        )
-
     n = F.size("authors")
     per_pub = (
         n * (n - F.lit(1)) / F.lit(2)
@@ -1162,7 +1152,24 @@ def _graph_split_mirrored(spark, sf_dir):
         ).otherwise(0)
     )
     est = pubs.agg(F.sum(per_pub).alias("m")).collect()[0]["m"] or 0
-    return agg(sa), agg(sb), int(2 * est)
+    return sa, sb, int(2 * est)
+
+
+def _portable_mirrored(df):
+    """A publication slice's portable-hashed mirrored LPA relation —
+    the aggregate :func:`community.write_graph_store` /
+    ``append_graph_store`` persist for the fold entries."""
+    from scipi_spark.operators.dedup import _portable_feature_hash
+
+    return community.aggregate_undirected_hashed(
+        community.extract_edges_hashed(df, hash_fn=_portable_feature_hash)
+    )
+
+
+def _graph_split_mirrored(spark, sf_dir):
+    """(agg_a, agg_b, n_est) — see :func:`_graph_pub_slices`."""
+    sa, sb, n_est = _graph_pub_slices(spark, sf_dir)
+    return _portable_mirrored(sa), _portable_mirrored(sb), n_est
 
 
 def _q_graph_store_append(spark, sf_dir):
@@ -1239,6 +1246,75 @@ def _q_graph_store_compact(spark, sf_dir):
             None, f"{d}/graph", table=table, mirrored=agg_b
         )
         community.compact_graph_store(spark, f"{d}/graph", table=table)
+        labels = community.community_detection_from_store(
+            spark,
+            table=table,
+            iterations=5,
+            delta=0.5,
+            portable_rounding=True,
+            n_edges=n_est,
+            path=f"{d}/graph",
+        )
+        out = community.community_sizes(labels, min_size=30).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _q_stream_graph_store_fold(spark, sf_dir):
+    """Streaming graph maintenance with store folding, driver-gated
+    end-to-end — the graph member of the streaming x persisted-store
+    family (dedup/ANN/ER/BM25/SCD2 streaming folds are all gated):
+    slice A of the corpus builds the bucketed edge store once, slice
+    B's publications arrive as two real micro-batches; each extracts
+    its edges, aggregates the portable-hashed mirrored partials, and
+    FOLDS into the store through a marker-guarded ``foreachBatch``
+    sink, publishing a per-batch graph summary. Edge weights fold as
+    exact sums, so after both batches the merged store is bit-identical
+    to a from-scratch build over the FULL corpus and the 5-superstep
+    LPA over it shares ``c8_community_lpa``'s unrolled SQL fixpoint
+    oracle verbatim. Store in a fresh temp dir per run (folding
+    mutates it)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scipi_spark.operators.dedup import _portable_feature_hash
+    from scipi_spark.streaming.pipelines import run_streaming_graph_store_fold
+
+    pubs_a, pubs_b, n_est = _graph_pub_slices(spark, sf_dir)
+    # parity split WITHIN slice B: pmod(xxhash64, 4) of B's odd hashes
+    # is 1 or 3, so the two micro-batches partition B exactly
+    quad = F.pmod(F.xxhash64("title"), F.lit(4))
+    b1 = pubs_b.filter(quad == 1)
+    b2 = pubs_b.filter(quad == 3)
+    d = _tempfile.mkdtemp(prefix="scipi_graph_stream_")
+    table = "graph_sfold_" + os.path.basename(d)[-8:]
+    try:
+        community.write_graph_store(
+            None, f"{d}/graph", table=table, mirrored=_portable_mirrored(pubs_a)
+        )
+        b1.coalesce(1).write.parquet(f"{d}/src")
+        b2.coalesce(1).write.mode("append").parquet(f"{d}/src")
+        stream = (
+            spark.readStream.schema(pubs_a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        q = run_streaming_graph_store_fold(
+            stream,
+            f"{d}/graph",
+            f"{d}/out",
+            f"{d}/ckpt",
+            table=table,
+            hash_fn=_portable_feature_hash,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         labels = community.community_detection_from_store(
             spark,
             table=table,
@@ -5019,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last persisted family without the incremental shape)
         "graph_store_append": _q_graph_store_append,
         "graph_store_compact": _q_graph_store_compact,
+        "stream_graph_store_fold": _q_stream_graph_store_fold,
         "dedup_store_compact": _q_dedup_store_compact,
         "dedup_increment": _q_dedup_increment,
         "text_rarity": _q_text_rarity,
@@ -8877,6 +8954,8 @@ FROM __LAB__ GROUP BY 1 HAVING count(*) >= 30
     # fixpoint proves the fold and the compaction end-to-end
     d["graph_store_append"] = d["c8_community_lpa"]
     d["graph_store_compact"] = d["c8_community_lpa"]
+    # the 2-micro-batch streaming fold converges to the identical store
+    d["stream_graph_store_fold"] = d["c8_community_lpa"]
     d["c16_community_strength"] = _lpa_oracle_sql(
         """
 , csizes AS (

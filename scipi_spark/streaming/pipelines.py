@@ -491,6 +491,73 @@ def run_streaming_text_index_fold(
     )
 
 
+def run_streaming_graph_store_fold(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    table: str = "graph_edges_mirrored",
+    n_buckets: int | None = None,
+    hash_fn=None,
+):
+    """Continuous graph maintenance against the persisted edge store —
+    the graph member of the streaming x store family (dedup/ANN/ER/
+    BM25/SCD2 all fold): each micro-batch of PUBLICATIONS (1) extracts
+    its heterogeneous edges, aggregates them to the mirrored partial
+    relation, and FOLDS it into the bucketed store
+    (``community.append_graph_store`` — O(batch) appended delta rows,
+    merged on read), then (2) writes the folded graph's 1-row summary
+    (distinct directed pairs, total edge weight) to the parquet sink,
+    so the sink's per-batch partitions show the graph grow and the
+    converged store's LPA labels equal a from-scratch build over
+    corpus + all batches (gate-pinned). This replaces the reference's
+    re-scan-Cassandra-every-run batch shape
+    (``ScipiBatchCommunity.java:122-133``) with an incremental one.
+
+    Same ``foreachBatch`` rationale and replay semantics as the
+    sibling sinks: the store is a mutable external index (never
+    stream-stream state), the summary sink overwrites its own
+    ``batch_id=N`` partition (idempotent), and the fold is guarded by
+    a per-batch marker dir — an unguarded replay would double the
+    batch's edge weights. ``hash_fn`` must match the base build's
+    vertex hash (default ``community.aggregate_undirected``'s
+    xxhash64). Returns the StreamingQuery (caller awaits/stops)."""
+    from scipi_spark.operators import community as community_ops
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        marker = os.path.join(store_path, "_folded", f"batch_{batch_id}")
+        if not os.path.exists(marker):
+            edges = community_ops.extract_edges_hashed(
+                batch_df, **({"hash_fn": hash_fn} if hash_fn else {})
+            )
+            rel = community_ops.aggregate_undirected_hashed(edges)
+            community_ops.append_graph_store(
+                None,
+                store_path,
+                table=table,
+                mirrored=rel,
+                n_buckets=n_buckets,
+            )
+            os.makedirs(marker, exist_ok=True)
+        summary = community_ops.merge_delta_edges(spark.table(table)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("w_sum").alias("total_weight"),
+        )
+        summary.write.mode("overwrite").parquet(
+            out_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def run_aggregation_to_memory(
     spark: SparkSession, pubs_stream: DataFrame, which: str, name: str, **agg_kwargs
 ):
