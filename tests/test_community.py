@@ -427,3 +427,69 @@ def test_graph_store_append_fold_matches_rebuild(spark, tmp_path):
     finally:
         for t in ("t_gs_app", "t_gs_full"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_label_store_incremental_relabel(spark, tmp_path):
+    """Round-12: touched-component-only re-labeling. Slice A holds two
+    DISJOINT communities; the batch touches only the first (plus a
+    brand-new vertex pair). refresh_label_store must (1) produce the
+    identical full label set as re-running LPA over the merged store,
+    and (2) actually SKIP the untouched component — the subgraph edge
+    count is strictly below the merged total (the stats out-param)."""
+    slice_a = spark.createDataFrame(
+        [
+            ("p1", None, "v1", ["a1", "a2", "a3"], ["x"], ["cs"]),
+            ("p2", None, "v1", ["a2", "a3"], ["x"], ["cs"]),
+            ("p3", None, "v2", ["b1", "b2"], ["x"], ["cs"]),
+            ("p4", None, "v2", ["b2", "b3"], ["x"], ["cs"]),
+        ],
+        PUB_SCHEMA,
+    )
+    batch = spark.createDataFrame(
+        [
+            ("p5", None, "v1", ["a1", "a4"], ["x"], ["cs"]),
+            ("p6", None, "v9", ["c1", "c2"], ["x"], ["cs"]),
+        ],
+        PUB_SCHEMA,
+    )
+    groot = str(tmp_path / "graph")
+    lroot = str(tmp_path / "labels")
+    for t in ("t_rl_graph", "t_rl_labels"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        comm.write_graph_store(
+            comm.extract_edges(slice_a), groot, table="t_rl_graph", n_buckets=4
+        )
+        comm.write_label_store(
+            spark, groot, lroot, graph_table="t_rl_graph",
+            table="t_rl_labels", iterations=3, n_buckets=4,
+        )
+        agg_b = comm.aggregate_undirected(comm.extract_edges(batch))
+        comm.append_graph_store(
+            None, groot, table="t_rl_graph", mirrored=agg_b
+        )
+        stats = {}
+        folded = comm.refresh_label_store(
+            spark, groot, lroot, agg_b,
+            graph_table="t_rl_graph", table="t_rl_labels", stats=stats,
+        )
+        full = comm.community_detection_from_store(
+            spark, table="t_rl_graph", iterations=3, delta=0.5, path=groot
+        )
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        # the untouched b-community was never re-entered: the subgraph
+        # is strictly smaller than the merged graph, and exactly one
+        # stored component was touched
+        assert stats["touched_comps"] == 1
+        assert 0 < stats["sub_edges"] < stats["total_edges"]
+        # the persisted store itself holds the folded labels (a second
+        # read sees them without recompute)
+        stored = spark.table("t_rl_labels").select("id", "label")
+        assert sorted(map(tuple, stored.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+    finally:
+        for t in ("t_rl_graph", "t_rl_labels"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -293,4 +293,4 @@ def test_registry_count_matches_pinned():
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert len(q) == len(o) == 208, (len(q), len(o))
+    assert len(q) == len(o) == 209, (len(q), len(o))
