@@ -503,21 +503,35 @@ def write_label_store(
     portable_rounding) is stamped into the version marker; refresh
     calls self-configure from it and explicit mismatches raise (labels
     computed under different recipes must never mix)."""
-    labels = community_detection_from_store(
-        spark,
-        table=graph_table,
+    # resolve the graph version ONCE: LPA and the CC pass must read the
+    # same store state (the TOCTOU discipline every probe here follows)
+    root_g = graph_path.rstrip("/")
+    gver = storectl.current_dir(root_g)
+    if gver is None:
+        raise FileNotFoundError(
+            f"no published graph store under {root_g!r} — "
+            "write_graph_store first"
+        )
+    gparams = storectl.params_of(gver) or {}
+    gnb = gparams.get("n_buckets", 16)
+    storectl.register_bucketed(
+        spark, graph_table, gver + "/edges", ["src"], ["src"], gnb
+    )
+    merged = spark.table(graph_table)
+    if gparams.get("delta_appends", 0):
+        merged = merge_delta_edges(merged)
+    labels = community_detection(
+        vertices=None,
+        edges=None,
         iterations=iterations,
         delta=delta,
+        mirrored=merged,
+        n_edges=merged.count(),
+        restore_names=False,
         portable_rounding=portable_rounding,
-        path=graph_path,
     )
     from scipi_spark.operators import graph as graph_ops
 
-    merged = spark.table(graph_table)
-    if (storectl.params_of(storectl.current_dir(graph_path.rstrip("/"))) or {}).get(
-        "delta_appends", 0
-    ):
-        merged = merge_delta_edges(merged)
     comps = graph_ops.connected_components(
         merged.select("src", "dst"),
         max_iterations=cc_max_iterations,
