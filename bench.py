@@ -80,6 +80,13 @@ HEADLINERS = [
     # plan, store written once per sf like dedup_store_increment)
     "xml_ingest_distributed",
     "er_store_increment",
+    # round-12: the graph/LM store folds (r11 verdict #1/#2). Cold pays
+    # the build->fold chain in a fresh temp store; warm re-counts the
+    # checkpointed result (the fold-cost shape is the SCALING rebuild
+    # curve, the store-LPA warm cost is c8_store_lpa's number — same
+    # honest-bench caveat as er_store_increment)
+    "graph_store_append",
+    "lm_store_append",
 ]
 
 

@@ -1303,11 +1303,14 @@ def append_lm_store(
       Laplace denominator matches the rebuild bit-for-bit.
 
     Scores legitimately CHANGE on append: counts and V are corpus
-    statistics — that is LM semantics, not drift. Stores written
-    before the fold shape existed lack ``vocab_toks`` and raise
-    (rebuild once with :func:`write_lm_store`). Atomicity via clone ->
-    append -> publish under ``append_lock`` with ``expect_base``, like
-    every sibling store."""
+    statistics — that is LM semantics, not drift. Append-only
+    contract: batch doc ids must be NEW (a replayed batch would double
+    its n-gram counts; the streaming-sink guard is a per-batch fold
+    marker, the repair a :func:`write_lm_store` rebuild). Stores
+    written before the fold shape existed lack ``vocab_toks`` and
+    raise (rebuild once with :func:`write_lm_store`). Atomicity via
+    clone -> append -> publish under ``append_lock`` with
+    ``expect_base``, like every sibling store."""
     spark = batch.sparkSession
     root = path.rstrip("/")
     with storectl.append_lock(root):

@@ -524,6 +524,8 @@ def run_streaming_graph_store_fold(
     xxhash64). Returns the StreamingQuery (caller awaits/stops)."""
     from scipi_spark.operators import community as community_ops
 
+    from scipi_spark.sources import storectl
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
@@ -542,6 +544,17 @@ def run_streaming_graph_store_fold(
                 n_buckets=n_buckets,
             )
             os.makedirs(marker, exist_ok=True)
+        else:
+            # replay of an already-folded batch (possibly in a FRESH
+            # session where the append never registered the table):
+            # register the live version explicitly before summarizing
+            ver = storectl.current_dir(store_path.rstrip("/"))
+            nb = (storectl.params_of(ver) or {}).get(
+                "n_buckets", n_buckets or 16
+            )
+            storectl.register_bucketed(
+                spark, table, ver + "/edges", ["src"], ["src"], nb
+            )
         summary = community_ops.merge_delta_edges(spark.table(table)).agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.sum("w_sum").alias("total_weight"),
