@@ -89,6 +89,31 @@ def validate_publications(parsed: DataFrame) -> DataFrame:
     )
 
 
+def _pushdown_barrier(col):
+    """Identity wrapper that Catalyst must treat as non-deterministic.
+
+    ``validate_publications``'s filter references columns computed by the
+    cleaned projection below it. ``PushDownPredicates`` happily pushes a
+    deterministic filter through deterministic projections by
+    substituting every alias — which rewrites the 7-rule condition in
+    terms of the RAW json column, and ``OptimizeJsonExprs`` then prunes
+    each substituted ``from_json`` occurrence to a different single-field
+    schema. Codegen subexpression elimination cannot dedup those (the
+    schemas differ), so the pushed filter re-parses the document 15+
+    times per row and the surviving rows parse once more in the
+    projection: measured 31 ``from_json`` + 42 ``regexp_replace`` nodes
+    in the executed plan vs 1 + 12 with this barrier (and the parse is
+    the dominant cost of the ingest entries). Wrapping ONE projected
+    column makes the projection non-deterministic, which pins the filter
+    directly above it — every cleaned value and the parse evaluate
+    exactly once. ``shuffle`` on a 1-element array is an identity
+    permutation, costs one array allocation per row, and (unlike
+    ``rand() < -1``, which Spark 4 constant-folds away) survives the
+    optimizer. Plan shape pinned by
+    ``tests/test_ingest.py::test_ingest_parses_json_exactly_once``."""
+    return F.element_at(F.shuffle(F.array(col)), 1)
+
+
 def validate_publications_with_reasons(parsed: DataFrame) -> DataFrame:
     """P5 with a dead-letter channel: every record annotated with
     ``reject_reason`` (NULL = valid; else the FIRST failing rule in the
@@ -98,7 +123,7 @@ def validate_publications_with_reasons(parsed: DataFrame) -> DataFrame:
     auditable. Pure Column expressions; the reason CASE costs nothing
     beyond the checks the filter already ran."""
     df = parsed.select(
-        validate_str("doi").alias("doi"),
+        _pushdown_barrier(validate_str("doi")).alias("doi"),
         validate_str("title").alias("title"),
         validate_str("publisher").alias("publisher"),
         validate_str("venue").alias("venue"),

@@ -160,3 +160,23 @@ def test_reject_reasons_first_failing_rule(spark):
     # the plain validator is exactly "reason is null"
     kept = {r["doi"] for r in ingest.validate_publications(parsed).collect()}
     assert kept == {d for d, why in by_doi.items() if why is None}
+
+
+def test_ingest_parses_json_exactly_once(spark):
+    """Plan-shape pin for the r12 pushdown barrier (ingest._pushdown_barrier):
+    without it, PushDownPredicates rewrites the 7-rule filter in terms of
+    the raw json column and OptimizeJsonExprs prunes each substituted
+    from_json to a different single-field schema — 31 from_json + 42
+    regexp_replace nodes in the executed plan (each a full document
+    re-parse per row; measured as the dominant ingest cost). The barrier
+    pins the filter above the cleaned projection: exactly ONE from_json
+    survives in the whole plan, and the cleaned values evaluate once."""
+    lines = [json.dumps(r) for r in OAG_FIXTURE]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = ingest.ingest_oag(raw)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("from_json") == 1, plan
+    # the barrier expression itself must still be in the plan — if a
+    # future Spark folds shuffle(array(x))[1] away, this fails and the
+    # barrier needs a new implementation
+    assert "shuffle(" in plan, plan
