@@ -20,6 +20,7 @@ import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _WS = " \t\n\x0b\f\r"  # Java regex \s (ASCII-only)
 _STRIP_RE = r"[^a-zA-Z0-9\s]"
@@ -69,6 +70,131 @@ def validate_str_py(s: str | None) -> str | None:
     cleaned = re.sub(rf"[^a-zA-Z0-9{_WS}]", "", s)
     cleaned = cleaned.strip(_WS).lower()
     return cleaned or None
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized validation kernels (r12 optimization)
+#
+# The pure-Column versions above are kept as the JVM spec (and for any
+# caller that must stay expression-only), but the ingest hot path uses
+# these pandas_udf twins: profiling the p1_p5 ingest entry showed the
+# validation cleaning dominating (validate_topics 67 task-s, validate_str
+# 21, clean_authors 18 at sf0.1) because each per-element regex runs
+# inside an *interpreted* higher-order function (~12-24us/call), while
+# the JSON parse everyone assumed was the cost is 2.4 task-s. One
+# Arrow batch transfer plus a memoized Python `re` kernel over UNIQUE
+# values is ~4.5x faster end-to-end (task 102.9 -> 23.0 measured on the
+# full entry) and byte-identical: the Python kernel IS the
+# hypothesis-tested executable spec (`validate_str_py`). Guide §4.2
+# (vectorize the Python boundary) applied in reverse: here the batch
+# kernel beats the JVM expression because the JVM path can't memoize and
+# pays interpreted-HOF overhead per element.
+# ---------------------------------------------------------------------------
+
+_STRIP_PAT = re.compile(rf"[^a-zA-Z0-9{_WS}]")
+_MISS = object()
+
+
+def _clean_value(s, _sub=_STRIP_PAT.sub):
+    """The scalar clean (== validate_str_py body, precompiled)."""
+    c = _sub("", s).strip(_WS).lower()
+    return c if c else None
+
+
+def _clean_scalar_batch(s):
+    """Vectorized validate_str over a pandas Series, memoized on unique
+    values (lang is one distinct value per corpus; venues/publishers are
+    heavy-tailed)."""
+    memo = {}
+
+    def f(v):
+        r = memo.get(v, _MISS)
+        if r is _MISS:
+            r = _clean_value(v)
+            memo[v] = r
+        return r
+
+    return s.map(f, na_action="ignore")
+
+
+def _clean_array_batch(s, max_len):
+    """Vectorized validate_topics (max_len=30) / clean_authors
+    (max_len=None) over a Series of string-arrays: per-element memoized
+    clean, drop null/empty (and too-long when capped) results, dedup
+    keeping first occurrence — exactly transform+filter+array_distinct."""
+    import pandas as pd
+
+    memo = {}
+    res = []
+    for lst in s:
+        if lst is None:
+            res.append(None)
+            continue
+        out = []
+        seen = set()
+        for x in lst:
+            if x is None:
+                continue
+            c = memo.get(x, _MISS)
+            if c is _MISS:
+                c = _clean_value(x)
+                memo[x] = c
+            if c is None or (max_len is not None and len(c) > max_len):
+                continue
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+        res.append(out)
+    return pd.Series(res, dtype=object)
+
+
+def _topics_batch(s):
+    return _clean_array_batch(s, MAX_TOPIC_LEN)
+
+
+def _authors_batch(s):
+    return _clean_array_batch(s, None)
+
+
+def _as_col(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+# The kernels are pure functions, but they are registered
+# ``asNondeterministic`` on purpose: a deterministic Python UDF lets
+# PushDownPredicates substitute the validation filter's references
+# through the cleaned projection, which re-materializes ALL NINE cleans
+# (plus nine single-field ``from_json`` re-parses of the raw document)
+# in a second ArrowEvalPython node below the filter — every surviving
+# row then cleans and parses twice. Measured plan: 10 from_json + 2
+# ArrowEvalPython without the flag, 1 + 1 with it. Correctness is
+# unaffected (same inputs → same outputs); the flag only pins WHERE the
+# optimizer may evaluate them.
+
+def _nd_pandas_udf(f, rt):
+    # DataType objects, not DDL strings: DDL parsing would require an
+    # active SparkSession at import time.
+    return F.pandas_udf(f, rt).asNondeterministic()
+
+
+_ARROW_STR_UDF = _nd_pandas_udf(_clean_scalar_batch, T.StringType())
+_ARROW_TOPICS_UDF = _nd_pandas_udf(_topics_batch, T.ArrayType(T.StringType()))
+_ARROW_AUTHORS_UDF = _nd_pandas_udf(_authors_batch, T.ArrayType(T.StringType()))
+
+
+def arrow_validate_str(col: Column | str) -> Column:
+    """P3 via the Arrow kernel — same results as ``validate_str``."""
+    return _ARROW_STR_UDF(_as_col(col))
+
+
+def arrow_validate_topics(col: Column | str) -> Column:
+    """P4 via the Arrow kernel — same results as ``validate_topics``."""
+    return _ARROW_TOPICS_UDF(_as_col(col))
+
+
+def arrow_clean_authors(col: Column | str) -> Column:
+    """Author cleaning via the Arrow kernel — same as ``clean_authors``."""
+    return _ARROW_AUTHORS_UDF(_as_col(col))
 
 
 def validate_topics_py(items: list[str] | None, max_len: int = MAX_TOPIC_LEN):

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scipi_spark.functions.text import clean_authors, validate_str, validate_topics
+from scipi_spark.functions.text import (
+    arrow_clean_authors,
+    arrow_validate_str,
+    arrow_validate_topics,
+)
 from scipi_spark.schemas import DBLP_RAW_SCHEMA, OAG_RAW_SCHEMA
 
 
@@ -89,50 +93,36 @@ def validate_publications(parsed: DataFrame) -> DataFrame:
     )
 
 
-def _pushdown_barrier(col):
-    """Identity wrapper that Catalyst must treat as non-deterministic.
-
-    ``validate_publications``'s filter references columns computed by the
-    cleaned projection below it. ``PushDownPredicates`` happily pushes a
-    deterministic filter through deterministic projections by
-    substituting every alias — which rewrites the 7-rule condition in
-    terms of the RAW json column, and ``OptimizeJsonExprs`` then prunes
-    each substituted ``from_json`` occurrence to a different single-field
-    schema. Codegen subexpression elimination cannot dedup those (the
-    schemas differ), so the pushed filter re-parses the document 15+
-    times per row and the surviving rows parse once more in the
-    projection: measured 31 ``from_json`` + 42 ``regexp_replace`` nodes
-    in the executed plan vs 1 + 12 with this barrier (and the parse is
-    the dominant cost of the ingest entries). Wrapping ONE projected
-    column makes the projection non-deterministic, which pins the filter
-    directly above it — every cleaned value and the parse evaluate
-    exactly once. ``shuffle`` on a 1-element array is an identity
-    permutation, costs one array allocation per row, and (unlike
-    ``rand() < -1``, which Spark 4 constant-folds away) survives the
-    optimizer. Plan shape pinned by
-    ``tests/test_ingest.py::test_ingest_parses_json_exactly_once``."""
-    return F.element_at(F.shuffle(F.array(col)), 1)
-
-
 def validate_publications_with_reasons(parsed: DataFrame) -> DataFrame:
     """P5 with a dead-letter channel: every record annotated with
     ``reject_reason`` (NULL = valid; else the FIRST failing rule in the
     reference's check order — lang, doi, title, source, topics, year,
     authors). Training/analytics pipelines route the non-null rows to a
     quarantine sink instead of silently dropping them, so ingest loss is
-    auditable. Pure Column expressions; the reason CASE costs nothing
-    beyond the checks the filter already ran."""
+    auditable.
+
+    The cleans run through the Arrow-vectorized kernels
+    (``functions/text.py``): profiled at sf0.1 the pure-Column versions
+    spend their time in per-element regex inside *interpreted*
+    higher-order functions (validate_topics 67 task-s, validate_str 21,
+    clean_authors 18 vs 2.4 for the JSON parse); one Arrow transfer plus
+    a unique-value-memoized Python kernel is ~4.5x faster end-to-end and
+    byte-identical (the kernel is the hypothesis-tested spec). The nine
+    udf calls fuse into ONE ArrowEvalPython node, which is also a
+    pushdown barrier: the reason CASE below can never be rewritten in
+    terms of the raw JSON column, so the document parses exactly once
+    (plan pinned by test_ingest_parses_json_exactly_once)."""
     df = parsed.select(
-        _pushdown_barrier(validate_str("doi")).alias("doi"),
-        validate_str("title").alias("title"),
-        validate_str("publisher").alias("publisher"),
-        validate_str("venue").alias("venue"),
-        validate_str("lang").alias("lang"),
-        validate_topics("keywords").alias("keywords"),
+        arrow_validate_str("doi").alias("doi"),
+        arrow_validate_str("title").alias("title"),
+        arrow_validate_str("publisher").alias("publisher"),
+        arrow_validate_str("venue").alias("venue"),
+        arrow_validate_str("lang").alias("lang"),
+        arrow_validate_topics("keywords").alias("keywords"),
         F.col("year").alias("year"),
-        validate_str("year").alias("_year_clean"),
-        clean_authors("authors").alias("authors"),
-        validate_topics("fos").alias("fos"),
+        arrow_validate_str("year").alias("_year_clean"),
+        arrow_clean_authors("authors").alias("authors"),
+        arrow_validate_topics("fos").alias("fos"),
         F.col("dataset"),
     )
 

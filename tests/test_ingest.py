@@ -163,20 +163,54 @@ def test_reject_reasons_first_failing_rule(spark):
 
 
 def test_ingest_parses_json_exactly_once(spark):
-    """Plan-shape pin for the r12 pushdown barrier (ingest._pushdown_barrier):
-    without it, PushDownPredicates rewrites the 7-rule filter in terms of
-    the raw json column and OptimizeJsonExprs prunes each substituted
-    from_json to a different single-field schema — 31 from_json + 42
-    regexp_replace nodes in the executed plan (each a full document
-    re-parse per row; measured as the dominant ingest cost). The barrier
-    pins the filter above the cleaned projection: exactly ONE from_json
-    survives in the whole plan, and the cleaned values evaluate once."""
+    """Plan-shape pin for the r12 Arrow validation path: without a
+    barrier between the 7-rule filter and the cleaned projection,
+    PushDownPredicates rewrites the filter in terms of the raw json
+    column and OptimizeJsonExprs prunes each substituted from_json to a
+    different single-field schema — 31 from_json nodes in the executed
+    plan (each a full document re-parse per row). The Arrow kernels are
+    that barrier for free (a predicate over Python-UDF outputs cannot be
+    pushed through the ArrowEvalPython node that computes them): exactly
+    ONE from_json survives, the cleaning runs once per row, and the
+    Python boundary is Arrow-batched, never row-pickling."""
     lines = [json.dumps(r) for r in OAG_FIXTURE]
     raw = spark.createDataFrame([(l,) for l in lines], "value string")
     out = ingest.ingest_oag(raw)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("from_json") == 1, plan
-    # the barrier expression itself must still be in the plan — if a
-    # future Spark folds shuffle(array(x))[1] away, this fails and the
-    # barrier needs a new implementation
-    assert "shuffle(" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_arrow_kernels_match_column_spec(spark):
+    """The Arrow validation kernels must agree with the pure-Column
+    P3/P4 expressions (which are themselves hypothesis-pinned to the
+    _py spec) on nulls, empties, whitespace, length caps, dedup order
+    and null elements."""
+    from scipi_spark.functions.text import (
+        arrow_clean_authors,
+        arrow_validate_str,
+        arrow_validate_topics,
+    )
+
+    rows = [
+        ("  A!b C ", ["Top#1", "top1", None, "x" * 31, "", "  "], ["A.", "a", None]),
+        (None, None, None),
+        ("", [], []),
+        ("\t\n", ["ok topic", "OK  topic!", "y" * 30 + "!!"], ["Zed", "zed!"]),
+        ("ünïcode-Ω", ["ünï", "Ω" * 40], ["ß"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, topics array<string>, auth array<string>"
+    )
+    got = df.select(
+        arrow_validate_str("s").alias("s"),
+        arrow_validate_topics("topics").alias("t"),
+        arrow_clean_authors("auth").alias("a"),
+    ).collect()
+    want = df.select(
+        validate_str("s").alias("s"),
+        validate_topics("topics").alias("t"),
+        clean_authors("auth").alias("a"),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
