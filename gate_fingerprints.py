@@ -47,7 +47,7 @@ import inspect
 import re
 import textwrap
 
-ALGO_VERSION = 4
+ALGO_VERSION = 5
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 _ATTR_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
@@ -99,6 +99,17 @@ def _is_traceable(obj) -> bool:
     return (inspect.isfunction(obj) or inspect.isclass(obj)) and (
         mod.startswith("scipi_spark") or mod == "__spark_entry__"
     )
+
+
+def _unwrap_udf(obj):
+    """The engine function wrapped inside a UDF-like object (pyspark
+    ``UserDefinedFunction`` / ``pandas_udf`` results keep it as ``.func``)
+    — v5: without this, a module-level ``_X_UDF = pandas_udf(kernel, ...)``
+    hides ``kernel`` from the closure, so editing the kernel leaves every
+    archived stamp of entries that execute it green (the r12 Arrow-ingest
+    kernels hit exactly this blind spot)."""
+    inner = getattr(obj, "func", None)
+    return inner if inner is not None and _is_traceable(inner) else None
 
 
 def reachable_sources(fn) -> str:
@@ -199,7 +210,15 @@ def _reach(fn) -> dict[str, str]:
             if name not in g:
                 continue
             obj = g[name]
-            if _is_traceable(obj):
+            # UDF check FIRST: a pandas_udf result is a functools.wraps
+            # wrapper that PASSES _is_traceable (isfunction, copied
+            # __module__/__name__) but whose source is pyspark's generic
+            # wrapper body — visiting it would shadow the real kernel
+            # under the kernel's own key and the closure would stop there
+            inner = _unwrap_udf(obj)
+            if inner is not None:
+                stack.append(inner)
+            elif _is_traceable(obj):
                 stack.append(obj)
             elif _CONST_RE.match(name) and not inspect.ismodule(obj):
                 seen[f"const:{name}"] = _stable_repr(obj)
@@ -212,7 +231,10 @@ def _reach(fn) -> dict[str, str]:
             if not (mod.__name__ or "").startswith("scipi_spark"):
                 continue
             obj = getattr(mod, attr, None)
-            if _is_traceable(obj):
+            inner = _unwrap_udf(obj) if obj is not None else None
+            if inner is not None:
+                stack.append(inner)
+            elif _is_traceable(obj):
                 stack.append(obj)
             elif (
                 obj is not None

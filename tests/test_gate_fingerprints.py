@@ -36,11 +36,16 @@ def test_stable_repr_rejects_address_reprs():
 
 
 def test_fingerprint_reaches_cross_module_code():
-    """p1_p5_ingest_oag never names functions/text.py, but reaches
-    validate_str through ingest.validate_publications — the reachable
-    source set must include it (the round-3 staleness gap)."""
+    """p1_p5_ingest_oag never names functions/text.py, but reaches the
+    validation kernels through ingest.validate_publications — the
+    reachable source set must include them (the round-3 staleness gap).
+    Since the r12 Arrow vectorization the executed kernel is the
+    pandas_udf-wrapped ``_clean_scalar_batch``/``_clean_value`` (hidden
+    behind a module-level UDF object — the v5 ``_unwrap_udf`` hole)."""
     src = gfp.reachable_sources(QUERIES["p1_p5_ingest_oag"])
-    assert "def validate_str" in src
+    assert "def _clean_scalar_batch" in src
+    assert "def _clean_value" in src
+    assert "def _clean_array_batch" in src
     assert "_poisoned_oag_raw" in src  # entry-module helper closure
 
 
