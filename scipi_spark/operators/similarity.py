@@ -59,6 +59,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine()`` with the norm factors precomputed per ROW instead of
+    per PAIR: na/nb must be exactly ``sqrt(dot(x,x))`` of their vector.
+
+    Bit-identical to :func:`cosine` — the factors are the same doubles
+    (sqrt of the same sequential aggregate) and the expression grouping
+    ``dot/(na*nb)`` is unchanged; only WHERE the factors are evaluated
+    moves.  Why it matters (guide §1.2 per-task work): the interpreted
+    ``aggregate(zip_with)`` dot product is the per-pair unit cost of
+    every scoring join, and ``cosine()`` pays it three times per pair.
+    A scoring join over P candidate pairs drawn from N rows evaluates
+    3P dots; precomputing norms on the row side evaluates P + N — for
+    the dense all-pairs/candidate joins (P >> N) a ~3x on the scoring
+    stage, at 100 TB exactly as at sf0.1."""
+    return dot(a, b) / (na * nb)
+
+
+def _with_nrm(df: DataFrame, vec_col: str = "e", out: str = "nrm") -> DataFrame:
+    """Attach the per-row norm sqrt(dot(e,e)) used by :func:`cosine_pre`."""
+    v = F.col(vec_col)
+    return df.withColumn(out, F.sqrt(dot(v, v)))
+
+
 def knn_brute(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -70,11 +93,15 @@ def knn_brute(
 
     The query side is filtered then broadcast; ties on rounded cosine break
     by ascending neighbor id for determinism."""
-    base = _spread(embeddings).select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+    base = _with_nrm(
+        _spread(embeddings).select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+        )
     )
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         base.crossJoin(F.broadcast(queries))
@@ -82,7 +109,12 @@ def knn_brute(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(
+                    F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -115,15 +147,18 @@ def knn_hard_negatives(
     the LSH-bucketed candidate generator (:func:`knn_lsh`) and apply the
     same label filter to its exact-scoring stage — mining quality
     degrades gracefully with recall, never with correctness."""
-    base = _spread(embeddings).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(label_col).alias("lab"),
-        _as_double(vec_col).alias("e"),
+    base = _with_nrm(
+        _spread(embeddings).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("lab"),
+            _as_double(vec_col).alias("e"),
+        )
     )
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("lab").alias("qlab"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         base.crossJoin(F.broadcast(queries))
@@ -132,7 +167,12 @@ def knn_hard_negatives(
             "query_id",
             "vec_id",
             F.col("lab").alias("neg_label"),
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(
+                    F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -242,19 +282,39 @@ def knn_lsh(
     for multiprobe), p = 1 - angle/pi.
 
     The candidate join is an equi-join on (table, signature): the corpus
-    shuffles once regardless of L — L only widens the signature column."""
+    shuffles once regardless of L — L only widens the signature column.
+
+    r12 plan notes: ``base`` is persisted AFTER the signature UDF — with
+    the persist below it (the old _spread-only barrier), the corpus and
+    query branches each re-ran the UDF, and the filter that
+    InferFiltersFromGenerate derives from ``posexplode`` (size(sigs)>0)
+    materialized a SECOND ArrowEvalPython per branch below the first: 4
+    Python evaluations of the corpus per run, each paying worker fan-out
+    (2 ArrowEvalPython nodes per branch in the before-plan). Persisting
+    the signed corpus runs the kernel exactly once. The probe side is
+    explicitly broadcast: queries x tables x (1+bits) rows is tiny by
+    construction, while the corpus is the 100 TB side — without the hint
+    the optimizer broadcast the CORPUS (BuildRight over the exploded
+    signature table), which inverts at scale."""
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
-    base = _spread(embeddings).select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
-    ).withColumn("sigs", sigs_udf(F.col("e")))
+    sc = embeddings.sparkSession.sparkContext
+    src = embeddings
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    base = _with_nrm(
+        src.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
+        )
+    ).withColumn("sigs", sigs_udf(F.col("e"))).persist()
     corpus = base.select(
-        "vec_id", "e", F.posexplode("sigs").alias("t", "sig")
+        "vec_id", "e", "nrm", F.posexplode("sigs").alias("t", "sig")
     )
 
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
         F.posexplode("sigs").alias("t", "qsig"),
     )
     if multiprobe:
@@ -266,11 +326,11 @@ def knn_lsh(
             ],
         )
         queries = queries.select(
-            "query_id", "qe", "t", F.explode(probes).alias("qsig")
+            "query_id", "qe", "qn", "t", F.explode(probes).alias("qsig")
         )
     cand = (
-        queries.join(
-            corpus,
+        corpus.join(
+            F.broadcast(queries),
             (queries.t == corpus.t)
             & (F.col("qsig") == F.col("sig"))
             & (F.col("query_id") != F.col("vec_id")),
@@ -278,7 +338,12 @@ def knn_lsh(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(
+                    F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .dropDuplicates(["query_id", "vec_id"])
     )
@@ -730,8 +795,12 @@ def knn_from_store(
     all_planes = [hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
     sigs_udf = make_signatures_udf(all_planes)
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+        _with_nrm(
+            queries.select(
+                F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+            ),
+            vec_col="qe",
+            out="qn",
         )
         .withColumn("sigs", sigs_udf(F.col("qe")))
         .localCheckpoint(eager=True)
@@ -757,14 +826,19 @@ def knn_from_store(
         .select("query_id", "vec_id")
         .distinct()
     )
-    vectors = spark.table(table + "_vectors")
+    vectors = _with_nrm(spark.table(table + "_vectors"))
     scored = (
         cand.join(vectors, "vec_id")
-        .join(q.select("query_id", "qe"), "query_id")
+        .join(q.select("query_id", "qe", "qn"), "query_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(
+                    F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -841,12 +915,23 @@ def knn_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    eb = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    based = _with_nrm(base)
+    ea = based.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = based.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     scored = cand.join(ea, "id_a").join(eb, "id_b").select(
         F.col("id_a").alias("vec_id"),
         F.col("id_b").alias("neighbor_id"),
-        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        F.round(
+            cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -970,13 +1055,16 @@ def knn_ivf(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )
     one = assign_centroid_udf(C, nprobe=1)
-    corpus = base.select(
-        "vec_id", "e", F.element_at(one(F.col("e")), 1).alias("cell")
+    corpus = _with_nrm(base).select(
+        "vec_id", "e", "nrm", F.element_at(one(F.col("e")), 1).alias("cell")
     )
     probe = assign_centroid_udf(C, nprobe=nprobe)
-    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+    queries = _with_nrm(
+        base.filter(F.col("vec_id").isin(query_ids)), out="qn"
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        "qn",
         F.explode(probe(F.col("e"))).alias("cell"),
     )
     cand = (
@@ -985,7 +1073,12 @@ def knn_ivf(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(
+                    F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1071,8 +1164,17 @@ def cosine_allpairs_blocked(
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     cand = replicated.groupBy("task").applyInPandas(gemm, "id_a long, id_b long")
-    ea = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    eb = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    based = _with_nrm(base)
+    ea = based.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = based.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     # no distinct needed: every unordered pair lives in exactly one task
     return (
         cand.join(ea, "id_a")
@@ -1080,7 +1182,10 @@ def cosine_allpairs_blocked(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1158,18 +1263,39 @@ def cosine_neardup_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        ea = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-        eb = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+        based = _with_nrm(base)
+        ea = based.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        eb = based.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
         pairs = cand.join(ea, "id_a").join(eb, "id_b")
     else:
-        a = base.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-        b = base.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+        based = _with_nrm(base)
+        a = based.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = based.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
@@ -1293,20 +1419,30 @@ def semantic_dedup(
     # scores on the raw doubles keep the arithmetic identical to the
     # exact-cosine oracle formula.
     probe = assign_centroid_udf(C, nprobe=nprobe)
-    cells = base.select(
-        "vec_id", "e", F.explode(probe(F.col("e"))).alias("cell")
+    cells = _with_nrm(base).select(
+        "vec_id", "e", "nrm", F.explode(probe(F.col("e"))).alias("cell")
     ).localCheckpoint(eager=True)  # both self-join sides read this
     a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "cell"
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "cell",
     )
     b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "cell"
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "cell",
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(cosine(F.col("ea"), F.col("eb")), 6) >= F.lit(threshold)
+            F.round(
+                cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+                6,
+            )
+            >= F.lit(threshold)
         )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -1584,17 +1720,22 @@ def knn_cosine_pq(
             "query_id", "vec_id", F.round("adc", 6).alias("cosine")
         )
     # exact re-rank of the short candidate list
-    qe = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
+    qe = _with_nrm(
+        base.filter(F.col("vec_id").isin(query_ids)), out="qn"
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "qn")
     exact = (
         cand.select("query_id", "vec_id")
-        .join(base, "vec_id")
+        .join(_with_nrm(base), "vec_id")
         .join(F.broadcast(qe), "query_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(
+                    F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1651,9 +1792,22 @@ def label_coherence(
     cents = cents.withColumn("norm", F.sqrt(dot(F.col("c"), F.col("c"))))
     # a zero-norm prototype (exactly antipodal members) has no direction
     # to cohere to — those labels get NULL coherence instead of a 0/0
+    # the prototype's norm column IS sqrt(dot(c,c)) — reuse it instead of
+    # re-deriving it per member row (cosine_pre bit-identity argument)
     scored = base.join(
         F.broadcast(cents.filter(F.col("norm") > 0)), "label"
-    ).select("label", F.round(cosine(F.col("e"), F.col("c")), 6).alias("cos"))
+    ).select(
+        "label",
+        F.round(
+            cosine_pre(
+                F.col("e"),
+                F.col("c"),
+                F.sqrt(dot(F.col("e"), F.col("e"))),
+                F.col("norm"),
+            ),
+            6,
+        ).alias("cos"),
+    )
     coh = scored.groupBy("label").agg(
         F.round(F.avg("cos"), 6).alias("coherence")
     )
@@ -1860,17 +2014,22 @@ def knn_cosine_ivfpq(
         return cand.select(
             "query_id", "vec_id", F.round("adc", 6).alias("cosine")
         )
-    qdf = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
+    qdf = _with_nrm(
+        base.filter(F.col("vec_id").isin(query_ids)), out="qn"
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "qn")
     exact = (
         cand.select("query_id", "vec_id")
-        .join(base, "vec_id")
+        .join(_with_nrm(base), "vec_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cosine"),
+            F.round(
+                cosine_pre(
+                    F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
