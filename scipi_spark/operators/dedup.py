@@ -288,30 +288,37 @@ def winnow_fingerprints(
     of the positions instead of every shingle, with the detection
     guarantee intact.
 
-    Plan: normalize -> per-doc k-gram explode (narrow; positions are
-    generated, never shuffled) -> portable 60-bit md5 hash (bit-identical
-    in the DuckDB oracle) -> one running-min window over (doc, position)
-    [single shuffle on doc] -> distinct. Docs shorter than k emit no
-    fingerprints. Tail windows shorter than ``w`` clamp identically in
-    both engines."""
+    Plan (r12, guide §2.4 remove-the-shuffle): the winnow selection is a
+    purely LOCAL per-document computation, so it is done entirely in
+    array expressions fused into the scan — gram hashes as one
+    ``transform``, the w-wide window minima as ``array_min(slice(...))``
+    per position (``slice`` clamps at the tail exactly like the old
+    window's ``rowsBetween(0, w-1)``), per-doc dedup as
+    ``array_distinct``, and only the final (doc_id, fp) rows explode.
+    The previous plan exploded one row PER CHARACTER POSITION and
+    shuffled all of them into a doc-partitioned running-min window plus
+    a global distinct — two exchanges of |corpus chars| rows that this
+    shape does not pay at any scale; values are bit-identical (same md5
+    hashes, same min over the same clamped windows, same distinct set:
+    (doc_id, fp) rows are unique once fps are array_distinct'd within
+    the doc). Docs shorter than k emit no fingerprints."""
     base = (
         _spread(df)
         .select(F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("t"))
         .filter(F.length("t") >= k)
     )
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))"
-            )
-        ).alias("i", "g"),
+    # 60-bit portable hash per k-gram, inline (same expression as
+    # _portable_feature_hash, spelled in SQL for the array transform)
+    hashes = F.expr(
+        f"transform(sequence(1, length(t) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10) as bigint))"
     )
-    hashed = grams.select("doc_id", "i", _portable_feature_hash(F.col("g")).alias("h"))
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fps = F.expr(
+        f"array_distinct(transform(hs, (x, i) -> array_min(slice(hs, i + 1, {w}))))"
+    )
     return (
-        hashed.select("doc_id", F.min("h").over(win).alias("fp"))
-        .distinct()
+        base.select("doc_id", hashes.alias("hs"))
+        .select("doc_id", F.explode(fps).alias("fp"))
     )
 
 
