@@ -108,17 +108,22 @@ def _shingle_index(
     bound — at that corpus size flip to ``hash_ids=False`` or a 128-bit
     hash.
 
-    ``materialize=True`` localCheckpoints the (pre-cap) postings ONCE and
-    derives sizes from them (word_shingles is distinct, so a doc's
-    postings row-count IS its set size — hash collisions preserve row
-    count). Every downstream consumer of either output then reads the
-    one materialized table instead of replaying the scan+shingle+explode
-    chain: _jaccard_verify alone consumes postings twice and sizes
-    twice, which un-materialized means FOUR shingle computations per
-    call. Caveat: docs with an empty shingle set have no postings row
-    and thus no sizes row — harmless for every inner-join consumer
-    (empty sets can't pair), so callers that need a row per input doc
-    must keep ``materialize=False``."""
+    ``materialize=True`` localCheckpoints the (pre-explode) per-doc
+    shingle ARRAYS once; postings explode narrowly from the checkpoint
+    per consumer and sizes are a pure ``size()`` projection of it.
+    Every downstream consumer then replays a cheap in-memory explode
+    instead of the scan+shingle chain: _jaccard_verify alone consumes
+    postings twice and sizes twice, which un-materialized means FOUR
+    shingle computations per call. (r12: previously the EXPLODED
+    postings were checkpointed and sizes re-AGGREGATED from them with a
+    groupBy(doc) — a full shuffle+hash-agg over every posting row per
+    consumer chain that the array form gets for free as ``size()``;
+    measured 18.5 task-s / 10.4 cpu-s for that aggregation alone on the
+    sf0.1 ngram entry. The array checkpoint also unifies the
+    empty-shingle-set semantics with ``materialize=False``: a doc with
+    no shingles now has an (doc, 0) sizes row in BOTH modes — still
+    invisible to every consumer, which are all inner joins on docs that
+    appear in postings/candidates, and empty sets can't pair.)"""
     grams = word_shingles(text_col, k)
     if hash_ids:
         # hash INSIDE the array, before the explode: the explode then
@@ -126,14 +131,10 @@ def _shingle_index(
         # (measured ~25% off the shingle-index segment at sf0.1)
         grams = F.transform(grams, lambda x: F.xxhash64(x))
     sh = _spread(df).select(F.col(id_col).alias("doc"), grams.alias("shingles"))
-    postings = sh.select("doc", F.explode("shingles").alias("sh"))
     if materialize:
-        postings = postings.localCheckpoint(eager=True)
-        sizes = postings.groupBy("doc").agg(
-            F.count(F.lit(1)).cast("long").alias("n_sh")
-        )
-    else:
-        sizes = sh.select("doc", F.size("shingles").cast("long").alias("n_sh"))
+        sh = sh.localCheckpoint(eager=True)
+    postings = sh.select("doc", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc", F.size("shingles").cast("long").alias("n_sh"))
     if max_doc_freq is not None:
         df_counts = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         postings = postings.join(
