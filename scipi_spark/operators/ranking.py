@@ -109,7 +109,12 @@ def with_percent_rank(
 
     # 3. tiny offsets table: rows-per-(slice, group); cumulative over
     #    earlier slices of the same group = the slice's starting rank.
-    cnt = local.groupBy(_PID, *part_cols).agg(
+    #    Derived from `ranged`, NOT `local`: the count does not depend on
+    #    the local row_number, and branching below the window made this
+    #    branch re-run the per-slice SORT a second time (the two branches
+    #    share the range Exchange via reuse, but everything above it
+    #    executes per branch — r12, guide §2.4 duplicated-subtree class).
+    cnt = ranged.groupBy(_PID, *part_cols).agg(
         F.count(F.lit(1)).cast("long").alias("__rnk_cnt")
     )
     w_off = (
