@@ -1288,6 +1288,13 @@ def cosine_neardup_pairs(
             F.col("nrm").alias("nb"),
         )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # no terminal dropDuplicates (r12): pairs are unique by construction
+    # on BOTH paths — bits: candidate (id_a, id_b) are .distinct()-ed
+    # before the two equi-joins on the unique vec_id key; exact: a
+    # crossJoin filtered to id_a < id_b over unique ids. The old
+    # belt-and-braces dedup was a full Exchange + two aggregate stages
+    # over the scored output for zero row change (precondition, same as
+    # every sibling operator: vec_id unique in the input).
     return (
         pairs.select(
             "id_a",
@@ -1298,7 +1305,6 @@ def cosine_neardup_pairs(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
