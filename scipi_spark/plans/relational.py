@@ -602,12 +602,7 @@ def market_basket_pairs(
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     )
-    # materialized once: baskets feeds FOUR consumers (n_orders, sets,
-    # and the item_counts subtree twice via the ca/cb join aliases) —
-    # un-materialized, the scan+distinct subtree executes once per
-    # consumer (6 parquet scans / 3 distinct exchanges in the r12
-    # before-plan; 1 of each after — guide §5 reuse rule)
-    baskets = li.distinct().localCheckpoint(eager=True)
+    baskets = li.distinct()
     n_orders = baskets.select("okey").distinct().count()
     item_counts = baskets.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
