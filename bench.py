@@ -339,13 +339,25 @@ def build_output(
 ) -> tuple[str, dict]:
     """Return (printed JSON line <= _LINE_BUDGET chars, full detail dict).
 
-    The printed line carries the per-query EXECUTOR TASK TIME (the
-    contention-robust metric, round-6 verdict #1) plus the wall totals;
-    per-query wall is the first thing shed when the line outgrows the
-    driver's buffer — full wall/median/cold/spread resolution always
-    lives in BENCH_DETAIL.json."""
+    The printed line always carries the COMPLETE per-query wall dict
+    ("queries") — the key the driver's PERF gate diffs round-over-round
+    (r12 verdict #1) — plus the wall/task totals. The per-query executor
+    task time ("queries_task", the repo's contention-robust cross-round
+    metric) rides along while it fits and is shed entry-by-entry
+    (smallest first) when the line outgrows the driver's buffer; full
+    wall/task/median/cold/spread resolution always lives in
+    BENCH_DETAIL.json."""
     task = task or {}
     total = round(sum(timings.values()), 3)
+    # r13 (r12 verdict #1): the driver's PERF comparison reads the
+    # per-query WALL dict ("queries") from this line — r12 shed it first
+    # and PERF_r12 came back with per_query {} / bench_ok false. The
+    # shedding priority is therefore: (1) drop the smallest queries_task
+    # entries (full resolution stays in BENCH_DETAIL.json), (2) drop the
+    # queries_task key entirely, (3) round queries to 1 decimal,
+    # (4) last resort, drop the smallest queries entries with an
+    # explicit queries_omitted counter. "queries" ships complete in
+    # every realistic cohort size (49 entries at 2 decimals ≈ 1.5k).
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         # renamed from headline_queries_total_runtime in r8 (round-7
@@ -438,16 +450,27 @@ def build_output(
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(line_obj)
-    if len(line) > _LINE_BUDGET and line_obj["queries_task"]:
-        # per-query wall is redundant with the detail file; task time is
-        # the metric the verdict reads — shed wall first, whole
-        del line_obj["queries"]
-        line_obj["wall_detail"] = "BENCH_DETAIL.json"
+    # 1) shed the smallest queries_task entries (full dict stays in the
+    #    detail file); 2) then the whole key
+    while len(line) > _LINE_BUDGET and line_obj.get("queries_task"):
+        drop = min(line_obj["queries_task"], key=line_obj["queries_task"].get)
+        del line_obj["queries_task"][drop]
+        line_obj["task_omitted"] = line_obj.get("task_omitted", 0) + 1
+        if not line_obj["queries_task"]:
+            del line_obj["queries_task"]
+            line_obj["task_detail"] = "BENCH_DETAIL.json"
         line = json.dumps(line_obj)
-    shed_key = "queries_task" if line_obj.get("queries_task") else "queries"
-    while len(line) > _LINE_BUDGET and len(line_obj[shed_key]) > 5:
-        drop = min(line_obj[shed_key], key=line_obj[shed_key].get)
-        del line_obj[shed_key][drop]
+    # 3) coarser wall resolution before dropping any wall entry
+    if len(line) > _LINE_BUDGET:
+        line_obj["queries"] = {
+            k: round(v, 1) for k, v in line_obj["queries"].items()
+        }
+        line = json.dumps(line_obj)
+    # 4) last resort so the line always parses: shed the smallest wall
+    #    entries, visibly counted
+    while len(line) > _LINE_BUDGET and len(line_obj["queries"]) > 5:
+        drop = min(line_obj["queries"], key=line_obj["queries"].get)
+        del line_obj["queries"][drop]
         line_obj["queries_omitted"] = line_obj.get("queries_omitted", 0) + 1
         line = json.dumps(line_obj)
     return line, detail

@@ -65,9 +65,14 @@ def test_bench_output_line_fits_driver_buffer():
     # r8: the hot-cache warm total is named for its methodology so it can
     # never again be compared to r1-r6's rebuild-per-sample totals
     assert parsed["metric"] == "headline_queries_hot_cache_total"
-    # the contention-robust per-query task time survives shedding —
-    # it is what the verdict reads out of BENCH_rN.json
-    assert parsed["queries_task"]
+    # r13 (r12 verdict #1): the per-query WALL dict is what the driver's
+    # PERF gate diffs — it must survive shedding COMPLETE, even at
+    # 4-digit timings; queries_task is the one shed (entry-by-entry,
+    # full dict in BENCH_DETAIL.json), and its shedding is counted
+    assert set(parsed["queries"]) == set(bench.HEADLINERS)
+    assert parsed.get("task_omitted", 0) + len(
+        parsed.get("queries_task", {})
+    ) == len(bench.HEADLINERS)
     # the detail dict keeps the full warm/median/cold/spread resolution
     assert set(detail["queries"]) == set(bench.HEADLINERS)
     assert set(detail["queries_cold"]) == set(bench.HEADLINERS)

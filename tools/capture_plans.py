@@ -1,7 +1,8 @@
-"""Capture `.explain("formatted")` for bench headliners into plans/r12/.
+"""Capture `.explain("formatted")` for bench headliners into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [entry ...]
-  suffix: "before" or "after" — files land at plans/r12/<entry>_<suffix>.txt
+  suffix: "before" or "after" — files land at
+  $SPARK_GRAFT_PLANS_DIR (default plans/r13/) as <entry>_<suffix>.txt
   entries: default = every bench.py HEADLINER.
 
 The plan is captured at sf0.1 (the bench SF) WITHOUT executing the query:
@@ -28,7 +29,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or list(HEADLINERS)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", os.path.join(REPO, "plans", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="scipi-spark-capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
