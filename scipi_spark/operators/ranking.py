@@ -110,10 +110,13 @@ def with_percent_rank(
     # 3. tiny offsets table: rows-per-(slice, group); cumulative over
     #    earlier slices of the same group = the slice's starting rank.
     #    Derived from `ranged`, NOT `local`: the count does not depend on
-    #    the local row_number, and branching below the window made this
-    #    branch re-run the per-slice SORT a second time (the two branches
-    #    share the range Exchange via reuse, but everything above it
-    #    executes per branch — r12, guide §2.4 duplicated-subtree class).
+    #    the local row_number. COSMETIC, not a plan change (r13 evidence,
+    #    plans/r13/{rfm_segments,quality_percentile,perplexity_buckets}):
+    #    Catalyst's ColumnPruning already removed the unused Window (and
+    #    its sort) from the count branch when it was derived from
+    #    `local` — the pre-/post-change physical plans are identical
+    #    after expression-ID normalization. Kept because the explicit
+    #    form doesn't rely on that optimizer rule firing.
     cnt = ranged.groupBy(_PID, *part_cols).agg(
         F.count(F.lit(1)).cast("long").alias("__rnk_cnt")
     )
