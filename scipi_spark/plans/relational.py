@@ -598,11 +598,38 @@ def market_basket_pairs(
     size. Item counts and the order total are two more partial
     aggregations; the tiny per-item table broadcasts back onto the
     pair table. The oracle computes the same rules with an explicit
-    basket self-join — two structurally different plans agreeing."""
+    basket self-join — two structurally different plans agreeing.
+
+    The distinct basket subtree feeds four consumers (the n_orders
+    count, the per-order sets, and the item-count table twice via the
+    ca/cb aliases) — un-materialized that is 6 lineitem scans and 3
+    distinct exchanges per run. Materializing it is SIZE-GATED
+    (``spark.scipi.basket.materializeMinBytes``, default 1 GiB of
+    estimated lineitem scan bytes): at bench scale the scans are ~10 MB
+    and AQE coalesces the re-run subtrees, so the checkpoint's frozen
+    64-partition scans cost MORE than they save (r12 measured it
+    adverse: warm 5.7 -> 8.7 task-s, and reverted); at real lineitem
+    sizes the six full scans dominate everything and the one-time
+    checkpoint wins. The gate reads the optimizer's size estimate —
+    planning-time only, no extra job — and the results are identical
+    either way (same subtree, evaluated once vs. repeatedly)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     )
     baskets = li.distinct()
+    try:
+        gate = int(
+            spark.conf.get(
+                "spark.scipi.basket.materializeMinBytes", str(1 << 30)
+            )
+        )
+        scan_bytes = int(
+            li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable: keep the re-scan shape
+        gate, scan_bytes = 1, 0
+    if scan_bytes >= gate:
+        baskets = baskets.localCheckpoint(eager=True)
     n_orders = baskets.select("okey").distinct().count()
     item_counts = baskets.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")

@@ -262,6 +262,31 @@ def test_market_basket_known_rules(spark, tmp_path):
     assert out[(1, 3)] == (2, 3, 2, 0.5, round(2 / 3, 6), round(8 / 6, 6))
 
 
+def test_market_basket_size_gated_materialization(spark):
+    """r13 (r12 verdict #3): above the size gate the distinct basket
+    subtree is checkpointed ONCE — the plan loses all six lineitem
+    parquet re-scans and the per-consumer distinct exchanges — and the
+    rules are identical to the re-scan shape (default gate: 1 GiB, so
+    sf-scale runs keep the measured-faster re-scan plan)."""
+    from scipi_spark.plans import relational
+
+    key = "spark.scipi.basket.materializeMinBytes"
+    base = relational.market_basket_pairs(spark, SF)
+    plan = _plan(base)
+    assert _count(plan, r"Scan parquet") >= 2  # re-scan shape by default
+    ungated = sorted(map(tuple, base.collect()))
+    spark.conf.set(key, "1")
+    try:
+        gated_df = relational.market_basket_pairs(spark, SF)
+        gplan = _plan(gated_df)
+        # every consumer reads the one checkpointed basket table
+        assert _count(gplan, r"Scan parquet") == 0
+        assert _count(gplan, r"Scan ExistingRDD") >= 3
+        assert sorted(map(tuple, gated_df.collect())) == ungated
+    finally:
+        spark.conf.unset(key)
+
+
 def test_rfm_segments_terciles_known(spark, tmp_path):
     """3 users with strictly ordered R/F/M land in buckets 3/2/1 along
     each axis (best = 3: most recent, most frequent, highest spend)."""
