@@ -171,30 +171,40 @@ def _as_col(col):
 # unaffected (same inputs → same outputs); the flag only pins WHERE the
 # optimizer may evaluate them.
 
-def _nd_pandas_udf(f, rt):
-    # DataType objects, not DDL strings: DDL parsing would require an
-    # active SparkSession at import time.
-    return F.pandas_udf(f, rt).asNondeterministic()
+#: lazily-built UDF objects, one per kernel (r13, r12 advice: building
+#: them at import time made importing this module require pandas+pyarrow,
+#: contradicting the promise that the pure-Column API stays usable
+#: without the Arrow stack — ``F.pandas_udf`` checks pandas/pyarrow
+#: versions at decoration time). Built on first arrow_* call and cached;
+#: DataType objects, not DDL strings, so no SparkSession is needed.
+_ARROW_UDFS: dict[str, object] = {}
 
 
-_ARROW_STR_UDF = _nd_pandas_udf(_clean_scalar_batch, T.StringType())
-_ARROW_TOPICS_UDF = _nd_pandas_udf(_topics_batch, T.ArrayType(T.StringType()))
-_ARROW_AUTHORS_UDF = _nd_pandas_udf(_authors_batch, T.ArrayType(T.StringType()))
+def _arrow_udf(name, kernel, rt):
+    u = _ARROW_UDFS.get(name)
+    if u is None:
+        u = F.pandas_udf(kernel, rt).asNondeterministic()
+        _ARROW_UDFS[name] = u
+    return u
 
 
 def arrow_validate_str(col: Column | str) -> Column:
     """P3 via the Arrow kernel — same results as ``validate_str``."""
-    return _ARROW_STR_UDF(_as_col(col))
+    return _arrow_udf("str", _clean_scalar_batch, T.StringType())(_as_col(col))
 
 
 def arrow_validate_topics(col: Column | str) -> Column:
     """P4 via the Arrow kernel — same results as ``validate_topics``."""
-    return _ARROW_TOPICS_UDF(_as_col(col))
+    return _arrow_udf("topics", _topics_batch, T.ArrayType(T.StringType()))(
+        _as_col(col)
+    )
 
 
 def arrow_clean_authors(col: Column | str) -> Column:
     """Author cleaning via the Arrow kernel — same as ``clean_authors``."""
-    return _ARROW_AUTHORS_UDF(_as_col(col))
+    return _arrow_udf("authors", _authors_batch, T.ArrayType(T.StringType()))(
+        _as_col(col)
+    )
 
 
 def validate_topics_py(items: list[str] | None, max_len: int = MAX_TOPIC_LEN):
