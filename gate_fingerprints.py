@@ -22,6 +22,9 @@ exact code it can reach:
   are sorted first — their repr order is hash-randomized). Leading
   underscore names are skipped on purpose: runtime caches like
   ``_CENTROID_CACHE`` would make fingerprints nondeterministic;
+- for pyspark UDF objects (v6): the wrapped kernel's source PLUS the
+  UDF's returnType/evalType/deterministic flag, which live in
+  module-level statements outside any reachable function source;
 - the entry's DuckDB oracle SQL.
 
 Sources are hashed in BEHAVIOR-NORMALIZED form (v3): parsed, docstrings
@@ -47,7 +50,7 @@ import inspect
 import re
 import textwrap
 
-ALGO_VERSION = 5
+ALGO_VERSION = 6
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 _ATTR_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)")
@@ -107,9 +110,32 @@ def _unwrap_udf(obj):
     — v5: without this, a module-level ``_X_UDF = pandas_udf(kernel, ...)``
     hides ``kernel`` from the closure, so editing the kernel leaves every
     archived stamp of entries that execute it green (the r12 Arrow-ingest
-    kernels hit exactly this blind spot)."""
+    kernels hit exactly this blind spot). v6 (r12 advice): only objects
+    that are actually pyspark UDFs unwrap — gated on ``evalType``, which
+    every UserDefinedFunction and ``_wrapped()`` result carries. Without
+    the gate a ``functools.partial`` of an engine function matched too,
+    and its BOUND ARGUMENTS (previously hashed by the _CONST_RE /
+    _stable_repr branch) silently dropped out of the fingerprint."""
+    if not hasattr(obj, "evalType"):
+        return None
     inner = getattr(obj, "func", None)
     return inner if inner is not None and _is_traceable(inner) else None
+
+
+def _udf_meta(obj) -> str:
+    """Behavior-bearing UDF state that lives OUTSIDE the kernel's source
+    (v6, r12 advice): returnType decides Arrow casts, evalType decides
+    scalar-vs-pandas execution, and the deterministic flag is
+    load-bearing for plan shape (a removed ``asNondeterministic()``
+    re-duplicates the kernel below pushed filters). All three are set by
+    module-level statements the reachable-source walk cannot see."""
+    return "udf:" + repr(
+        (
+            str(getattr(obj, "returnType", None)),
+            getattr(obj, "evalType", None),
+            bool(getattr(obj, "deterministic", True)),
+        )
+    )
 
 
 def reachable_sources(fn) -> str:
@@ -218,6 +244,11 @@ def _reach(fn) -> dict[str, str]:
             inner = _unwrap_udf(obj)
             if inner is not None:
                 stack.append(inner)
+                seen[
+                    "udfmeta:"
+                    f"{getattr(inner, '__module__', '?')}"
+                    f".{getattr(inner, '__name__', '?')}"
+                ] = _udf_meta(obj)
             elif _is_traceable(obj):
                 stack.append(obj)
             elif _CONST_RE.match(name) and not inspect.ismodule(obj):
@@ -234,6 +265,11 @@ def _reach(fn) -> dict[str, str]:
             inner = _unwrap_udf(obj) if obj is not None else None
             if inner is not None:
                 stack.append(inner)
+                seen[
+                    "udfmeta:"
+                    f"{getattr(inner, '__module__', '?')}"
+                    f".{getattr(inner, '__name__', '?')}"
+                ] = _udf_meta(obj)
             elif _is_traceable(obj):
                 stack.append(obj)
             elif (

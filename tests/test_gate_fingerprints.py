@@ -190,6 +190,58 @@ def test_behavior_source_ignores_docs_comments_formatting():
     assert "registry" not in b
 
 
+def test_unwrap_udf_requires_a_pyspark_udf():
+    """v6 (r12 advice): only objects that are actually pyspark UDFs
+    (carry ``evalType``) unwrap — a ``functools.partial`` of an engine
+    function must NOT, or its bound arguments (hashed by the const
+    branch) silently drop out of the fingerprint."""
+    import functools
+
+    from scipi_spark.functions.text import _clean_value
+
+    part = functools.partial(_clean_value, 3)
+    assert part.func is _clean_value  # the v5 trap: traceable .func
+    assert gfp._unwrap_udf(part) is None
+
+    class FakeUDF:  # the shape pyspark's _wrapped()/UDF objects expose
+        func = staticmethod(_clean_value)
+        evalType = 200
+        returnType = "string"
+        deterministic = False
+
+    assert gfp._unwrap_udf(FakeUDF()) is _clean_value
+
+
+def test_udf_flags_change_fingerprint():
+    """v6 (r12 advice): a UDF's returnType/evalType/deterministic flag
+    are built in module-level statements outside any reachable function
+    source — removing ``asNondeterministic()`` or changing a returnType
+    must invalidate archived stamps, not just kernel edits."""
+    from scipi_spark.functions.text import _clean_value
+
+    def make(det):
+        class FakeUDF:
+            func = staticmethod(_clean_value)
+            evalType = 200
+            returnType = "string"
+            deterministic = det
+
+        return FakeUDF()
+
+    global _FP_TEST_UDF
+    _FP_TEST_UDF = make(False)
+
+    def probe():
+        return _FP_TEST_UDF
+
+    src_nondet = gfp.reachable_sources(probe)
+    assert "def _clean_value" in src_nondet  # kernel still reached (v5)
+    _FP_TEST_UDF = make(True)
+    src_det = gfp.reachable_sources(probe)
+    del _FP_TEST_UDF
+    assert src_nondet != src_det  # the flag alone moves the fingerprint
+
+
 def test_behavior_source_keeps_string_constants():
     # real string literals are executable values and must stay hashed
     a = gfp._behavior_source("def f():\n    return 'keyword_name'\n")
