@@ -302,25 +302,66 @@ def winnow_fingerprints(
     shape does not pay at any scale; values are bit-identical (same md5
     hashes, same min over the same clamped windows, same distinct set:
     (doc_id, fp) rows are unique once fps are array_distinct'd within
-    the doc). Docs shorter than k emit no fingerprints."""
+    the doc). Docs shorter than k emit no fingerprints.
+
+    r13 doc-length guard (r12 verdict #8): the r12 form materialized the
+    ENTIRE gram-hash array (8 bytes/char, three concurrent O(doc)
+    allocations) in one row — a pathological multi-GB document became a
+    single-row memory spike where the old explode spread it. It was
+    also quietly QUADRATIC in document length: each gram was
+    ``substring(t, i, k)``, and UTF8String.substring walks from byte 0
+    to find character i, so n grams cost O(n^2) byte scans (invisible
+    at 1 KB bench docs, ~40 s for one 120 KB doc). The hash +
+    window-min computation now runs CHUNKED inside one ``aggregate``
+    fold: per chunk of ``spark.scipi.winnow.chunkChars`` positions
+    (default 256 KiB) it slices the chunk's text ONCE (carrying k+w-2
+    overlap chars so window minima clamp only at the true document
+    end), extracts all overlapping k-grams in one linear pass
+    (zero-width-lookahead ``regexp_extract_all``), hashes them, takes
+    the chunk's window minima, and ``array_union``s them into the
+    accumulator — which dedups exactly like the old per-doc
+    ``array_distinct`` AND preserves first-occurrence order, so values
+    and row order are bit-identical for any chunk size. Intermediate
+    allocations are bounded by the chunk; only the accumulator (the
+    final per-doc distinct fp set — the output itself, ~2/(w+1) of
+    positions) scales with the document. Input contract for truly
+    degenerate inputs: a multi-GB SINGLE document still folds in one
+    task (no OOM spike, but serial); pre-split such inputs upstream."""
     base = (
         _spread(df)
         .select(F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("t"))
         .filter(F.length("t") >= k)
     )
-    # 60-bit portable hash per k-gram, inline (same expression as
-    # _portable_feature_hash, spelled in SQL for the array transform)
-    hashes = F.expr(
-        f"transform(sequence(1, length(t) - {k - 1}), "
-        f"i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10) as bigint))"
-    )
+    try:
+        chunk = int(
+            df.sparkSession.conf.get(
+                "spark.scipi.winnow.chunkChars", str(1 << 18)
+            )
+        )
+    except Exception:
+        chunk = 1 << 18
+    chunk = max(chunk, w)
+    np_ = f"(length(t) - {k - 1})"
+    # the chunk's text, sliced ONCE: positions [c*chunk+1, c*chunk+chunk]
+    # plus k+w-2 overlap chars (substring clamps at the document end)
+    tc = f"substring(t, c * {chunk} + 1, {chunk + k + w - 2})"
+    # every overlapping k-gram of the chunk in ONE linear regex pass
+    # ((?s): normalize_text leaves no newlines, but don't depend on it),
+    # then the same 60-bit portable md5 hash as _portable_feature_hash
+    grams = f"regexp_extract_all({tc}, '(?s)(?=(.{{{k}}}))', 1)"
     fps = F.expr(
-        f"array_distinct(transform(hs, (x, i) -> array_min(slice(hs, i + 1, {w}))))"
+        f"aggregate("
+        f"sequence(0, ({np_} - 1) div {chunk}), "
+        f"cast(array() as array<bigint>), "
+        f"(acc, c) -> transform("
+        # bind the chunk's hash array once via a 1-element transform
+        f"array(transform({grams}, "
+        f"g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))), "
+        f"hs -> array_union(acc, "
+        f"transform(sequence(1, least({chunk}, {np_} - c * {chunk})), "
+        f"j -> array_min(slice(hs, j, {w})))))[0])"
     )
-    return (
-        base.select("doc_id", hashes.alias("hs"))
-        .select("doc_id", F.explode(fps).alias("fp"))
-    )
+    return base.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_overlap_pairs(
