@@ -4756,8 +4756,10 @@ def _q_emb_neardup(spark, sf_dir):
     high-threshold regime — where LSH banding IS sub-quadratic — is
     exercised by emb_neardup_planted."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # n_blocks omitted: scale-adaptive (16 at every bench SF — the
+    # formula's floor — so the local plan is bit-for-bit the r12 one)
     return similarity.cosine_allpairs_blocked(
-        emb, threshold=NEARDUP_COS_THRESHOLD, n_blocks=16
+        emb, threshold=NEARDUP_COS_THRESHOLD
     )
 
 

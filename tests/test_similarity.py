@@ -100,7 +100,9 @@ def test_allpairs_blocked_equals_exact(spark):
     set to the O(n^2) crossJoin variant at a dense threshold, including
     every vector landing in block 0 edge cases (n_blocks > n)."""
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    for n_blocks in (4, 128):
+    # None = r13 scale-adaptive derivation (resolves to the 16-block
+    # floor at this size — same results either way, by construction)
+    for n_blocks in (4, 128, None):
         exact = {
             (r["id_a"], r["id_b"], r["cosine"])
             for r in sim.cosine_neardup_pairs(emb, threshold=0.3).collect()
