@@ -321,7 +321,12 @@ def winnow_fingerprints(
     the chunk's window minima, and ``array_union``s them into the
     accumulator — which dedups exactly like the old per-doc
     ``array_distinct`` AND preserves first-occurrence order, so values
-    and row order are bit-identical for any chunk size. Intermediate
+    and row order are bit-identical for any chunk size. Documents at or
+    under ``spark.scipi.winnow.smallDocChars`` positions (default 8192)
+    instead take the r12 fused substring form per row (a CASE branch):
+    its quadratic is bounded to ~ms there and it beats the regex gram
+    pass on small docs (measured 1.39x on the ~1 KB sf0.1 corpus), so
+    the common web-doc case pays no guard tax at all. Intermediate
     allocations are bounded by the chunk; only the accumulator (the
     final per-doc distinct fp set — the output itself, ~2/(w+1) of
     positions) scales with the document. Input contract for truly
@@ -341,25 +346,50 @@ def winnow_fingerprints(
     except Exception:
         chunk = 1 << 18
     chunk = max(chunk, w)
+    # below smallDocChars the r12 fused substring form runs instead of
+    # the chunked fold: its O(np^2) UTF8 positioning is bounded to ~ms
+    # there and it beats the regex gram pass on small docs (measured
+    # 1.39x on the sf0.1 corpus of ~1 KB docs); the chunked branch
+    # takes over exactly where the quadratic would start to hurt
+    try:
+        small = int(
+            df.sparkSession.conf.get(
+                "spark.scipi.winnow.smallDocChars", "8192"
+            )
+        )
+    except Exception:
+        small = 8192
+    small = min(small, chunk)
     np_ = f"(length(t) - {k - 1})"
-    # the chunk's text, sliced ONCE: positions [c*chunk+1, c*chunk+chunk]
-    # plus k+w-2 overlap chars (substring clamps at the document end)
+    hash_of = "cast(conv(substring(md5(%s), 1, 15), 16, 10) as bigint)"
+    # small docs: grams via substring on the whole (short) text — the
+    # exact r12 expression, with the hash array bound via a 1-element
+    # transform instead of an intermediate select
+    fused = (
+        f"transform(array(transform(sequence(1, {np_}), "
+        f"i -> {hash_of % f'substring(t, i, {k})'})), "
+        f"hs -> array_distinct(transform(hs, "
+        f"(x, i) -> array_min(slice(hs, i + 1, {w})))))[0]"
+    )
+    # large docs: per chunk, slice the text ONCE (k+w-2 overlap chars;
+    # substring clamps at the document end), extract every overlapping
+    # k-gram in ONE linear regex pass ((?s): normalize_text leaves no
+    # newlines, but don't depend on it), hash, window-min, array_union
+    # into the accumulator (≡ array_distinct, first-occurrence order)
     tc = f"substring(t, c * {chunk} + 1, {chunk + k + w - 2})"
-    # every overlapping k-gram of the chunk in ONE linear regex pass
-    # ((?s): normalize_text leaves no newlines, but don't depend on it),
-    # then the same 60-bit portable md5 hash as _portable_feature_hash
     grams = f"regexp_extract_all({tc}, '(?s)(?=(.{{{k}}}))', 1)"
-    fps = F.expr(
+    chunked = (
         f"aggregate("
         f"sequence(0, ({np_} - 1) div {chunk}), "
         f"cast(array() as array<bigint>), "
         f"(acc, c) -> transform("
-        # bind the chunk's hash array once via a 1-element transform
-        f"array(transform({grams}, "
-        f"g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))), "
+        f"array(transform({grams}, g -> {hash_of % 'g'})), "
         f"hs -> array_union(acc, "
         f"transform(sequence(1, least({chunk}, {np_} - c * {chunk})), "
         f"j -> array_min(slice(hs, j, {w})))))[0])"
+    )
+    fps = F.expr(
+        f"CASE WHEN {np_} <= {small} THEN {fused} ELSE {chunked} END"
     )
     return base.select("doc_id", F.explode(fps).alias("fp"))
 

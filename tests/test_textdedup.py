@@ -853,6 +853,7 @@ def test_winnow_chunked_fold_matches_reference(spark):
         "abcdefgh",  # exactly one gram
         "abcdefghi",  # two grams, window clamps at the tail
         "xyz " * 40,  # periodic: heavy duplicate fingerprints
+        "pad " * 2100,  # 8400 chars: crosses smallDocChars → chunked
     ]
     df = _docs(spark, list(enumerate(texts)))
     expected = {
