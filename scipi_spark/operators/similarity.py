@@ -26,7 +26,6 @@ import random
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from scipi_spark.sources import storectl
 
@@ -60,57 +59,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def _dot_seq_batch(ea, eb):
-    """Arrow-batched pair dot products, BIT-IDENTICAL to the JVM
-    ``dot()`` fold: the accumulation runs dimension-major
-    (``acc = acc + A[:,d] * B[:,d]``), so every row sees the exact
-    IEEE-754 multiply/add sequence of the sequential
-    ``aggregate(zip_with)`` expression — same doubles, just computed
-    for the whole batch per instruction instead of per pair (guide
-    §4.2: hand whole batches to vectorized native code). numpy does
-    not fuse multiply-add, so rounding matches the JVM op for op."""
-    import numpy as np
-    import pandas as pd
-
-    try:
-        A = np.array(ea.tolist(), dtype=np.float64)
-        B = np.array(eb.tolist(), dtype=np.float64)
-        if A.ndim == 2 and B.ndim == 2 and A.shape == B.shape:
-            acc = np.zeros(A.shape[0], dtype=np.float64)
-            for d in range(A.shape[1]):
-                acc = acc + A[:, d] * B[:, d]
-            return pd.Series(acc)
-    except (TypeError, ValueError):
-        pass  # nulls or ragged dims: object array → per-row fold below
-    out = []
-    for a, b in zip(ea, eb):
-        if a is None or b is None:
-            out.append(None)
-            continue
-        s = 0.0
-        for x, y in zip(a, b):
-            s = s + x * y
-        out.append(s)
-    return pd.Series(out, dtype="float64")
-
-
-#: lazily-built UDF object (pandas/pyarrow only needed when enabled)
-_DOT_BATCH_UDF = None
-
-
-def _gemm_rerank_on() -> bool:
-    from pyspark.sql import SparkSession
-
-    s = SparkSession.getActiveSession()
-    try:
-        return (
-            s is not None
-            and s.conf.get("spark.scipi.ann.gemmRerank", "false") == "true"
-        )
-    except Exception:
-        return False
-
-
 def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """``cosine()`` with the norm factors precomputed per ROW instead of
     per PAIR: na/nb must be exactly ``sqrt(dot(x,x))`` of their vector.
@@ -126,17 +74,15 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     the dense all-pairs/candidate joins (P >> N) a ~3x on the scoring
     stage, at 100 TB exactly as at sf0.1.
 
-    ``spark.scipi.ann.gemmRerank=true`` (r13, r12 verdict #7) routes
-    the dot product through the Arrow batched kernel instead of the
-    interpreted JVM fold — same doubles (see :func:`_dot_seq_batch`),
-    division grouping unchanged."""
-    if _gemm_rerank_on():
-        global _DOT_BATCH_UDF
-        if _DOT_BATCH_UDF is None:
-            _DOT_BATCH_UDF = F.pandas_udf(
-                _dot_seq_batch, T.DoubleType()
-            ).asNondeterministic()
-        return _DOT_BATCH_UDF(a, b) / (na * nb)
+    r13 NEGATIVE RESULT (r12 verdict #7): an Arrow-batched GEMM-form
+    kernel for this dot product (dimension-major accumulation,
+    bit-identical doubles) was built and A/B'd at sf1 via
+    tools/ab_gemm_rerank.py — it LOST on every scoring-heavy entry
+    (knn_cosine_brute 0.29x, knn_cosine_pq 0.65x, knn_cosine_lsh
+    0.88x): shipping both 64-dim vectors across the Python boundary
+    (~1 KB/pair) costs more than the interpreted JVM fold it replaces,
+    and that ratio is scale-invariant (both sides linear in pairs).
+    The kernel was reverted; OPTIMIZATION_r13.md records the numbers."""
     return dot(a, b) / (na * nb)
 
 

@@ -1,9 +1,16 @@
-"""A/B the conf-gated GEMM rerank kernel (r12 verdict #7) within one
-session: for each entry, interleaved OFF/ON repetitions of a full
-rebuild+execute (the scoring stage re-runs each time; everything else
-is identical, so the delta IS the scoring-stage delta). Task-seconds
-via scipi_spark.taskmetrics (contention-robust). Prints one JSON line
-per entry with per-mode samples.
+"""A/B protocol for the GEMM rerank kernel (r12 verdict #7): for each
+entry, interleaved OFF/ON repetitions of a full rebuild+execute (the
+scoring stage re-runs each time; everything else is identical, so the
+delta IS the scoring-stage delta). Task-seconds via
+scipi_spark.taskmetrics (contention-robust). Prints one JSON line per
+entry with per-mode samples.
+
+RESULT (r13, sf1, recorded in OPTIMIZATION_r13.md): the kernel LOST —
+knn_cosine_brute 0.29x, knn_cosine_pq 0.65x, knn_cosine_lsh 0.88x
+(min-of-3 interleaved task-s). The conf-gated kernel was reverted from
+cosine_pre after the measurement, so the ON mode of this tool now
+measures the same plan as OFF; the tool is kept as the record of the
+protocol behind the numbers.
 
 Usage: SPARK_GRAFT_SF_DIR=/root/perfdata/sf1 python tools/ab_gemm_rerank.py [entries...]
 """
