@@ -432,7 +432,20 @@ def winnow_overlap_pairs(
     fp-keyed self-join (two more shuffles)] chain (measured ~4.7s ->
     ~3.3s warm at sf0.1 for the planted-compound entry, identical
     output; the residual cost is the pair aggregation itself — ~2M pair
-    rows on that corpus — which the self-join paid too)."""
+    rows on that corpus — which the self-join paid too).
+
+    r13 pair-expansion form (guide §1.2 per-task work): the pairs
+    expand as TWO chained ``explode``s + an inequality filter instead
+    of the r12 nested ``transform``/``struct``/``flatten``/``filter``
+    array comprehension. Higher-order array functions are
+    CodegenFallback — every pair cost an interpreted lambda evaluation
+    and a boxed struct allocation, and the whole |ds|²-element struct
+    array materialized per posting row. Generate(explode) participates
+    in whole-stage codegen, streams pairs without materializing the
+    quadratic intermediate, and feeds the partial aggregation plain
+    long columns. Same multiset of rows in the same nested-loop order
+    (outer x, inner y, x != y kept), so the pair counts — and the
+    declared result — are identical."""
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
     plists = fps.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
     if max_doc_freq is not None:
@@ -444,27 +457,12 @@ def winnow_overlap_pairs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                "ds",
-                lambda x: F.transform(
-                    F.col("ds"),
-                    lambda y: F.struct(
-                        x.alias("contained"), y.alias("container")
-                    ),
-                ),
-            )
-        ),
-        lambda s: s.contained != s.container,
-    )
     inter = (
         plists.filter(F.size("ds") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.contained").alias("contained"),
-            F.col("p.container").alias("container"),
-        )
+        .select(F.explode("ds").alias("contained"), "ds")
+        .select("contained", F.explode("ds").alias("container"))
+        .filter(F.col("contained") != F.col("container"))
+        .groupBy("contained", "container")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("contained"), "n_fp")

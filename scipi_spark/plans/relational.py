@@ -590,12 +590,12 @@ def market_basket_pairs(
     training-data context the same machinery scores tag/source
     co-occurrence).
 
-    Plan: the pair fan-out happens INSIDE each order's row (sorted
-    distinct item set -> array-comprehension pairs, the no-self-join
-    posting-list shape of ``source_overlap``): one distinct, one
-    per-order collect, one pair-count aggregation — pair explosion is
-    C(basket,2) per order, bounded by basket size, never by catalog
-    size. Item counts and the order total are two more partial
+    Plan: the pair fan-out happens FROM each order's row (sorted
+    distinct item set -> chained explodes + a ``<`` filter, the
+    no-self-join posting-list shape of ``source_overlap``): one
+    distinct, one per-order collect, one pair-count aggregation — pair
+    explosion is C(basket,2) per order, bounded by basket size, never
+    by catalog size. Item counts and the order total are two more partial
     aggregations; the tiny per-item table broadcasts back onto the
     pair table. The oracle computes the same rules with an explicit
     basket self-join — two structurally different plans agreeing.
@@ -637,21 +637,22 @@ def market_basket_pairs(
     sets = baskets.groupBy("okey").agg(
         F.sort_array(F.collect_set("part")).alias("parts")
     )
-    pairs = sets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("parts"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("parts"), i + 2, F.size("parts")),
-                        lambda b: F.struct(a.alias("pa"), b.alias("pb")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).groupBy(F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_both")
-    ).filter(F.col("n_both") >= min_both)
+    # r13 (guide §1.2 per-task work): the C(basket,2) pair fan-out is
+    # two chained codegen'd explodes + a `<` filter rather than the r12
+    # nested transform/slice/struct comprehension — higher-order array
+    # functions are CodegenFallback (interpreted lambda per pair, boxed
+    # struct per pair, the whole pair array materialized per order),
+    # and `slice` additionally copied an O(basket) array per element.
+    # `parts` is a sorted DISTINCT set, so {a < b} is exactly the
+    # {index i < j} pair set: identical counts, identical result.
+    pairs = (
+        sets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_both)
+    )
     ca = item_counts.select(
         F.col("part").alias("part_a"), F.col("n_item").alias("n_a")
     )

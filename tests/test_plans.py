@@ -262,6 +262,18 @@ def test_market_basket_known_rules(spark, tmp_path):
     assert out[(1, 3)] == (2, 3, 2, 0.5, round(2 / 3, 6), round(8 / 6, 6))
 
 
+def test_market_basket_pair_expansion_is_codegen_explodes(spark):
+    """r13: the C(basket,2) pair fan-out is two chained codegen'd
+    explodes + a `<` filter — the interpreted transform/slice/struct
+    comprehension (CodegenFallback, A/B'd 1.9x slower at sf1) must not
+    reappear in the plan."""
+    from scipi_spark.plans import relational
+
+    plan = _plan(relational.market_basket_pairs(spark, SF))
+    assert "flatten(transform" not in plan
+    assert _count(plan, r"Arguments: explode\(parts") == 2
+
+
 def test_market_basket_size_gated_materialization(spark):
     """r13 (r12 verdict #3): above the size gate the distinct basket
     subtree is checkpointed ONCE — the plan loses all six lineitem

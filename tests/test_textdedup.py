@@ -900,6 +900,50 @@ def test_winnow_multi_mb_doc_bounded_chunks(spark):
     assert len(multi) > 100_000  # a real multi-MB fingerprint set
 
 
+def test_winnow_overlap_pair_expansion_is_codegen_explodes(spark):
+    """r13: the pair fan-out is two chained codegen'd explodes + an
+    inequality filter — the interpreted transform/struct/flatten array
+    comprehension (CodegenFallback: one interpreted lambda evaluation
+    and one boxed struct per pair, the whole |ds|^2 array materialized
+    per posting row; A/B'd 1.7x slower at sf1) must not reappear — and
+    the overlaps must equal a brute-force set reference."""
+    import re
+
+    body = " ".join(f"tok{i}" for i in range(40))
+    df = _docs(
+        spark,
+        [
+            (1, body),
+            (2, body + " with more trailing content"),
+            (3, body + " and a different long tail"),
+            (4, "nothing shared with the others at all here"),
+        ],
+    )
+    out = dedup.winnow_overlap_pairs(df, k=8, w=4, threshold=0.1)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "flatten(transform" not in plan
+    # two chained pair explodes + the sizes explode
+    assert len(re.findall(r"Arguments: explode\(", plan)) >= 3
+    fp_sets: dict[int, set] = {}
+    for r in dedup.winnow_fingerprints(df, k=8, w=4).collect():
+        fp_sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    expect = {}
+    for a, sa in fp_sets.items():
+        for b, sb in fp_sets.items():
+            if a != b:
+                ov = round(len(sa & sb) / len(sa), 6)
+                if ov >= 0.1:
+                    expect[(a, b)] = ov
+    got = {
+        (r["contained"], r["container"]): r["overlap"] for r in out.collect()
+    }
+    assert got == expect
+
+
 def test_winnow_overlap_flags_excerpt(spark):
     body = " ".join(f"tok{i}" for i in range(30))
     df = _docs(spark, [(1, body), (2, body + " extra tail content here beyond"), (3, "unrelated words only")])
